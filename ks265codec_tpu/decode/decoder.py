@@ -1,0 +1,280 @@
+"""Decoder top: NAL dispatch, parameter-set activation, POC derivation,
+DPB + POC-ordered output, per-frame decode orchestration.
+
+Equivalent of the reference's CHevcDecoder::{decodeNals,decodeNal,
+decodeSlice,flush,getDecodedFrame} + COutputManager (SURVEY.md 2.4).
+Python control plane per the TPU architecture stance (SURVEY.md 7.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream.nal import (NalType, is_idr, is_irap, is_rasl, is_vcl,
+                             parse_nals)
+from ..hevc.params import PPS, SPS, parse_pps, parse_sps, parse_vps
+from ..hevc.slicehdr import I_SLICE, SliceHeader, parse_slice_header
+from ..utils.yuv import YUVFrame
+from .filters import deblock_frame, sao_frame
+from .slice_dec import FrameState, SliceDecoder
+
+
+@dataclass
+class RefPic:
+    """A picture in the DPB."""
+    fs: FrameState
+    poc: int
+    used_for_ref: bool = True
+    is_long_term: bool = False
+    needed_for_output: bool = True
+
+
+class DecodeError(Exception):
+    """Maps to QY_BITSTREAM_ERROR-style recoverable failures."""
+
+
+class HevcDecoder:
+    """QY265Decoder-shaped API: feed annex-B data, pull decoded frames.
+
+    Mirrors the contract of qy265dec.h (QY265DecodeFrame /
+    QY265DecoderGetDecodedFrame / QY265DecodeFlush): decode() accepts any
+    chunk of annex-B bytes (whole stream or per-AU), get_frame() returns
+    POC-ordered frames, flush() drains.
+    """
+
+    def __init__(self, threads: int = 1, skip_mode: bool = False):
+        self.vps_map: dict[int, object] = {}
+        self.sps_map: dict[int, SPS] = {}
+        self.pps_map: dict[int, PPS] = {}
+        self.dpb: list[RefPic] = []
+        self.out_queue: list[RefPic] = []
+        self.cur: FrameState | None = None
+        self.cur_hdr: SliceHeader | None = None
+        self.cur_slice_idx = 0
+        self.prev_tid0_poc = 0
+        self.first_pic = True
+        self.skip_mode = skip_mode
+        self.frames_out: list[YUVFrame] = []
+        self.md5_log: list[str] = []
+
+    # ------------------------------------------------------------- public
+    def decode(self, data: bytes) -> list[YUVFrame]:
+        """Decode a chunk of annex-B bytes; returns frames ready for output."""
+        for nal in parse_nals(data):
+            self._decode_nal(nal)
+        return self._drain_ready()
+
+    def flush(self) -> list[YUVFrame]:
+        """End of stream: finish current picture and output everything."""
+        self._finish_current_picture()
+        out = []
+        for rp in sorted(self.out_queue, key=lambda r: r.poc):
+            out.append(self._wrap_output(rp))
+        self.out_queue.clear()
+        return out
+
+    def decode_all(self, data: bytes) -> list[YUVFrame]:
+        return self.decode(data) + self.flush()
+
+    # ------------------------------------------------------------ internal
+    def _decode_nal(self, nal) -> None:
+        t = nal.nal_type
+        if t == NalType.VPS:
+            v = parse_vps(nal.rbsp)
+            self.vps_map[v.vps_id] = v
+        elif t == NalType.SPS:
+            s = parse_sps(nal.rbsp)
+            self.sps_map[s.sps_id] = s
+        elif t == NalType.PPS:
+            p = parse_pps(nal.rbsp)
+            self.pps_map[p.pps_id] = p
+        elif t in (NalType.PREFIX_SEI, NalType.SUFFIX_SEI, NalType.AUD,
+                   NalType.FD, NalType.EOS, NalType.EOB):
+            pass  # SEI tolerated/ignored (conformance decoders may use them)
+        elif is_vcl(t):
+            self._decode_slice_nal(nal)
+
+    def _decode_slice_nal(self, nal) -> None:
+        hdr, sps, pps, reader = parse_slice_header(
+            nal.rbsp, nal.nal_type, nal.temporal_id, self.sps_map, self.pps_map)
+        poc = self._compute_poc(hdr, sps)
+        hdr.poc = poc
+        if hdr.first_slice_in_pic:
+            self._finish_current_picture()
+            self._start_picture(hdr, sps)
+        assert self.cur is not None
+        if self.skip_mode:
+            return
+        ref_lists = self._build_ref_lists(hdr, sps)
+        sd = SliceDecoder(self.cur, sps, pps, hdr, nal.rbsp,
+                          reader.pos // 8, self.cur_slice_idx, ref_lists)
+        sd.decode()
+        self.cur_slice_idx += 1
+
+    # ---------------------------------------------------------------- POC
+    def _compute_poc(self, hdr: SliceHeader, sps: SPS) -> int:
+        if hdr.is_idr:
+            poc = 0
+        else:
+            max_lsb = sps.max_poc_lsb
+            prev = self.prev_tid0_poc
+            prev_lsb = prev & (max_lsb - 1)
+            prev_msb = prev - prev_lsb
+            lsb = hdr.pic_order_cnt_lsb
+            no_rasl_out = is_irap(hdr.nal_type) and self.first_pic
+            if no_rasl_out:
+                msb = 0
+                poc = lsb
+            else:
+                if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                    msb = prev_msb + max_lsb
+                elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                    msb = prev_msb - max_lsb
+                else:
+                    msb = prev_msb
+                poc = msb + lsb
+        if hdr.temporal_id == 0 and not is_rasl(hdr.nal_type):
+            self.prev_tid0_poc = poc
+        self.first_pic = False
+        return poc
+
+    # ----------------------------------------------------------- pictures
+    def _start_picture(self, hdr: SliceHeader, sps: SPS) -> None:
+        if hdr.is_idr or (is_irap(hdr.nal_type) and len(self.dpb) == 0):
+            pass
+        if hdr.is_idr:
+            # IDR: all prior pics unused for reference
+            for rp in self.dpb:
+                rp.used_for_ref = False
+            self._bump_all()
+        else:
+            self._apply_rps(hdr, sps)
+        fs = FrameState(sps)
+        fs.poc = hdr.poc
+        self.cur = fs
+        self.cur_hdr = hdr
+        self.cur_slice_idx = 0
+
+    def _apply_rps(self, hdr: SliceHeader, sps: SPS) -> None:
+        """Mark DPB pics per the active RPS (spec 8.3.2 simplified: short-term
+        + long-term by POC)."""
+        if hdr.st_rps is None:
+            return
+        keep_pocs = set(hdr.poc + d for d in hdr.st_rps.delta_pocs)
+        lt_pocs = set()
+        for i in range(hdr.num_lt_pics):
+            lsb = hdr.lt_poc[i]
+            if hdr.lt_msb_present[i]:
+                msb_cycles = hdr.lt_delta_poc_msb[i]
+                poc_lt = (hdr.poc - ((hdr.poc & (sps.max_poc_lsb - 1)) - lsb)
+                          - msb_cycles * sps.max_poc_lsb)
+            else:
+                # match by lsb
+                poc_lt = None
+                for rp in self.dpb:
+                    if (rp.poc & (sps.max_poc_lsb - 1)) == lsb:
+                        poc_lt = rp.poc
+                        break
+            if poc_lt is not None:
+                lt_pocs.add(poc_lt)
+        for rp in self.dpb:
+            if rp.poc in lt_pocs:
+                rp.used_for_ref = True
+                rp.is_long_term = True
+            elif rp.poc in keep_pocs:
+                rp.used_for_ref = True
+            else:
+                rp.used_for_ref = False
+
+    def _build_ref_lists(self, hdr: SliceHeader, sps: SPS):
+        """Reference list construction (spec 8.3.4)."""
+        if hdr.slice_type == I_SLICE or hdr.st_rps is None:
+            return [[], []]
+        by_poc = {rp.poc: rp for rp in self.dpb}
+        st_before, st_after, lt = [], [], []
+        rps = hdr.st_rps
+        for i in range(rps.num_negative):
+            if rps.used[i]:
+                p = hdr.poc + rps.delta_pocs[i]
+                if p in by_poc:
+                    st_before.append(by_poc[p])
+        for i in range(rps.num_positive):
+            if rps.used[rps.num_negative + i]:
+                p = hdr.poc + rps.delta_pocs[rps.num_negative + i]
+                if p in by_poc:
+                    st_after.append(by_poc[p])
+        for i in range(hdr.num_lt_pics):
+            if hdr.lt_used[i]:
+                for rp in self.dpb:
+                    if (rp.poc & (sps.max_poc_lsb - 1)) == hdr.lt_poc[i]:
+                        lt.append(rp)
+                        break
+        tmp0 = st_before + st_after + lt
+        tmp1 = st_after + st_before + lt
+        l0 = [tmp0[i % len(tmp0)] for i in range(hdr.num_ref_idx[0])] if tmp0 else []
+        l1 = [tmp1[i % len(tmp1)] for i in range(hdr.num_ref_idx[1])] if tmp1 else []
+        if hdr.ref_list_modification:
+            if hdr.ref_list_modification[0]:
+                l0 = [tmp0[i] for i in hdr.ref_list_modification[0]]
+            if hdr.ref_list_modification[1]:
+                l1 = [tmp1[i] for i in hdr.ref_list_modification[1]]
+        return [l0, l1]
+
+    def _finish_current_picture(self) -> None:
+        if self.cur is None:
+            return
+        fs, hdr = self.cur, self.cur_hdr
+        # in-loop filters at frame level
+        deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
+                      bool(hdr.deblocking_filter_disabled),
+                      self.pps_map[hdr.pps_id].cb_qp_offset,
+                      self.pps_map[hdr.pps_id].cr_qp_offset)
+        sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
+        rp = RefPic(fs, fs.poc, needed_for_output=bool(hdr.pic_output_flag))
+        self.dpb.append(rp)
+        self.out_queue.append(rp)
+        self.cur = None
+        self.cur_hdr = None
+        self._cleanup_dpb(fs.sps)
+
+    def _cleanup_dpb(self, sps: SPS) -> None:
+        self.dpb = [rp for rp in self.dpb
+                    if rp.used_for_ref or rp in self.out_queue]
+        # cap: drop oldest non-ref
+        max_dpb = sps.max_dec_pic_buffering[-1] + 2
+        while len(self.dpb) > max_dpb:
+            self.dpb.pop(0)
+
+    def _bump_all(self) -> None:
+        self.out_queue.sort(key=lambda r: r.poc)
+        for rp in self.out_queue:
+            self.frames_out.append(self._wrap_output(rp))
+        self.out_queue.clear()
+
+    def _drain_ready(self) -> list[YUVFrame]:
+        """Output pictures per the bumping rule (num_reorder_pics)."""
+        out = list(self.frames_out)
+        self.frames_out.clear()
+        if self.cur is not None or not self.out_queue:
+            pass
+        sps = next(iter(self.sps_map.values())) if self.sps_map else None
+        if sps is None:
+            return out
+        reorder = sps.num_reorder_pics[-1]
+        self.out_queue.sort(key=lambda r: r.poc)
+        while len(self.out_queue) > reorder:
+            out.append(self._wrap_output(self.out_queue.pop(0)))
+        return out
+
+    def _wrap_output(self, rp: RefPic) -> YUVFrame:
+        sps = rp.fs.sps
+        l, r, t, b = sps.conf_win
+        # conformance window offsets are in chroma units for 4:2:0
+        x0, x1 = 2 * l, sps.width - 2 * r
+        y0, y1 = 2 * t, sps.height - 2 * b
+        y = rp.fs.y[y0:y1, x0:x1].astype(np.uint8)
+        cb = rp.fs.cb[y0 // 2:y1 // 2, x0 // 2:x1 // 2].astype(np.uint8)
+        cr = rp.fs.cr[y0 // 2:y1 // 2, x0 // 2:x1 // 2].astype(np.uint8)
+        return YUVFrame(y, cb, cr, poc=rp.poc)

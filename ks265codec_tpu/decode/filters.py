@@ -1,0 +1,323 @@
+"""Frame-level in-loop filters: deblocking and SAO (NumPy reference model).
+
+HEVC's filters are full-frame data-parallel by construction: all vertical
+deblock edges are independent (8-apart edges never touch each other's
+samples), then all horizontal edges, then SAO reads only pre-SAO samples.
+This is exactly the structure the TPU kernels in ops/deblock.py and
+ops/sao.py exploit; this module is their bit-exact scalar oracle.
+
+Spec 8.7.2 (deblocking) / 8.7.3 (SAO). Reference equivalents:
+ComDeblockFilter, ComSao, CLoopFilterCtu (SURVEY.md 2.2/2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hevc.tables import BETA_TABLE, TC_TABLE, chroma_qp
+from .slice_dec import MODE_INTRA, FrameState
+
+
+def _clip3(lo, hi, v):
+    return np.clip(v, lo, hi)
+
+
+def compute_bs(fs: FrameState, vertical: bool) -> np.ndarray:
+    """Boundary strength per 4x4 block edge (spec 8.7.2.4).
+
+    Returns (h4, w4) int array: bs of the left (vertical) / top (horizontal)
+    edge of each 4x4 block; 0 where no deblockable edge.
+    """
+    h4, w4 = fs.h4, fs.w4
+    bs = np.zeros((h4, w4), np.int8)
+    if vertical:
+        edge = fs.tu_edge_v | fs.pu_edge_v | fs.cu_edge_v
+        # only x multiple of 8 (luma 8x8 deblock grid)
+        cols = np.arange(w4) % 2 == 0
+        edge = edge & cols[None, :]
+        edge[:, 0] = False  # picture boundary
+    else:
+        edge = fs.tu_edge_h | fs.pu_edge_h | fs.cu_edge_h
+        rows = np.arange(h4) % 2 == 0
+        edge = edge & rows[:, None]
+        edge[0, :] = False
+    ey, ex = np.nonzero(edge)
+    for y, x in zip(ey, ex):
+        if vertical:
+            py, px = y, x - 1
+        else:
+            py, px = y - 1, x
+        q_intra = fs.pred_mode[y, x] == MODE_INTRA
+        p_intra = fs.pred_mode[py, px] == MODE_INTRA
+        if q_intra or p_intra:
+            bs[y, x] = 2
+            continue
+        if fs.cbf_luma[y, x] or fs.cbf_luma[py, px]:
+            # TU edge with coded coefficients on either side
+            if fs.tu_edge_v[y, x] if vertical else fs.tu_edge_h[y, x]:
+                bs[y, x] = 1
+                continue
+        # motion-based
+        bs[y, x] = _bs_motion(fs, y, x, py, px)
+    return bs
+
+
+def _bs_motion(fs, y, x, py, px) -> int:
+    # gather (refpoc, mv) sets for P and Q
+    def refs(yy, xx):
+        out = []
+        for l in range(2):
+            if fs.ref_idx[l, yy, xx] >= 0:
+                out.append((int(fs.ref_poc[l, yy, xx]),
+                            int(fs.mv[l, yy, xx, 0]), int(fs.mv[l, yy, xx, 1])))
+        return out
+
+    rp = refs(py, px)
+    rq = refs(y, x)
+    if len(rp) != len(rq):
+        return 1
+    if len(rp) == 1:
+        (pr, pmx, pmy), (qr, qmx, qmy) = rp[0], rq[0]
+        if pr != qr or abs(pmx - qmx) >= 4 or abs(pmy - qmy) >= 4:
+            return 1
+        return 0
+    if len(rp) == 2:
+        pr = sorted(r for r, _, _ in rp)
+        qr = sorted(r for r, _, _ in rq)
+        if pr != qr:
+            return 1
+        # same ref pair: check both assignments (spec handles identical refs)
+        if rp[0][0] == rp[1][0]:  # both refs identical
+            ok1 = (_mv_close(rp[0], rq[0]) and _mv_close(rp[1], rq[1]))
+            ok2 = (_mv_close(rp[0], rq[1]) and _mv_close(rp[1], rq[0]))
+            return 0 if (ok1 or ok2) else 1
+        # distinct refs: match by ref poc
+        rp_s = sorted(rp)
+        rq_s = sorted(rq)
+        for a, b in zip(rp_s, rq_s):
+            if not _mv_close(a, b):
+                return 1
+        return 0
+    return 0
+
+
+def _mv_close(a, b) -> bool:
+    return abs(a[1] - b[1]) < 4 and abs(a[2] - b[2]) < 4
+
+
+def deblock_frame(fs: FrameState, beta_offset_div2: int = 0,
+                  tc_offset_div2: int = 0, disabled: bool = False,
+                  cb_qp_offset: int = 0, cr_qp_offset: int = 0) -> None:
+    """In-place deblock of fs planes (luma + chroma), spec 8.7.2."""
+    if disabled:
+        return
+    for vertical in (True, False):
+        bs = compute_bs(fs, vertical)
+        _deblock_luma_pass(fs, bs, vertical, beta_offset_div2, tc_offset_div2)
+        _deblock_chroma_pass(fs, bs, vertical, tc_offset_div2,
+                             cb_qp_offset, cr_qp_offset)
+
+
+def _deblock_luma_pass(fs, bs, vertical, boff, toff):
+    y_plane = fs.y
+    pw, ph = fs.sps.width, fs.sps.height
+    ey, ex = np.nonzero(bs > 0)
+    for by, bx in zip(ey, ex):
+        x = bx * 4
+        y = by * 4
+        if x >= pw or y >= ph:
+            continue
+        strength = int(bs[by, bx])
+        qp_q = int(fs.qp[by, bx])
+        qp_p = int(fs.qp[by, bx - 1] if vertical else fs.qp[by - 1, bx])
+        qpl = (qp_p + qp_q + 1) >> 1
+        qb = min(max(qpl + (boff << 1), 0), 51)
+        beta = BETA_TABLE[qb]
+        qt = min(max(qpl + 2 * (strength - 1) + (toff << 1), 0), 53)
+        tc = TC_TABLE[qt]
+        if beta == 0:
+            continue
+        if vertical:
+            # segment: rows y..y+3, edge at column x
+            seg = y_plane[y:y + 4, x - 4:x + 4]  # p3..p0 q0..q3
+            p = seg[:, 3::-1]  # p0..p3 left side reversed
+            q = seg[:, 4:8]
+        else:
+            seg = y_plane[y - 4:y + 4, x:x + 4]
+            p = seg[3::-1, :].T  # rows: line idx, cols: p0..p3
+            q = seg[4:8, :].T
+        p = p.astype(np.int32)
+        q = q.astype(np.int32)
+        new_p, new_q, changed = _filter_luma_segment(p, q, beta, tc)
+        if not changed:
+            continue
+        if vertical:
+            y_plane[y:y + 4, x - 3:x] = new_p[:, 2::-1]
+            y_plane[y:y + 4, x:x + 3] = new_q[:, :3]
+        else:
+            y_plane[y - 3:y, x:x + 4] = new_p.T[2::-1, :]
+            y_plane[y:y + 3, x:x + 4] = new_q.T[:3, :]
+
+
+def _filter_luma_segment(p, q, beta, tc):
+    """p,q: (4 lines, 4 samples p0..p3 / q0..q3) int32. Returns new (lines,3)
+    p0..p2 / q0..q2 arrays + changed flag. Spec 8.7.2.5.3/8.7.2.5.7."""
+    dp = np.abs(p[:, 2] - 2 * p[:, 1] + p[:, 0])
+    dq = np.abs(q[:, 2] - 2 * q[:, 1] + q[:, 0])
+    d0 = dp[0] + dq[0]
+    d3 = dp[3] + dq[3]
+    d = d0 + d3
+    if d >= beta:
+        return None, None, False
+    # strong/weak decision on lines 0 and 3
+    def dsam(i):
+        return (2 * (dp[i] + dq[i]) < (beta >> 2)
+                and abs(p[i, 3] - p[i, 0]) + abs(q[i, 0] - q[i, 3]) < (beta >> 3)
+                and abs(p[i, 0] - q[i, 0]) < ((5 * tc + 1) >> 1))
+    strong = dsam(0) and dsam(3)
+    new_p = p[:, :3].copy()
+    new_q = q[:, :3].copy()
+    if strong:
+        t2 = 2 * tc
+        p0, p1, p2, p3 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+        q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        new_p[:, 0] = _clip3(p0 - t2, p0 + t2, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+        new_p[:, 1] = _clip3(p1 - t2, p1 + t2, (p2 + p1 + p0 + q0 + 2) >> 2)
+        new_p[:, 2] = _clip3(p2 - t2, p2 + t2, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+        new_q[:, 0] = _clip3(q0 - t2, q0 + t2, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+        new_q[:, 1] = _clip3(q1 - t2, q1 + t2, (q2 + q1 + q0 + p0 + 2) >> 2)
+        new_q[:, 2] = _clip3(q2 - t2, q2 + t2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+        return new_p, new_q, True
+    # weak
+    if tc == 0:
+        return None, None, False
+    dep1 = (dp[0] + dp[3]) < ((beta + (beta >> 1)) >> 3)
+    deq1 = (dq[0] + dq[3]) < ((beta + (beta >> 1)) >> 3)
+    p0, p1, p2 = p[:, 0], p[:, 1], p[:, 2]
+    q0, q1, q2 = q[:, 0], q[:, 1], q[:, 2]
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    apply = np.abs(delta) < tc * 10
+    delta = _clip3(-tc, tc, delta)
+    new_p[:, 0] = np.where(apply, np.clip(p0 + delta, 0, 255), p0)
+    new_q[:, 0] = np.where(apply, np.clip(q0 - delta, 0, 255), q0)
+    tc2 = tc >> 1
+    if dep1:
+        dp1 = _clip3(-tc2, tc2, (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1)
+        new_p[:, 1] = np.where(apply, np.clip(p1 + dp1, 0, 255), p1)
+    if deq1:
+        dq1 = _clip3(-tc2, tc2, (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1)
+        new_q[:, 1] = np.where(apply, np.clip(q1 + dq1, 0, 255), q1)
+    return new_p, new_q, True
+
+
+def _deblock_chroma_pass(fs, bs, vertical, toff, cb_qp_offset, cr_qp_offset):
+    """Chroma deblock: bs==2 edges on the 16-luma-sample grid (4:2:0)."""
+    pw, ph = fs.sps.width, fs.sps.height
+    ey, ex = np.nonzero(bs == 2)
+    for plane, qpoff in ((fs.cb, cb_qp_offset), (fs.cr, cr_qp_offset)):
+        for by, bx in zip(ey, ex):
+            xl = bx * 4
+            yl = by * 4
+            if vertical:
+                if xl % 16 != 0:
+                    continue
+            else:
+                if yl % 16 != 0:
+                    continue
+            if xl >= pw or yl >= ph:
+                continue
+            qp_q = int(fs.qp[by, bx])
+            qp_p = int(fs.qp[by, bx - 1] if vertical else fs.qp[by - 1, bx])
+            qpi = ((qp_p + qp_q + 1) >> 1) + qpoff
+            qpc = chroma_qp(qpi)
+            qt = min(max(qpc + 2 + (toff << 1), 0), 53)
+            tc = TC_TABLE[qt]
+            if tc == 0:
+                continue
+            xc, yc = xl // 2, yl // 2
+            if vertical:
+                seg = plane[yc:yc + 2, xc - 2:xc + 2].astype(np.int32)
+                p1, p0, q0, q1 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+            else:
+                seg = plane[yc - 2:yc + 2, xc:xc + 2].astype(np.int32)
+                p1, p0, q0, q1 = seg[0, :], seg[1, :], seg[2, :], seg[3, :]
+            delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+            np0 = np.clip(p0 + delta, 0, 255)
+            nq0 = np.clip(q0 - delta, 0, 255)
+            if vertical:
+                plane[yc:yc + 2, xc - 1] = np0
+                plane[yc:yc + 2, xc] = nq0
+            else:
+                plane[yc - 1, xc:xc + 2] = np0
+                plane[yc, xc:xc + 2] = nq0
+
+
+# ----------------------------------------------------------------- SAO
+
+_EO_OFFS = {
+    0: ((0, -1), (0, 1)),    # horizontal
+    1: ((-1, 0), (1, 0)),    # vertical
+    2: ((-1, -1), (1, 1)),   # 135 degrees
+    3: ((-1, 1), (1, -1)),   # 45 degrees
+}
+
+
+def sao_frame(fs: FrameState, sao_luma: bool, sao_chroma: bool) -> None:
+    """Apply SAO in place (spec 8.7.3). Source for classification is the
+    deblocked pre-SAO picture (copied)."""
+    if not (sao_luma or sao_chroma):
+        return
+    sps = fs.sps
+    cs = sps.ctb_size
+    srcs = [fs.y.copy(), fs.cb.copy(), fs.cr.copy()]
+    dsts = [fs.y, fs.cb, fs.cr]
+    sizes = [(sps.width, sps.height), (sps.width // 2, sps.height // 2),
+             (sps.width // 2, sps.height // 2)]
+    for ry in range(sps.pic_height_in_ctbs):
+        for rx in range(sps.pic_width_in_ctbs):
+            param = fs.sao[ry][rx]
+            for c in range(3):
+                if c == 0 and not sao_luma:
+                    continue
+                if c > 0 and not sao_chroma:
+                    continue
+                t = param.type_idx[c]
+                if t == 0:
+                    continue
+                shift = 0 if c == 0 else 1
+                bw, bh = sizes[c]
+                x0 = (rx * cs) >> shift
+                y0 = (ry * cs) >> shift
+                x1 = min(x0 + (cs >> shift), bw)
+                y1 = min(y0 + (cs >> shift), bh)
+                if x0 >= bw or y0 >= bh:
+                    continue
+                src = srcs[c]
+                dst = dsts[c]
+                blk = src[y0:y1, x0:x1]
+                if t == 1:  # band offset
+                    band = blk >> 3
+                    out = blk.copy()
+                    for k in range(4):
+                        b = (param.band_pos[c] + k) & 31
+                        out = np.where(band == b, blk + param.offsets[c][k], out)
+                    dst[y0:y1, x0:x1] = np.clip(out, 0, 255)
+                else:  # edge offset
+                    (ay, ax), (by2, bx2) = _EO_OFFS[param.eo_class[c]]
+                    ys, xs = np.mgrid[y0:y1, x0:x1]
+                    ny_a, nx_a = ys + ay, xs + ax
+                    ny_b, nx_b = ys + by2, xs + bx2
+                    valid = ((ny_a >= 0) & (ny_a < bh) & (nx_a >= 0) & (nx_a < bw)
+                             & (ny_b >= 0) & (ny_b < bh) & (nx_b >= 0) & (nx_b < bw))
+                    a = src[np.clip(ny_a, 0, bh - 1), np.clip(nx_a, 0, bw - 1)]
+                    b = src[np.clip(ny_b, 0, bh - 1), np.clip(nx_b, 0, bw - 1)]
+                    edge_idx = 2 + np.sign(blk - a) + np.sign(blk - b)
+                    # edgeIdx -> category: 0->1, 1->2, 2->0, 3->3, 4->4
+                    off = np.zeros_like(blk)
+                    offs = param.offsets[c]
+                    off = np.where(edge_idx == 0, offs[0], off)
+                    off = np.where(edge_idx == 1, offs[1], off)
+                    off = np.where(edge_idx == 3, offs[2], off)
+                    off = np.where(edge_idx == 4, offs[3], off)
+                    out = np.where(valid, np.clip(blk + off, 0, 255), blk)
+                    dst[y0:y1, x0:x1] = out
