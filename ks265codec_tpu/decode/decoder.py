@@ -69,7 +69,8 @@ class HevcDecoder:
     def flush(self) -> list[YUVFrame]:
         """End of stream: finish current picture and output everything."""
         self._finish_current_picture()
-        out = []
+        out = list(self.frames_out)
+        self.frames_out.clear()
         for rp in sorted(self.out_queue, key=lambda r: r.poc):
             out.append(self._wrap_output(rp))
         self.out_queue.clear()
@@ -97,8 +98,15 @@ class HevcDecoder:
             self._decode_slice_nal(nal)
 
     def _decode_slice_nal(self, nal) -> None:
-        hdr, sps, pps, reader = parse_slice_header(
-            nal.rbsp, nal.nal_type, nal.temporal_id, self.sps_map, self.pps_map)
+        try:
+            hdr, sps, pps, reader = parse_slice_header(
+                nal.rbsp, nal.nal_type, nal.temporal_id, self.sps_map,
+                self.pps_map)
+        except (KeyError, IndexError, AssertionError, ValueError):
+            # undecodable slice (missing/garbled parameter sets): skip and
+            # keep searching for an access point — the reference's
+            # QY_SEARCHING_ACCESS_POINT behavior (qy265def.h:15-20)
+            return
         poc = self._compute_poc(hdr, sps)
         hdr.poc = poc
         if hdr.first_slice_in_pic:
@@ -237,15 +245,20 @@ class HevcDecoder:
         self.out_queue.append(rp)
         self.cur = None
         self.cur_hdr = None
+        # bumping (spec C.5.2.2): emit in POC order once more than
+        # num_reorder_pics are waiting — at picture granularity so the DPB
+        # never holds output-blocked pictures hostage
+        reorder = fs.sps.num_reorder_pics[-1]
+        self.out_queue.sort(key=lambda r: r.poc)
+        while len(self.out_queue) > reorder:
+            self.frames_out.append(self._wrap_output(self.out_queue.pop(0)))
         self._cleanup_dpb(fs.sps)
 
     def _cleanup_dpb(self, sps: SPS) -> None:
+        # a picture leaves the DPB only when it is no longer used for
+        # reference AND already output (never evict live refs)
         self.dpb = [rp for rp in self.dpb
                     if rp.used_for_ref or rp in self.out_queue]
-        # cap: drop oldest non-ref
-        max_dpb = sps.max_dec_pic_buffering[-1] + 2
-        while len(self.dpb) > max_dpb:
-            self.dpb.pop(0)
 
     def _bump_all(self) -> None:
         self.out_queue.sort(key=lambda r: r.poc)

@@ -53,8 +53,13 @@ def compute_bs(fs: FrameState, vertical: bool) -> np.ndarray:
             bs[y, x] = 2
             continue
         if fs.cbf_luma[y, x] or fs.cbf_luma[py, px]:
-            # TU edge with coded coefficients on either side
-            if fs.tu_edge_v[y, x] if vertical else fs.tu_edge_h[y, x]:
+            # TB edge with coded coefficients on either side. Every CU edge
+            # is also a TB edge (transform tree root = CU), including CUs
+            # with no residual (skip / rqt_root_cbf=0) whose TU grid was
+            # never traversed.
+            is_tb_edge = ((fs.tu_edge_v[y, x] | fs.cu_edge_v[y, x]) if vertical
+                          else (fs.tu_edge_h[y, x] | fs.cu_edge_h[y, x]))
+            if is_tb_edge:
                 bs[y, x] = 1
                 continue
         # motion-based

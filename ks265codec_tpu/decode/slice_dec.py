@@ -79,6 +79,8 @@ class FrameState:
         self.mv = np.zeros((2, h4, w4, 2), np.int32)
         self.ref_idx = np.full((2, h4, w4), -1, np.int8)
         self.ref_poc = np.zeros((2, h4, w4), np.int32)
+        self.ref_lt = np.zeros((2, h4, w4), bool)      # ref is long-term
+        self.mi_parsed = np.zeros((h4, w4), bool)      # motion/mode parsed
         self.sao: list[list[SaoCtuParam]] = [
             [SaoCtuParam() for _ in range(sps.pic_width_in_ctbs)]
             for _ in range(sps.pic_height_in_ctbs)]
@@ -104,11 +106,12 @@ class SliceDecoder:
         self.rbsp = rbsp
         self.cabac = CabacDec(rbsp, data_start, ctx)
         self.qp = hdr.slice_qp
-        qpi_cb = self.qp + pps.cb_qp_offset + hdr.cb_qp_offset
-        qpi_cr = self.qp + pps.cr_qp_offset + hdr.cr_qp_offset
-        self.qp_cb = chroma_qp(qpi_cb)
-        self.qp_cr = chroma_qp(qpi_cr)
         self.min_cb = sps.log2_min_cb
+        # CU QP delta state (spec 8.6.1): quantization groups
+        self.qp_cur = hdr.slice_qp      # QP of current QG (pred + delta)
+        self.qg_pred = hdr.slice_qp
+        self._dqp_coded = True          # no parse unless enabled per QG
+        self._qg_rect = None
         self.wpp_saved_ctx: bytearray | None = None
         # per-CU transient state
         self._cu_intra_modes = np.zeros((2, 2), np.int32)
@@ -145,6 +148,7 @@ class SliceDecoder:
                 entry_idx += 1
                 self.cabac = CabacDec(self.rbsp, byte_off, self.cabac.ctx)
                 self.cabac.load_ctx(self.wpp_saved_ctx)
+                self.qp_cur = self.hdr.slice_qp  # qPY_PREV reset per CTB row
             self._decode_ctu(rx, ry)
             if wpp and rx == 1:
                 self.wpp_saved_ctx = self.cabac.save_ctx()
@@ -234,6 +238,9 @@ class SliceDecoder:
     def _parse_cq(self, x0: int, y0: int, log2: int, depth: int) -> None:
         sps = self.sps
         size = 1 << log2
+        if (self.pps.cu_qp_delta_enabled
+                and depth <= self.pps.diff_cu_qp_delta_depth):
+            self._enter_qg(x0, y0)
         inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
         split = 1
         if inside and log2 > self.min_cb:
@@ -255,6 +262,64 @@ class SliceDecoder:
             return
         self._parse_cu(x0, y0, log2, depth)
 
+    # -------------------------------------------------- quantization groups
+    def _enter_qg(self, x0: int, y0: int) -> None:
+        """Start a new quantization group (spec 8.6.1): derive qPY_PRED from
+        the left/above neighbors inside the same CTB, else qPY_PREV (= QP of
+        the last CU of the previous QG)."""
+        fs = self.fs
+        qp_prev = self.qp_cur
+        log2_ctb = self.sps.log2_ctb
+
+        def nbr_qp(xn: int, yn: int) -> int:
+            if xn < 0 or yn < 0:
+                return qp_prev
+            # must be inside the current CTB (spec 8.6.1 availability)
+            if (xn >> log2_ctb) != (x0 >> log2_ctb) or \
+                    (yn >> log2_ctb) != (y0 >> log2_ctb):
+                return qp_prev
+            if not fs.mi_parsed[yn >> 2, xn >> 2] or \
+                    fs.slice_id[yn >> 2, xn >> 2] != self.slice_idx:
+                return qp_prev
+            return int(fs.qp[yn >> 2, xn >> 2])
+
+        qp_a = nbr_qp(x0 - 1, y0)
+        qp_b = nbr_qp(x0, y0 - 1)
+        self.qg_pred = (qp_a + qp_b + 1) >> 1
+        self.qp_cur = self.qg_pred
+        self._dqp_coded = False
+        qg = self.sps.ctb_size >> self.pps.diff_cu_qp_delta_depth
+        self._qg_rect = (x0, y0, qg)
+
+    def _parse_cu_qp_delta(self) -> None:
+        """cu_qp_delta_abs/sign (spec 7.3.8.11, 9.3.3): TU(5)+EG0."""
+        dec = self.cabac
+        v = 0
+        if dec.decode_bin(CTX_OFFSET["dqp"]):
+            v = 1
+            while v < 5 and dec.decode_bin(CTX_OFFSET["dqp"] + 1):
+                v += 1
+            if v == 5:
+                v += self._read_eg0()
+        if v and dec.decode_bypass():
+            v = -v
+        self._dqp_coded = True
+        self.qp_cur = (self.qg_pred + v + 52) % 52
+        # the whole QG shares the final QP (deblock reads this grid)
+        x0, y0, qg = self._qg_rect
+        self.fs.qp[y0 >> 2:(y0 + qg) >> 2, x0 >> 2:(x0 + qg) >> 2] = self.qp_cur
+
+    def _read_eg0(self) -> int:
+        dec = self.cabac
+        value = 0
+        count = 0
+        while dec.decode_bypass():
+            value += 1 << count
+            count += 1
+        if count:
+            value += dec.decode_bypass_bins(count)
+        return value
+
     # ----------------------------------------------------------------- CU
     def _parse_cu(self, x0: int, y0: int, log2: int, depth: int) -> None:
         fs = self.fs
@@ -262,7 +327,7 @@ class SliceDecoder:
         b4 = size >> 2
         x4, y4 = x0 >> 2, y0 >> 2
         fs.cu_depth[y4:y4 + b4, x4:x4 + b4] = depth
-        fs.qp[y4:y4 + b4, x4:x4 + b4] = self.qp
+        fs.qp[y4:y4 + b4, x4:x4 + b4] = self.qp_cur
         fs.cu_edge_v[y4:y4 + b4, x4] = True
         fs.cu_edge_h[y4, x4:x4 + b4] = True
         self._cu_tq_bypass = 0
@@ -294,15 +359,12 @@ class SliceDecoder:
         else:
             part = self._parse_part_mode_inter(log2)
         self._cu_part = part
-        fs.pu_edge_v[y4:y4 + b4, x4] = True
-        fs.pu_edge_h[y4, x4:x4 + b4] = True
-        if part == PART_NxN:
-            hb = b4 >> 1
-            if hb:
-                fs.pu_edge_v[y4:y4 + b4, x4 + hb] = True
-                fs.pu_edge_h[y4 + hb, x4:x4 + b4] = True
+        for (px, py, pw_, ph_) in self._pu_geometry(x0, y0, size, part):
+            fs.pu_edge_v[py >> 2:(py + ph_) >> 2, px >> 2] = True
+            fs.pu_edge_h[py >> 2, px >> 2:(px + pw_) >> 2] = True
         if pred == MODE_INTRA:
             self._parse_intra_modes(x0, y0, log2, part)
+            fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
             # pcm would be here (sps.pcm_enabled == 0 for our targets)
             self._parse_transform_tree_root(x0, y0, log2, depth, intra=True)
         else:
@@ -453,7 +515,8 @@ class SliceDecoder:
         fs.tu_edge_h[y4, x4:x4 + b4] = True
         fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = bool(cbf_luma)
         intra = self._tt_intra
-        # note: cu_qp_delta parse would be here (pps.cu_qp_delta_enabled)
+        if (cbf_luma or cbf_cb or cbf_cr) and not self._dqp_coded:
+            self._parse_cu_qp_delta()
         do_chroma = (log2 > 2) or (blk_idx == 3)
         c_log2 = (log2 - 1) if log2 > 2 else 2
         cx0, cy0 = (x0 >> 1, y0 >> 1) if log2 > 2 else (x_base >> 1, y_base >> 1)
@@ -503,7 +566,12 @@ class SliceDecoder:
 
     def _coeffs_to_residual(self, coeffs_and_flags, log2, c_idx, intra):
         coeffs, ts_flag = coeffs_and_flags
-        qp = self.qp if c_idx == 0 else (self.qp_cb if c_idx == 1 else self.qp_cr)
+        if c_idx == 0:
+            qp = self.qp_cur
+        else:
+            off = (self.pps.cb_qp_offset + self.hdr.cb_qp_offset if c_idx == 1
+                   else self.pps.cr_qp_offset + self.hdr.cr_qp_offset)
+            qp = chroma_qp(self.qp_cur + off)
         if self._cu_tq_bypass:
             return coeffs
         scaling = None
@@ -786,10 +854,202 @@ class SliceDecoder:
 
     # ------------------------------------------------------------- inter
     def _parse_part_mode_inter(self, log2: int) -> int:
-        raise NotImplementedError("inter decode lands with P/B support")
+        """part_mode for inter CUs (spec 9.3.3.7, ctx table 9-37)."""
+        dec = self.cabac
+        base = CTX_OFFSET["part_size"]
+        if dec.decode_bin(base):
+            return PART_2Nx2N
+        bin1 = dec.decode_bin(base + 1)
+        if log2 == self.min_cb:
+            if bin1:
+                return PART_2NxN
+            if log2 == 3:
+                return PART_Nx2N           # no 8x8 inter NxN
+            return PART_Nx2N if dec.decode_bin(base + 2) else PART_NxN
+        amp = self.sps.amp_enabled
+        if bin1:                           # horizontal class
+            if not amp or dec.decode_bin(base + 3):
+                return PART_2NxN
+            return PART_2NxnD if dec.decode_bypass() else PART_2NxnU
+        if not amp or dec.decode_bin(base + 3):
+            return PART_Nx2N
+        return PART_nRx2N if dec.decode_bypass() else PART_nLx2N
+
+    def _pu_geometry(self, x0, y0, size, part):
+        """PU rectangles (x, y, w, h) for a CU."""
+        s, h, q = size, size >> 1, size >> 2
+        if part == PART_2Nx2N:
+            return [(x0, y0, s, s)]
+        if part == PART_2NxN:
+            return [(x0, y0, s, h), (x0, y0 + h, s, h)]
+        if part == PART_Nx2N:
+            return [(x0, y0, h, s), (x0 + h, y0, h, s)]
+        if part == PART_NxN:
+            return [(x0, y0, h, h), (x0 + h, y0, h, h),
+                    (x0, y0 + h, h, h), (x0 + h, y0 + h, h, h)]
+        if part == PART_2NxnU:
+            return [(x0, y0, s, q), (x0, y0 + q, s, s - q)]
+        if part == PART_2NxnD:
+            return [(x0, y0, s, s - q), (x0, y0 + s - q, s, q)]
+        if part == PART_nLx2N:
+            return [(x0, y0, q, s), (x0 + q, y0, s - q, s)]
+        return [(x0, y0, s - q, s), (x0 + s - q, y0, q, s)]
+
+    def _parse_merge_idx(self) -> int:
+        """merge_idx: TU cMax = MaxNumMergeCand-1; bin0 ctx, rest bypass."""
+        dec = self.cabac
+        cmax = self.hdr.max_num_merge_cand - 1
+        if cmax == 0 or not dec.decode_bin(CTX_OFFSET["merge_idx"]):
+            return 0
+        idx = 1
+        while idx < cmax and dec.decode_bypass():
+            idx += 1
+        return idx
+
+    def _parse_ref_idx(self, lst: int) -> int:
+        """ref_idx_lX: TU cMax = num_ref-1; bins 0,1 ctx-coded, rest bypass."""
+        dec = self.cabac
+        cmax = self.hdr.num_ref_idx[lst] - 1
+        if cmax == 0 or not dec.decode_bin(CTX_OFFSET["ref_idx"]):
+            return 0
+        if cmax == 1 or not dec.decode_bin(CTX_OFFSET["ref_idx"] + 1):
+            return 1
+        idx = 2
+        while idx < cmax and dec.decode_bypass():
+            idx += 1
+        return idx
+
+    def _parse_mvd(self) -> list[int]:
+        """mvd_coding (spec 7.3.8.9): returns [mvd_x, mvd_y]."""
+        dec = self.cabac
+        base = CTX_OFFSET["mvd"]
+        gt0 = [dec.decode_bin(base), dec.decode_bin(base)]
+        gt1 = [0, 0]
+        for c in range(2):
+            if gt0[c]:
+                gt1[c] = dec.decode_bin(base + 1)
+        mvd = [0, 0]
+        for c in range(2):
+            if gt0[c]:
+                v = 1
+                if gt1[c]:
+                    v = 2 + self._read_eg1()
+                if dec.decode_bypass():
+                    v = -v
+                mvd[c] = v
+        return mvd
+
+    def _read_eg1(self) -> int:
+        """1st-order Exp-Golomb bypass value (abs_mvd_minus2, spec 9.3.3.3):
+        prefix of m ones adds sum(1<<(1+i)); suffix is m+1 raw bins."""
+        dec = self.cabac
+        value = 0
+        count = 1
+        while dec.decode_bypass():
+            value += 1 << count
+            count += 1
+        value += dec.decode_bypass_bins(count)
+        return value
 
     def _parse_inter_skip(self, x0, y0, log2):
-        raise NotImplementedError("inter decode lands with P/B support")
+        """Skip CU: merge 2Nx2N, no residual (spec 7.3.8.5)."""
+        fs = self.fs
+        size = 1 << log2
+        x4, y4, b4 = x0 >> 2, y0 >> 2, size >> 2
+        self._cu_pred_mode = MODE_INTER
+        fs.pred_mode[y4:y4 + b4, x4:x4 + b4] = MODE_INTER
+        fs.pu_edge_v[y4:y4 + b4, x4] = True
+        fs.pu_edge_h[y4, x4:x4 + b4] = True
+        idx = self._parse_merge_idx()
+        md = self._motion_deriver()
+        cands = md.merge_candidates(x0, y0, size, x0, y0, size, size, 0,
+                                    PART_2Nx2N)
+        mi = cands[idx]
+        self._store_motion_and_mc(x0, y0, size, size, mi)
+        fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
+        fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+
+    def _motion_deriver(self):
+        from .inter import MotionDeriver
+        if getattr(self, "_md", None) is None:
+            self._md = MotionDeriver(self.fs, self.sps, self.pps, self.hdr,
+                                     self.ref_lists, self.slice_idx)
+        return self._md
+
+    def _store_motion_and_mc(self, xp, yp, nw, nh, mi) -> None:
+        from .inter import motion_compensate
+        fs = self.fs
+        x4, y4 = xp >> 2, yp >> 2
+        w4, h4 = max(1, nw >> 2), max(1, nh >> 2)
+        sl = np.s_[y4:y4 + h4, x4:x4 + w4]
+        fs.pred_mode[sl] = MODE_INTER
+        for l in range(2):
+            ri = mi.ref_idx[l]
+            fs.ref_idx[l, y4:y4 + h4, x4:x4 + w4] = ri
+            if ri >= 0 and ri < len(self.ref_lists[l]):
+                fs.mv[l, y4:y4 + h4, x4:x4 + w4, 0] = mi.mv[l][0]
+                fs.mv[l, y4:y4 + h4, x4:x4 + w4, 1] = mi.mv[l][1]
+                rp = self.ref_lists[l][ri]
+                fs.ref_poc[l, y4:y4 + h4, x4:x4 + w4] = rp.poc
+                fs.ref_lt[l, y4:y4 + h4, x4:x4 + w4] = rp.is_long_term
+            else:
+                fs.mv[l, y4:y4 + h4, x4:x4 + w4, :] = 0
+        fs.mi_parsed[sl] = True
+        motion_compensate(fs, self.hdr, self.ref_lists, xp, yp, nw, nh, mi)
 
     def _parse_inter_cu(self, x0, y0, log2, part, depth):
-        raise NotImplementedError("inter decode lands with P/B support")
+        """Non-skip inter CU: PUs (merge or AMVP), then transform tree."""
+        from .inter import MotionInfo
+        dec = self.cabac
+        fs = self.fs
+        size = 1 << log2
+        pus = self._pu_geometry(x0, y0, size, part)
+        first_pu_merge = False
+        for pidx, (xp, yp, nw, nh) in enumerate(pus):
+            merge = dec.decode_bin(CTX_OFFSET["merge_flag"])
+            if pidx == 0:
+                first_pu_merge = bool(merge)
+            md = self._motion_deriver()
+            if merge:
+                idx = self._parse_merge_idx()
+                cands = md.merge_candidates(x0, y0, size, xp, yp, nw, nh,
+                                            pidx, part)
+                mi = cands[idx]
+            else:
+                mi = MotionInfo()
+                if self.hdr.slice_type == B_SLICE:
+                    base = CTX_OFFSET["inter_dir"]
+                    if nw + nh != 12:
+                        if dec.decode_bin(base + depth):
+                            inter_dir = 2      # BI
+                        else:
+                            inter_dir = 1 if dec.decode_bin(base + 4) else 0
+                    else:
+                        inter_dir = 1 if dec.decode_bin(base + 4) else 0
+                else:
+                    inter_dir = 0              # P: L0 only
+                for lst in (0, 1):
+                    if inter_dir != 2 and inter_dir != lst:
+                        continue
+                    ri = self._parse_ref_idx(lst)
+                    if lst == 1 and self.hdr.mvd_l1_zero and inter_dir == 2:
+                        mvd = [0, 0]
+                    else:
+                        mvd = self._parse_mvd()
+                    mvp_flag = dec.decode_bin(CTX_OFFSET["mvp_idx"])
+                    cands = md.amvp_candidates(x0, y0, size, xp, yp, nw, nh,
+                                               pidx, lst, ri)
+                    mi.ref_idx[lst] = ri
+                    mi.mv[lst] = [cands[mvp_flag][0] + mvd[0],
+                                  cands[mvp_flag][1] + mvd[1]]
+            self._store_motion_and_mc(xp, yp, nw, nh, mi)
+        # rqt_root_cbf (not present for 2Nx2N merge; inferred 1)
+        root_cbf = 1
+        if not (part == PART_2Nx2N and first_pu_merge):
+            root_cbf = dec.decode_bin(CTX_OFFSET["qt_root_cbf"])
+        x4, y4, b4 = x0 >> 2, y0 >> 2, size >> 2
+        if root_cbf:
+            self._parse_transform_tree_root(x0, y0, log2, depth, intra=False)
+        else:
+            fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
+            fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True

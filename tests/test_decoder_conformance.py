@@ -54,6 +54,31 @@ def test_allintra_presets(ref_codec, yuv_320x192, preset, extra):
     _assert_bit_exact(bs, rec, nframes=5)
 
 
+def test_ipp_zerolatency(stream_ipp):
+    """P slices: merge/AMVP/MC on an IPPP zerolatency stream."""
+    _assert_bit_exact(*stream_ipp, nframes=10)
+
+
+def test_hierarchical_b(stream_hierb):
+    """B slices, hierarchical GOP-8, RPS reordering, TMVP."""
+    _assert_bit_exact(*stream_hierb, nframes=10)
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("ipp_medium", ["-preset", "medium", "-latency", "zerolatency"]),
+    ("hierb_veryslow", ["-preset", "veryslow", "-latency", "offline"]),
+    ("hierb_superfast", ["-preset", "superfast", "-latency", "offline"]),
+    ("ld_bframes", ["-preset", "medium", "-latency", "livestreaming"]),
+])
+def test_inter_presets(ref_codec, yuv_320x192, name, extra):
+    bs = CACHE / f"{name}.265"
+    rec = CACHE / f"{name}_rec.yuv"
+    if not bs.exists():
+        ref_codec.encode(yuv_320x192, W, H, bs, rec, frames=10,
+                         extra=extra + ["-rc", "0", "-qp", "30", "-iper", "64"])
+    _assert_bit_exact(bs, rec, nframes=10)
+
+
 def test_matches_appdecoder_md5(ref_codec, stream_ai_full):
     """Cross-check against appdecoder's own per-frame MD5 output."""
     from ks265codec_tpu.utils.md5 import frame_md5
