@@ -1,0 +1,93 @@
+"""Benchmark: all-intra 1280x720 fixed-QP encode throughput (BASELINE.json
+config 1), ours vs the reference appencoder run on the same host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import shutil
+import stat
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+W, H, FRAMES = 1280, 720, 8
+REF = Path("/root/reference/ubuntu_x64/appencoder")
+WORK = Path("/tmp/ks265_bench")
+
+
+def synth_frames():
+    rng = np.random.RandomState(9)
+    out = []
+    yy, xx = np.mgrid[0:H, 0:W]
+    for t in range(FRAMES):
+        y = 128 + 60 * np.sin((xx + 3 * t) / 37.0) + 40 * np.cos((yy - 2 * t) / 29.0)
+        y[(yy - 300) ** 2 + (xx - 400 - 20 * t) ** 2 < 90 ** 2] = 210
+        y = np.clip(y + rng.randn(H, W) * 3, 0, 255).astype(np.uint8)
+        u = np.clip(128 + 30 * np.sin((xx[::2, ::2] + t) / 41.0), 0, 255).astype(np.uint8)
+        v = np.clip(128 + 30 * np.cos((yy[::2, ::2] - t) / 43.0), 0, 255).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def bench_ours(frames):
+    from ks265codec_tpu.encode.config import EncoderConfig
+    from ks265codec_tpu.encode.encoder import HevcEncoder
+    from ks265codec_tpu.utils.yuv import YUVFrame
+
+    yuv = [YUVFrame(y, u, v, poc=i) for i, (y, u, v) in enumerate(frames)]
+    enc = HevcEncoder(EncoderConfig(width=W, height=H, preset="ultrafast",
+                                    qp=27, intra_period=1))
+    enc.encode_frame(yuv[0])       # warm-up: jit compiles
+    t0 = time.time()
+    nbits = 0
+    for f in yuv:
+        nbits += enc.encode_frame(f).bits
+    dt = time.time() - t0
+    return len(yuv) / dt, nbits
+
+
+def bench_reference(frames) -> float:
+    if not REF.exists():
+        return 0.0
+    WORK.mkdir(parents=True, exist_ok=True)
+    exe = WORK / "appencoder"
+    if not exe.exists():
+        shutil.copy(REF, exe)
+        exe.chmod(exe.stat().st_mode | stat.S_IXUSR)
+    raw = WORK / "in.yuv"
+    with open(raw, "wb") as f:
+        for (y, u, v) in frames:
+            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+    t0 = time.time()
+    subprocess.run(
+        [str(exe), "-i", str(raw), "-wdt", str(W), "-hgt", str(H),
+         "-frms", str(FRAMES), "-fr", "30", "-b", str(WORK / "ref.265"),
+         "-preset", "ultrafast", "-latency", "offline", "-rc", "0",
+         "-qp", "27", "-iper", "1"],
+        check=True, capture_output=True, cwd=str(WORK))
+    dt = time.time() - t0
+    return FRAMES / dt
+
+
+def main():
+    frames = synth_frames()
+    ours_fps, _ = bench_ours(frames)
+    ref_fps = bench_reference(frames)
+    vs = ours_fps / ref_fps if ref_fps > 0 else 0.0
+    print(json.dumps({
+        "metric": "allintra_720p_encode_fps",
+        "value": round(ours_fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,16 @@ Reference API contract: /root/reference Android_demo/prebuilt/include/
 {qy265def.h, qy265enc.h, qy265dec.h} (studied, not copied).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: codec kernel shapes are stable across
+# runs, so caching removes the multi-second first-compile cost per process.
+# Must be set before jax initializes (importing this package first suffices).
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/ks265codec_tpu_xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
 __version__ = "0.1.0"
 
 # Version string mirrors the reference's `appencoder -v` format

@@ -15,25 +15,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-# Spec table 8-11: luma 8-tap interpolation coefficients per quarter phase.
-LUMA_FILTERS = np.array([
-    [0, 0, 0, 64, 0, 0, 0, 0],
-    [-1, 4, -10, 58, 17, -5, 1, 0],
-    [-1, 4, -11, 40, 40, -11, 4, -1],
-    [0, 1, -5, 17, 58, -10, 4, -1],
-], np.int32)
-
-# Spec table 8-13: chroma 4-tap coefficients per eighth phase.
-CHROMA_FILTERS = np.array([
-    [0, 64, 0, 0],
-    [-2, 58, 10, -2],
-    [-4, 54, 16, -2],
-    [-6, 46, 28, -4],
-    [-4, 36, 36, -4],
-    [-4, 28, 46, -6],
-    [-2, 16, 54, -4],
-    [-2, 10, 58, -2],
-], np.int32)
+from ..hevc.tables import CHROMA_FILTER as CHROMA_FILTERS
+from ..hevc.tables import LUMA_FILTER as LUMA_FILTERS
 
 
 # ------------------------------------------------------------ interpolation

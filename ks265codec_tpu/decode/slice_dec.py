@@ -817,29 +817,8 @@ class SliceDecoder:
         return coeffs, ts_flag
 
     def _sig_ctx(self, log2, c_idx, scan_idx, xs, ys, xp, yp, prev_csbf):
-        if log2 == 2:
-            ctx = SIG_CTX_MAP_4x4[(yp << 2) + xp]
-        elif xs == 0 and ys == 0 and xp == 0 and yp == 0:
-            ctx = 0  # TB DC: flat context, no size offset (spec 9.3.4.2.5)
-        else:
-            if prev_csbf == 0:
-                s = xp + yp
-                ctx = 2 if s == 0 else (1 if s < 3 else 0)
-            elif prev_csbf == 1:
-                ctx = 2 if yp == 0 else (1 if yp == 1 else 0)
-            elif prev_csbf == 2:
-                ctx = 2 if xp == 0 else (1 if xp == 1 else 0)
-            else:
-                ctx = 2
-            if c_idx == 0:
-                if xs != 0 or ys != 0:
-                    ctx += 3
-                ctx += (9 if scan_idx == 0 else 15) if log2 == 3 else 21
-            else:
-                ctx += 9 if log2 == 3 else 12
-        if c_idx > 0:
-            ctx += 27
-        return ctx
+        return CT.sig_ctx_inc(log2, c_idx, scan_idx, xs, ys, xp, yp,
+                              prev_csbf)
 
     def _read_remain(self, rice: int) -> int:
         dec = self.cabac

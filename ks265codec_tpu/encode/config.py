@@ -1,0 +1,146 @@
+"""Encoder configuration: preset x tune x latency axes resolving to a full
+config, mirroring the reference's 3-layer design (QY265ConfigDefaultPreset /
+QY265ConfigParse — qy265enc.h:226-233, SURVEY.md 5.6) with the run-captured
+preset ladder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+PRESETS = ["ultrafast", "superfast", "veryfast", "fast", "medium", "slow",
+           "slower", "veryslow", "placebo"]
+TUNES = ["default", "selfshow", "game", "movie", "screen"]
+LATENCIES = ["offline", "livestreaming", "netvideo", "zerolatency"]
+
+RC_FIXQP, RC_CBR, RC_ABR, RC_CRF = 0, 1, 2, 3
+
+
+@dataclass
+class EncoderConfig:
+    """Full resolved configuration (TEncConfigExt analog)."""
+    width: int = 0
+    height: int = 0
+    frame_rate: float = 30.0
+    preset: str = "medium"
+    tune: str = "default"
+    latency: str = "offline"
+    profile: int = 1                 # main
+    # rate control
+    rc: int = RC_FIXQP
+    qp: int = 26
+    crf: float = 23.0
+    bitrate_kbps: int = 0
+    vbv_maxrate_kbps: int = 0
+    vbv_bufsize_kbits: int = 0
+    qp_min: int = 0
+    qp_max: int = 51
+    frame_skip: bool = False
+    pass_num: int = 0                # 2-pass: 0 off, 1 analyze, 2 encode
+    stat_file: str = "ks265_2pass.log"
+    # GOP
+    intra_period: int = 64           # -iper
+    intra_min: int = 0
+    bframes: int = 7                 # hierarchical GOP-8 when offline
+    lookahead: int = 40
+    temporal_layers: int = 3
+    open_gop: bool = False
+    headers_before_keyframe: bool = True   # -hbk
+    # tools (preset-resolved)
+    me: int = 1                      # 0 DIA 1 HEX 2 UMH 3 EPZS 4 CROSS
+    subme: int = 1                   # 0 off, 1 fast, 2 square-full
+    merange: int = 64
+    refs: int = 1
+    inter_tu_depth: int = 0
+    transform_skip: bool = False
+    partitions: int = 0              # 0: 2Nx2N only, 1: +2NxN/Nx2N, 2: +NxN/AMP
+    deblock: bool = True
+    sao: int = 1                     # 0 off .. 4 full (ladder tiers)
+    strong_intra_smoothing: bool = True
+    rdoq: bool = False
+    do64: bool = True
+    sign_bit_hiding: bool = False
+    aq_mode: int = 0
+    aq_strength: float = 1.0
+    wpp: bool = True
+    fpp: bool = True
+    threads: int = 0
+    # diagnostics
+    psnr: int = 0
+    ssim: int = 0
+    md5: bool = False
+    log_level: int = 1
+
+    def __post_init__(self):
+        if isinstance(self.preset, int):
+            self.preset = PRESETS[self.preset]
+        if isinstance(self.latency, int):
+            self.latency = LATENCIES[self.latency]
+
+
+# run-captured ladder (SURVEY.md 5.6): preset -> (me, subme, refs, intertu,
+# partitions, sao tier, rdoq)
+_LADDER = {
+    "ultrafast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+                      sao=1, rdoq=False),
+    "superfast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+                      sao=1, rdoq=False),
+    "veryfast":  dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+                      sao=3, rdoq=False),
+    "fast":      dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+                      sao=3, rdoq=True),
+    "medium":    dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+                      sao=4, rdoq=True),
+    "slow":      dict(me=2, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+                      sao=4, rdoq=True),
+    "slower":    dict(me=2, subme=1, refs=2, inter_tu_depth=1, partitions=1,
+                      sao=4, rdoq=True),
+    "veryslow":  dict(me=2, subme=2, refs=4, inter_tu_depth=1, partitions=1,
+                      sao=4, rdoq=True),
+    "placebo":   dict(me=2, subme=2, refs=5, inter_tu_depth=2, partitions=2,
+                      sao=4, rdoq=True),
+}
+
+
+def resolve_preset(cfg: EncoderConfig) -> EncoderConfig:
+    """Apply preset ladder then latency policy (fillCfgs<Preset> +
+    fillCfgByLatency analog)."""
+    for k, v in _LADDER[cfg.preset].items():
+        setattr(cfg, k, v)
+    if cfg.latency == "zerolatency":
+        cfg.bframes = 0
+        cfg.lookahead = 0
+        cfg.temporal_layers = 1
+    elif cfg.latency in ("livestreaming", "netvideo"):
+        cfg.bframes = 3
+        cfg.temporal_layers = 2
+    return cfg
+
+
+def parse_config_string(cfg: EncoderConfig, opts: str) -> EncoderConfig:
+    """x264-style 'k=v:k=v' override parser (QY265ConfigParse analog).
+    Raises ValueError(BAD_NAME/BAD_VALUE) like the reference's error codes."""
+    if not opts:
+        return cfg
+    for pair in opts.replace(",", ":").split(":"):
+        if not pair:
+            continue
+        if "=" not in pair:
+            raise ValueError(f"BAD_NAME: {pair}")
+        k, v = pair.split("=", 1)
+        k = k.strip().replace("-", "_")
+        if not hasattr(cfg, k):
+            raise ValueError(f"BAD_NAME: {k}")
+        cur = getattr(cfg, k)
+        try:
+            if isinstance(cur, bool):
+                setattr(cfg, k, v.strip() in ("1", "true", "yes"))
+            elif isinstance(cur, int):
+                setattr(cfg, k, int(v))
+            elif isinstance(cur, float):
+                setattr(cfg, k, float(v))
+            else:
+                setattr(cfg, k, v.strip())
+        except ValueError as e:
+            raise ValueError(f"BAD_VALUE: {k}={v}") from e
+    return cfg

@@ -220,3 +220,32 @@ def scan_order(log2_size: int, scan_idx: int):
 
 # sig_coeff_flag ctxIdxMap for 4x4 TBs (spec 9.3.4.2.5)
 SIG_CTX_MAP_4x4 = [0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8]
+
+
+def sig_ctx_inc(log2: int, c_idx: int, scan_idx: int, xs: int, ys: int,
+                xp: int, yp: int, prev_csbf: int) -> int:
+    """sig_coeff_flag context increment (spec 9.3.4.2.5) — shared by the
+    CABAC parser (decode) and syntax writer (encode)."""
+    if log2 == 2:
+        ctx = SIG_CTX_MAP_4x4[(yp << 2) + xp]
+    elif xs == 0 and ys == 0 and xp == 0 and yp == 0:
+        ctx = 0  # TB DC: flat context, no size offset
+    else:
+        if prev_csbf == 0:
+            s = xp + yp
+            ctx = 2 if s == 0 else (1 if s < 3 else 0)
+        elif prev_csbf == 1:
+            ctx = 2 if yp == 0 else (1 if yp == 1 else 0)
+        elif prev_csbf == 2:
+            ctx = 2 if xp == 0 else (1 if xp == 1 else 0)
+        else:
+            ctx = 2
+        if c_idx == 0:
+            if xs != 0 or ys != 0:
+                ctx += 3
+            ctx += (9 if scan_idx == 0 else 15) if log2 == 3 else 21
+        else:
+            ctx += 9 if log2 == 3 else 12
+    if c_idx > 0:
+        ctx += 27
+    return ctx

@@ -103,7 +103,7 @@ CHROMA_FILTER = np.array([
     [-4, 54, 16, -2],
     [-6, 46, 28, -4],
     [-4, 36, 36, -4],
-    [-2, 28, 46, -6],
+    [-4, 28, 46, -6],
     [-2, 16, 54, -4],
     [-2, 10, 58, -2]], np.int32)
 
