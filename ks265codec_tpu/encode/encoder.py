@@ -14,14 +14,16 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..bitstream.nal import NalType, write_nal
+from ..decode.decoder import RefPic
 from ..decode.filters import deblock_frame, sao_frame
 from ..decode.slice_dec import FrameState
-from ..hevc.params import PPS, SPS, VPS, ProfileTierLevel, write_pps, \
-    write_sps, write_vps
-from ..hevc.slicehdr import I_SLICE, SliceHeader, write_slice_header
+from ..hevc.params import PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, \
+    write_pps, write_sps, write_vps
+from ..hevc.slicehdr import I_SLICE, P_SLICE, SliceHeader, write_slice_header
 from ..utils.yuv import YUVFrame
 from .config import EncoderConfig, resolve_preset
 from .intra_frame import IntraFrameEncoder
+from .inter_frame import PFrameEncoder
 
 
 @dataclass
@@ -49,7 +51,9 @@ class HevcEncoder:
         self.pps = self._make_pps(cfg)
         self.vps = self._make_vps(cfg)
         self.poc = 0
+        self.frame_idx = 0
         self.headers_written = False
+        self.dpb: list[RefPic] = []      # encoder-side reference pictures
 
     # -------------------------------------------------------- parameter sets
     @staticmethod
@@ -151,19 +155,40 @@ class HevcEncoder:
     def encode_frame(self, frame: YUVFrame) -> EncodedFrame:
         cfg = self.cfg
         qp = int(np.clip(cfg.qp, 0, 51))
+        iper = cfg.intra_period
+        is_idr = (self.frame_idx == 0 or
+                  (iper > 0 and self.frame_idx % iper == 0))
+        if is_idr:
+            self.poc = 0
+            self.dpb.clear()
+        slice_type = I_SLICE if is_idr else P_SLICE
         hdr = SliceHeader(
-            nal_type=NalType.IDR_W_RADL,
+            nal_type=(NalType.IDR_W_RADL if is_idr else NalType.TRAIL_R),
             first_slice_in_pic=1,
             pps_id=0,
-            slice_type=I_SLICE,
+            slice_type=slice_type,
             slice_qp=qp,
+            pic_order_cnt_lsb=self.poc & 0xFF,
         )
+        if not is_idr:
+            rps = ShortTermRPS(delta_pocs=[-1], used=[1], num_negative=1,
+                               num_positive=0)
+            hdr.st_rps = rps
+            hdr.st_rps_idx = -1
+            hdr.num_ref_idx = [1, 0]
         fs = FrameState(self.sps)
         fs.poc = self.poc
-        enc = IntraFrameEncoder(
-            fs, self.sps, self.pps, hdr,
-            frame.y.astype(np.int32), frame.u.astype(np.int32),
-            frame.v.astype(np.int32), qp)
+        if is_idr:
+            enc = IntraFrameEncoder(
+                fs, self.sps, self.pps, hdr,
+                frame.y.astype(np.int32), frame.u.astype(np.int32),
+                frame.v.astype(np.int32), qp)
+        else:
+            ref_lists = [[self.dpb[-1]], []]
+            enc = PFrameEncoder(
+                fs, self.sps, self.pps, hdr,
+                frame.y.astype(np.int32), frame.u.astype(np.int32),
+                frame.v.astype(np.int32), qp, ref_lists)
         cabac_payload = enc.encode()
         tail_val, tail_n = enc.w.enc.get_tail_bits()
         bw = write_slice_header(hdr, self.sps, self.pps)
@@ -178,19 +203,23 @@ class HevcEncoder:
         nbits += pad
         rbsp += int(acc).to_bytes(nbits // 8, "big")
         data = b""
-        if not self.headers_written or self.cfg.headers_before_keyframe:
+        if is_idr and (not self.headers_written
+                       or self.cfg.headers_before_keyframe):
             data += self.encode_headers()
-        data += write_nal(NalType.IDR_W_RADL, bytes(rbsp))
-        # in-loop filters on recon (normative output; intra pred already done)
+        data += write_nal(hdr.nal_type, bytes(rbsp))
+        # in-loop filters on recon (normative; refs are filtered pictures)
         deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
                       bool(self.pps.deblocking_filter_disabled),
                       self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        self.dpb = [RefPic(fs, self.poc)]   # v1: single-ref sliding window
         recon = self._wrap_recon(fs, frame)
         ef = EncodedFrame(data=data, recon=recon, poc=self.poc, qp=qp,
-                          bits=len(data) * 8)
+                          bits=len(data) * 8,
+                          slice_type="I" if is_idr else "P")
         if cfg.psnr:
             ef.psnr = _psnr(frame, recon)
         self.poc += 1
+        self.frame_idx += 1
         return ef
 
     def delayed_frames(self):

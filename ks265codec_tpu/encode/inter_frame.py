@@ -1,0 +1,265 @@
+"""P-frame encoder: batched device motion search + intra/inter decision,
+sequential host coding pass with normative recon.
+
+Device pass (one jit dispatch each): dense full-search ME over every 16x16
+block (ops/me.py) and the all-modes intra analysis (intra_frame.decide) —
+the reference's per-block interMeHex/decideBestLumaModeBySad loops
+re-expressed as frame-wide tensor ops (SURVEY.md 2.6, 7.2 step 4).
+
+Host pass walks CUs in z-order: derives merge/AMVP candidates with the SAME
+MotionDeriver the decoder uses (shared FrameState grids), picks
+skip / merge / AMVP / intra, writes syntax, reconstructs normatively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..decode.inter import MotionDeriver, MotionInfo, motion_compensate
+from ..decode.recon import reconstruct
+from ..hevc.slicehdr import P_SLICE
+from ..ops import me as jme
+from .intra_frame import IntraFrameEncoder
+
+MODE_INTER, MODE_INTRA = 0, 1
+SEARCH_RANGE = 12
+
+
+class PFrameEncoder(IntraFrameEncoder):
+    """Codes one P frame (single slice, 16x16 CUs, 2Nx2N PUs)."""
+
+    def __init__(self, fs, sps, pps, hdr, src_y, src_cb, src_cr, qp,
+                 ref_lists):
+        super().__init__(fs, sps, pps, hdr, src_y, src_cb, src_cr, qp)
+        self.ref_lists = ref_lists
+        self.md = MotionDeriver(fs, sps, pps, hdr, ref_lists, 0)
+        self.lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        self.lam_satd = float(np.sqrt(self.lam))
+
+    def encode(self) -> bytes:
+        from .intra_frame import decide_frame
+        fs, sps = self.fs, self.sps
+        # device passes: intra analysis + dense ME against ref 0
+        _, self.mode16, _ = decide_frame(self.src_y, self.qp)
+        ref_y = self.ref_lists[0][0].fs.y
+        self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
+            self.src_y, np.asarray(ref_y), 16, SEARCH_RANGE, self.lam_satd)
+        # intra cost for comparison (recompute SATD of chosen mode quickly
+        # via decide's cost — decide_frame returns only modes; use a margin
+        # rule on SAD instead)
+        wctb = sps.pic_width_in_ctbs
+        nctb = wctb * sps.pic_height_in_ctbs
+        for addr in range(nctb):
+            rx, ry = addr % wctb, addr // wctb
+            x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
+            cs = sps.ctb_size
+            fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
+            self._code_ctu_p(x0, y0)
+            self.w.end_ctu(addr == nctb - 1)
+        return self.w.finish()
+
+    # --------------------------------------------------------------- CTU
+    def _code_ctu_p(self, x0, y0):
+        """Quadtree: force split down to 16x16 CUs (split flags coded at
+        64 and 32; at picture edges splits are inferred)."""
+        self._split_to_16(x0, y0, self.sps.log2_ctb, 0)
+
+    def _split_to_16(self, x0, y0, log2, depth):
+        sps = self.sps
+        size = 1 << log2
+        if log2 > 4:
+            self.w.write_split_flag(x0, y0, log2, depth, 1)
+            h = size >> 1
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < sps.width and y1 < sps.height:
+                    self._split_to_16(x1, y1, log2 - 1, depth + 1)
+            return
+        self.w.write_split_flag(x0, y0, log2, depth, 0)
+        self._code_cu_p(x0, y0, log2, depth)
+
+    # ---------------------------------------------------------------- CU
+    def _code_cu_p(self, x0, y0, log2, depth):
+        fs = self.fs
+        size = 1 << log2
+        b4 = size >> 2
+        x4, y4 = x0 >> 2, y0 >> 2
+        fs.cu_depth[y4:y4 + b4, x4:x4 + b4] = depth
+        fs.qp[y4:y4 + b4, x4:x4 + b4] = self.qp
+        for g in (fs.cu_edge_v, fs.pu_edge_v, fs.tu_edge_v):
+            g[y4:y4 + b4, x4] = True
+        for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
+            g[y4, x4:x4 + b4] = True
+
+        by, bx = y0 >> 4, x0 >> 4
+        mv = [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])]
+        inter_sad = int(self.sad16[by, bx])
+        intra_mode = int(self.mode16[by, bx])
+        # merge candidates (decoder-identical derivation)
+        cands = self.md.merge_candidates(x0, y0, size, x0, y0, size, size,
+                                         0, 0)
+        merge_idx = -1
+        for i, c in enumerate(cands):
+            if c.ref_idx[0] == 0 and c.ref_idx[1] < 0 and c.mv[0] == mv:
+                merge_idx = i
+                break
+        # AMVP predictors for rate estimate + mvd
+        amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size, 0,
+                                       0, 0)
+        mvd0 = [mv[0] - amvp[0][0], mv[1] - amvp[0][1]]
+        mvd1 = [mv[0] - amvp[1][0], mv[1] - amvp[1][1]]
+        mvp_flag = 0 if (abs(mvd0[0]) + abs(mvd0[1])
+                         <= abs(mvd1[0]) + abs(mvd1[1])) else 1
+        mvd = mvd0 if mvp_flag == 0 else mvd1
+        # intra-vs-inter: inter includes mv rate; intra pays header + modes
+        use_intra = inter_sad > self._intra_sad_estimate(x0, y0, size,
+                                                         intra_mode) * 1.15
+        if use_intra:
+            self.w.write_skip_flag(x0, y0, 0)
+            fs.skip[y4:y4 + b4, x4:x4 + b4] = False
+            # _code_cu writes pred_mode (intra) itself for non-I slices
+            self._code_cu(x0, y0, log2, depth, intra_mode)
+            return
+        # --- inter: predict via MC, residual decision
+        mi = MotionInfo()
+        mi.ref_idx[0] = 0
+        mi.mv[0] = mv
+        self._store_motion(x0, y0, size, mi)
+        motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size, size,
+                          mi)
+        coeff_y, coeff_cb, coeff_cr = self._inter_residuals(x0, y0, log2)
+        cbf_any = bool(coeff_y.any() or coeff_cb.any() or coeff_cr.any())
+        if merge_idx >= 0 and not cbf_any:
+            # SKIP CU
+            self.w.write_skip_flag(x0, y0, 1)
+            fs.skip[y4:y4 + b4, x4:x4 + b4] = True
+            self.w.write_merge_idx(merge_idx)
+            fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
+            fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+            self._clip_recon(x0, y0, size)
+            return
+        self.w.write_skip_flag(x0, y0, 0)
+        fs.skip[y4:y4 + b4, x4:x4 + b4] = False
+        self.w.write_pred_mode(False)
+        self.w.write_part_2Nx2N_inter()
+        if merge_idx >= 0:
+            self.w.write_merge_flag(1)
+            self.w.write_merge_idx(merge_idx)
+        else:
+            self.w.write_merge_flag(0)
+            self.w.write_ref_idx(0, 0)
+            self.w.write_mvd(mvd)
+            self.w.write_mvp_flag(mvp_flag)
+        if not (merge_idx >= 0):
+            self.w.write_rqt_root_cbf(1 if cbf_any else 0)
+        if not cbf_any and merge_idx < 0:
+            fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
+            fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+            self._clip_recon(x0, y0, size)
+            return
+        # transform tree (merge with cbf, or AMVP with root cbf 1):
+        cbf_y = int(coeff_y.any())
+        cbf_cb = int(coeff_cb.any())
+        cbf_cr = int(coeff_cr.any())
+        self.w.write_cbf_chroma(cbf_cb, 0)
+        self.w.write_cbf_chroma(cbf_cr, 0)
+        # inter depth-0 leaf: cbf_luma inferred 1 unless chroma cbf present
+        if cbf_cb or cbf_cr:
+            self.w.write_cbf_luma(cbf_y, 0)
+        else:
+            assert cbf_y, "root cbf means some residual"
+            cbf_y = 1
+        if cbf_y:
+            self.w.write_residual(coeff_y, log2, 0, None)
+        c_log2 = log2 - 1
+        if cbf_cb:
+            self.w.write_residual(coeff_cb, c_log2, 1, None)
+        if cbf_cr:
+            self.w.write_residual(coeff_cr, c_log2, 2, None)
+        self._recon_inter(x0, y0, log2, coeff_y if cbf_y else None,
+                          coeff_cb if cbf_cb else None,
+                          coeff_cr if cbf_cr else None)
+        fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = bool(cbf_y)
+        fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+
+    # ------------------------------------------------------------ helpers
+    def _intra_sad_estimate(self, x0, y0, size, mode) -> int:
+        """Quick SAD of the chosen intra mode vs source (decision only)."""
+        pred = self._predict_from_source(x0, y0, size, mode)
+        src = self.src_y[y0:y0 + size, x0:x0 + size]
+        return int(np.abs(src - pred).sum())
+
+    def _predict_from_source(self, x0, y0, size, mode):
+        from ..decode.recon import intra_predict
+        from ..ops.intra import build_refs_np, use_filtered_refs
+        refs_u, refs_f = build_refs_np(
+            self.src_y, x0, y0, size, lambda x, y: True,
+            self.sps.width, self.sps.height,
+            bool(self.sps.strong_intra_smoothing), 8, True)
+        refs = refs_f if use_filtered_refs(mode, size) else refs_u
+        n2 = 2 * size
+        return intra_predict(mode, refs[:n2], int(refs[n2]), refs[n2 + 1:],
+                             size, 8, True)
+
+    def _store_motion(self, xp, yp, size, mi: MotionInfo):
+        fs = self.fs
+        x4, y4 = xp >> 2, yp >> 2
+        b4 = size >> 2
+        fs.pred_mode[y4:y4 + b4, x4:x4 + b4] = MODE_INTER
+        for l in range(2):
+            ri = mi.ref_idx[l]
+            fs.ref_idx[l, y4:y4 + b4, x4:x4 + b4] = ri
+            if 0 <= ri < len(self.ref_lists[l]):
+                fs.mv[l, y4:y4 + b4, x4:x4 + b4, 0] = mi.mv[l][0]
+                fs.mv[l, y4:y4 + b4, x4:x4 + b4, 1] = mi.mv[l][1]
+                rp = self.ref_lists[l][ri]
+                fs.ref_poc[l, y4:y4 + b4, x4:x4 + b4] = rp.poc
+                fs.ref_lt[l, y4:y4 + b4, x4:x4 + b4] = rp.is_long_term
+        fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
+
+    def _inter_residuals(self, x0, y0, log2):
+        fs = self.fs
+        size = 1 << log2
+        csz = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        ry = self.src_y[y0:y0 + size, x0:x0 + size] \
+            - fs.y[y0:y0 + size, x0:x0 + size]
+        rcb = self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz] \
+            - fs.cb[cy0:cy0 + csz, cx0:cx0 + csz]
+        rcr = self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz] \
+            - fs.cr[cy0:cy0 + csz, cx0:cx0 + csz]
+        cy = self._transform_quant_inter(ry, log2, self.qp)
+        ccb = self._transform_quant_inter(rcb, log2 - 1, self.qp_cb)
+        ccr = self._transform_quant_inter(rcr, log2 - 1, self.qp_cr)
+        return cy, ccb, ccr
+
+    def _transform_quant_inter(self, resi, log2, qp):
+        from ..decode.recon import forward_transform as fwd
+        from ..hevc.tables import QUANT_SCALE
+        c = fwd(np.asarray(resi, np.int32), log2, False)
+        qbits = 29 + qp // 6 - 8 - log2
+        rnd = 85 << (qbits - 9)      # inter rounding
+        a = np.abs(c).astype(np.int64)
+        q = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
+        return np.where(c < 0, -q, q).astype(np.int32)
+
+    def _clip_recon(self, x0, y0, size):
+        """MC output is already clipped; nothing to do (kept for clarity)."""
+
+    def _recon_inter(self, x0, y0, log2, cy, ccb, ccr):
+        fs = self.fs
+        size = 1 << log2
+        csz = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        if cy is not None:
+            r = self._recon_residual(cy, log2, self.qp)
+            fs.y[y0:y0 + size, x0:x0 + size] = np.clip(
+                fs.y[y0:y0 + size, x0:x0 + size] + r, 0, 255)
+        if ccb is not None:
+            r = self._recon_residual(ccb, log2 - 1, self.qp_cb)
+            fs.cb[cy0:cy0 + csz, cx0:cx0 + csz] = np.clip(
+                fs.cb[cy0:cy0 + csz, cx0:cx0 + csz] + r, 0, 255)
+        if ccr is not None:
+            r = self._recon_residual(ccr, log2 - 1, self.qp_cr)
+            fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] = np.clip(
+                fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] + r, 0, 255)

@@ -60,6 +60,88 @@ class CtuSyntaxWriter:
             ctx += int(self.fs.cu_depth[(y0 - 1) >> 2, x0 >> 2] > depth)
         self.enc.encode_bin(split, CTX_OFFSET["split_cu"] + ctx)
 
+    # -------------------------------------------------------------- inter CU
+    def write_skip_flag(self, x0: int, y0: int, skip: int) -> None:
+        fs = self.fs
+        x4, y4 = x0 >> 2, y0 >> 2
+        ctx = 0
+        if self._avail(x0 - 1, y0):
+            ctx += int(fs.skip[y4, x4 - 1])
+        if self._avail(x0, y0 - 1):
+            ctx += int(fs.skip[y4 - 1, x4])
+        self.enc.encode_bin(skip, CTX_OFFSET["skip"] + ctx)
+
+    def write_pred_mode(self, intra: bool) -> None:
+        self.enc.encode_bin(1 if intra else 0, CTX_OFFSET["pred_mode"])
+
+    def write_part_2Nx2N_inter(self) -> None:
+        self.enc.encode_bin(1, CTX_OFFSET["part_size"])
+
+    def write_merge_flag(self, flag: int) -> None:
+        self.enc.encode_bin(flag, CTX_OFFSET["merge_flag"])
+
+    def write_merge_idx(self, idx: int) -> None:
+        cmax = self.hdr.max_num_merge_cand - 1
+        if cmax == 0:
+            return
+        self.enc.encode_bin(1 if idx > 0 else 0, CTX_OFFSET["merge_idx"])
+        if idx > 0:
+            for k in range(1, idx):
+                self.enc.encode_bypass(1)
+            if idx < cmax:
+                self.enc.encode_bypass(0)
+
+    def write_ref_idx(self, lst: int, idx: int) -> None:
+        cmax = self.hdr.num_ref_idx[lst] - 1
+        if cmax == 0:
+            return
+        self.enc.encode_bin(1 if idx > 0 else 0, CTX_OFFSET["ref_idx"])
+        if idx == 0:
+            return
+        if cmax == 1:
+            return
+        self.enc.encode_bin(1 if idx > 1 else 0, CTX_OFFSET["ref_idx"] + 1)
+        for k in range(2, idx):
+            self.enc.encode_bypass(1)
+        if 1 < idx < cmax:
+            self.enc.encode_bypass(0)
+
+    def write_mvd(self, mvd) -> None:
+        """mvd_coding (spec 7.3.8.9) — inverse of the parser."""
+        enc = self.enc
+        base = CTX_OFFSET["mvd"]
+        gt0 = [1 if mvd[0] else 0, 1 if mvd[1] else 0]
+        enc.encode_bin(gt0[0], base)
+        enc.encode_bin(gt0[1], base)
+        gt1 = [1 if abs(mvd[0]) > 1 else 0, 1 if abs(mvd[1]) > 1 else 0]
+        for c in range(2):
+            if gt0[c]:
+                enc.encode_bin(gt1[c], base + 1)
+        for c in range(2):
+            if gt0[c]:
+                a = abs(mvd[c])
+                if gt1[c]:
+                    self._write_eg1(a - 2)
+                enc.encode_bypass(1 if mvd[c] < 0 else 0)
+
+    def _write_eg1(self, value: int) -> None:
+        """1st-order Exp-Golomb bypass (inverse of _read_eg1)."""
+        enc = self.enc
+        count = 1
+        v = value
+        while v >= (1 << count):
+            v -= 1 << count
+            enc.encode_bypass(1)
+            count += 1
+        enc.encode_bypass(0)
+        enc.encode_bypass_bins(v, count)
+
+    def write_mvp_flag(self, flag: int) -> None:
+        self.enc.encode_bin(flag, CTX_OFFSET["mvp_idx"])
+
+    def write_rqt_root_cbf(self, flag: int) -> None:
+        self.enc.encode_bin(flag, CTX_OFFSET["qt_root_cbf"])
+
     # ------------------------------------------------------------- intra CU
     def mpm_candidates(self, px: int, py: int) -> list[int]:
         """MPM list for PU at (px,py) — identical to the decoder's."""

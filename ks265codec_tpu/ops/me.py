@@ -1,0 +1,88 @@
+"""Batched motion estimation: dense integer full-search SAD over a
+candidate window for every block of a frame in one jitted op.
+
+TPU-first redesign of the reference's sequential DIA/HEX/UMH search loops
+(interMe* — SURVEY.md 2.3 "Motion estimation"): on the MXU/VPU the cheap
+move is to evaluate the ENTIRE (2R+1)^2 candidate grid for ALL blocks as a
+dense tensor op (trade FLOPs for control flow, SURVEY.md 7.3#3). The
+pattern-search presets map to candidate masks over this grid rather than
+data-dependent loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def extract_patches(ref: np.ndarray, bs: int, sr: int) -> np.ndarray:
+    """Host helper: per-block padded search windows.
+
+    ref: (H, W) int — the (edge-padded to block grid) reference plane.
+    Returns (nby*nbx, bs+2sr, bs+2sr) windows centered on each block,
+    edge-clamped at picture borders.
+    """
+    h, w = ref.shape
+    pad = np.pad(ref, sr, mode="edge")
+    nby, nbx = h // bs, w // bs
+    win = bs + 2 * sr
+    out = np.empty((nby * nbx, win, win), ref.dtype)
+    k = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            y0, x0 = by * bs, bx * bs   # +sr offset cancels with pad
+            out[k] = pad[y0:y0 + win, x0:x0 + win]
+            k += 1
+    return out
+
+
+@partial(jax.jit, static_argnames=("bs", "sr"))
+def full_search(src_blocks: jax.Array, windows: jax.Array, bs: int, sr: int,
+                lam4: jax.Array):
+    """Dense SAD over all (2sr+1)^2 integer offsets for every block.
+
+    src_blocks: (N, bs, bs); windows: (N, bs+2sr, bs+2sr).
+    lam4: scalar rate weight; cost = SAD + lam4 * (|dx|+|dy| bit proxy).
+    Returns (mv (N,2) int32 in full-pel (dx, dy), best cost (N,), sad (N,)).
+    """
+    n_off = 2 * sr + 1
+    offs = jnp.arange(n_off)
+    # XLA-native sliding-window patch extraction (compiles fast, maps to
+    # efficient window ops — the fancy-gather formulation lowers poorly)
+    patches = jax.lax.conv_general_dilated_patches(
+        windows[:, None].astype(jnp.float32), (bs, bs), (1, 1), "VALID")
+    # (N, bs*bs, n_off, n_off)
+    src = src_blocks.reshape(src_blocks.shape[0], bs * bs, 1, 1)
+    sad = jnp.sum(jnp.abs(patches.astype(jnp.int32) - src), axis=1)
+    # (N, n_off(dy), n_off(dx))
+    d = jnp.abs(offs - sr)
+    rate = (2 * jnp.log2(1.0 + d[:, None]) + 2 * jnp.log2(1.0 + d[None, :]))
+    cost = sad + (lam4 * 4 * rate).astype(jnp.int32)   # mvd in quarter-pel
+    flat = cost.reshape(cost.shape[0], -1)
+    best = jnp.argmin(flat, axis=1)
+    by, bx = best // n_off, best % n_off
+    mv = jnp.stack([bx - sr, by - sr], axis=1)    # (dx, dy) full-pel
+    bsad = jnp.take_along_axis(sad.reshape(sad.shape[0], -1), best[:, None],
+                               axis=1)[:, 0]
+    bcost = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    return mv.astype(jnp.int32), bcost, bsad
+
+
+def motion_search_frame(src_y: np.ndarray, ref_y: np.ndarray, bs: int,
+                        sr: int, lam: float):
+    """Host wrapper: blocks + windows -> per-block integer MVs (quarter-pel
+    scaled) and costs. Shapes: planes padded to the block grid."""
+    h, w = src_y.shape
+    blocks = (src_y.astype(np.int32)
+              .reshape(h // bs, bs, w // bs, bs).swapaxes(1, 2)
+              .reshape(-1, bs, bs))
+    windows = extract_patches(ref_y.astype(np.int32), bs, sr)
+    mv, cost, sad = full_search(jnp.asarray(blocks), jnp.asarray(windows),
+                                bs, sr, float(lam))
+    mv = np.asarray(mv) * 4                       # quarter-pel units
+    return (mv.reshape(h // bs, w // bs, 2),
+            np.asarray(cost).reshape(h // bs, w // bs),
+            np.asarray(sad).reshape(h // bs, w // bs))

@@ -17,17 +17,18 @@ from ks265codec_tpu.utils.yuv import YUVFrame
 
 from conftest import CACHE, have_reference, make_synthetic_yuv
 
-W, H = 320, 192
+W, H = 192, 96
 
 
-def _frames(n=3, w=W, h=H):
-    p = CACHE / f"enc_in_{w}x{h}.yuv"
+def _frames(n=3, w=W, h=H, seed=11):
+    p = CACHE / f"enc_in_{w}x{h}_{seed}_{n}.yuv"
     CACHE.mkdir(parents=True, exist_ok=True)
-    make_synthetic_yuv(p, w, h, frames=n, seed=11)
+    if not p.exists():
+        make_synthetic_yuv(p, w, h, frames=n, seed=seed)
     data = p.read_bytes()
     fsz = w * h * 3 // 2
     out = []
-    for i in range(n):
+    for i in range(min(n, len(data) // fsz)):
         off = i * fsz
         y = np.frombuffer(data[off:off + w * h], np.uint8).reshape(h, w)
         u = np.frombuffer(data[off + w * h:off + w * h + w * h // 4],
@@ -38,68 +39,102 @@ def _frames(n=3, w=W, h=H):
     return out
 
 
-@pytest.mark.parametrize("qp", [22, 30, 40])
-def test_roundtrip_own_decoder(qp):
-    """encode -> our decode == recon, all-intra fixed QP."""
-    frames = _frames(3)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=qp,
+@pytest.fixture(scope="session")
+def ai_stream():
+    frames = _frames(2)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
                         intra_period=1)
-    bs, recons = encode_sequence(frames, cfg)
+    return encode_sequence(frames, cfg)
+
+
+@pytest.fixture(scope="session")
+def ipp_stream():
+    frames = _frames(4)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+                        intra_period=64)
+    return encode_sequence(frames, cfg)
+
+
+def test_ai_roundtrip_own_decoder(ai_stream):
+    bs, recons = ai_stream
     dec = HevcDecoder().decode_all(bs)
-    assert len(dec) == len(frames)
+    assert len(dec) == len(recons)
     for i, (d, r) in enumerate(zip(dec, recons)):
         assert d.tobytes() == r.tobytes(), f"frame {i} recon != decode"
 
 
+def test_ipp_roundtrip_own_decoder(ipp_stream):
+    """I + P frames (merge/skip/AMVP + dense ME) round-trip."""
+    bs, recons = ipp_stream
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == len(recons)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert d.tobytes() == r.tobytes(), f"frame {i}"
+
+
+@pytest.mark.parametrize("qp", [22, 40])
+def test_qp_sweep_roundtrip(qp):
+    frames = _frames(1)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=qp,
+                        intra_period=1)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert dec[0].tobytes() == recons[0].tobytes()
+
+
 def test_quality_sane():
-    frames = _frames(2)
+    frames = _frames(1)
     cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=27,
                         intra_period=1, psnr=1)
     enc = HevcEncoder(cfg)
     ef = enc.encode_frame(frames[0])
-    y_psnr = ef.psnr[0]
-    assert y_psnr > 33, f"PSNR too low: {y_psnr}"
+    assert ef.psnr[0] > 33, f"PSNR too low: {ef.psnr[0]}"
     assert ef.bits < W * H * 8, "bitstream larger than raw"
 
 
 @pytest.mark.skipif(not have_reference(), reason="no reference binaries")
-def test_reference_decoder_accepts(tmp_path):
-    """The shipped appdecoder must decode our stream to exactly our recon."""
+def test_reference_decoder_accepts(tmp_path, ai_stream, ipp_stream):
+    """The shipped appdecoder must decode our streams to exactly our recon."""
     from conftest import _ref_bin
-    frames = _frames(3)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
-                        intra_period=1)
-    bs, recons = encode_sequence(frames, cfg)
-    bsf = tmp_path / "ours.265"
-    bsf.write_bytes(bs)
-    outf = tmp_path / "dec.yuv"
-    dec = _ref_bin("appdecoder")
-    r = subprocess.run([str(dec), "-b", str(bsf), "-o", str(outf),
-                        "-threads", "1"], capture_output=True, text=True)
-    assert r.returncode == 0, f"appdecoder failed: {r.stdout} {r.stderr}"
-    got = outf.read_bytes()
-    want = b"".join(rc.tobytes() for rc in recons)
-    assert len(got) == len(want), f"size {len(got)} != {len(want)}"
-    assert got == want, "reference decode differs from our recon"
+    for name, (bs, recons) in (("ai", ai_stream), ("ipp", ipp_stream)):
+        bsf = tmp_path / f"{name}.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / f"{name}_dec.yuv"
+        r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf),
+                            "-o", str(outf), "-threads", "1"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, f"appdecoder failed on {name}: {r.stdout}"
+        want = b"".join(rc.tobytes() for rc in recons)
+        assert outf.read_bytes() == want, f"{name}: reference decode differs"
 
 
 def test_deblock_off_roundtrip():
-    frames = _frames(2)
+    frames = _frames(1)
     cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=32,
                         intra_period=1, deblock=False)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
+    assert dec[0].tobytes() == recons[0].tobytes()
+
+
+def test_idr_cadence():
+    """Mid-stream IDR every 2 frames (POC reset exercised)."""
+    frames = _frames(4)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+                        intra_period=2)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == len(recons)
     for d, r in zip(dec, recons):
         assert d.tobytes() == r.tobytes()
 
 
 def test_nondivisible_dimensions():
     """Conformance-window cropping: 176x100 (not multiples of 16)."""
-    frames = _frames(2, w=176, h=100)
+    frames = _frames(1, w=176, h=100)
     cfg = EncoderConfig(width=176, height=100, preset="ultrafast", qp=30,
                         intra_period=1)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
     assert dec[0].y.shape == (100, 176)
-    for d, r in zip(dec, recons):
-        assert d.tobytes() == r.tobytes()
+    assert dec[0].tobytes() == recons[0].tobytes()
