@@ -45,10 +45,12 @@ def bench_ours(frames):
     enc = HevcEncoder(EncoderConfig(width=W, height=H, preset="ultrafast",
                                     qp=27, intra_period=1))
     enc.encode_frame(yuv[0])       # warm-up: jit compiles
+    enc.flush()
     t0 = time.time()
     nbits = 0
     for f in yuv:
-        nbits += enc.encode_frame(f).bits
+        nbits += sum(ef.bits for ef in enc.encode_frame(f))
+    nbits += sum(ef.bits for ef in enc.flush())
     dt = time.time() - t0
     return len(yuv) / dt, nbits
 

@@ -130,32 +130,40 @@ def main(argv=None) -> int:
     cfg = cfg_from_args(a)
     enc = HevcEncoder(cfg)
     bs = open(a.bitstream, "wb")
-    rec = open(a.recon, "wb") if a.recon else None
     total_bits = 0
     psnrs = []
+    recons = []
     n = 0
     t0 = time.time()
+
+    def emit(efs):
+        nonlocal total_bits, n
+        for ef in efs:
+            bs.write(ef.data)
+            recons.append(ef)
+            total_bits += ef.bits
+            if ef.psnr:
+                psnrs.append(ef.psnr)
+                print(f"poc {ef.poc:4d} ( {ef.slice_type}-SLICE, QP {ef.qp} )"
+                      f" {ef.bits:8d} bits [Y {ef.psnr[0]:.4f} dB  "
+                      f"U {ef.psnr[1]:.4f} dB  V {ef.psnr[2]:.4f} dB]")
+            else:
+                print(f"poc {ef.poc:4d} ( {ef.slice_type}-SLICE, QP {ef.qp} )"
+                      f" {ef.bits:8d} bits")
+            if a.md5:
+                print("  MD5 " + ",".join(frame_md5(ef.recon)))
+            n += 1
+
     for frame in read_frames(a.input, a.width, a.height, a.frames):
-        ef = enc.encode_frame(frame)
-        bs.write(ef.data)
-        if rec:
-            rec.write(ef.recon.tobytes())
-        total_bits += ef.bits
-        if ef.psnr:
-            psnrs.append(ef.psnr)
-            print(f"poc {ef.poc:4d} ( {ef.slice_type}-SLICE, QP {ef.qp} ) "
-                  f"{ef.bits:8d} bits [Y {ef.psnr[0]:.4f} dB  "
-                  f"U {ef.psnr[1]:.4f} dB  V {ef.psnr[2]:.4f} dB]")
-        else:
-            print(f"poc {ef.poc:4d} ( {ef.slice_type}-SLICE, QP {ef.qp} ) "
-                  f"{ef.bits:8d} bits")
-        if a.md5:
-            print("  MD5 " + ",".join(frame_md5(ef.recon)))
-        n += 1
+        emit(enc.encode_frame(frame))
+    emit(enc.flush())
     dt = time.time() - t0
     bs.close()
-    if rec:
-        rec.close()
+    if a.recon:
+        recons.sort(key=lambda e: e.display_idx)
+        with open(a.recon, "wb") as rec:
+            for ef in recons:
+                rec.write(ef.recon.tobytes())
     if n:
         kbps = total_bits * cfg.frame_rate / max(n, 1) / 1000.0
         line = f"Total Frames: {n}, pure encoding time {dt:.3f} sec, {n / dt:.2f} fps"

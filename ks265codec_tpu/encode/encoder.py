@@ -19,11 +19,12 @@ from ..decode.filters import deblock_frame, sao_frame
 from ..decode.slice_dec import FrameState
 from ..hevc.params import PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, \
     write_pps, write_sps, write_vps
-from ..hevc.slicehdr import I_SLICE, P_SLICE, SliceHeader, write_slice_header
+from ..hevc.slicehdr import B_SLICE, I_SLICE, P_SLICE, SliceHeader, \
+    write_slice_header
 from ..utils.yuv import YUVFrame
 from .config import EncoderConfig, resolve_preset
 from .intra_frame import IntraFrameEncoder
-from .inter_frame import PFrameEncoder
+from .inter_frame import BFrameEncoder, PFrameEncoder
 
 
 @dataclass
@@ -36,6 +37,7 @@ class EncodedFrame:
     bits: int
     slice_type: str = "I"
     psnr: tuple[float, float, float] | None = None
+    display_idx: int = -1
 
 
 class HevcEncoder:
@@ -52,8 +54,12 @@ class HevcEncoder:
         self.vps = self._make_vps(cfg)
         self.poc = 0
         self.frame_idx = 0
+        self.gop_base = 0
         self.headers_written = False
         self.dpb: list[RefPic] = []      # encoder-side reference pictures
+        self.queue: list[tuple[int, YUVFrame]] = []
+        from .rc import RateControl
+        self.rc = RateControl(cfg)
 
     # -------------------------------------------------------- parameter sets
     @staticmethod
@@ -66,12 +72,21 @@ class HevcEncoder:
             general_level_idc=120,
         )
 
+    @staticmethod
+    def _dpb_params(cfg: EncoderConfig) -> tuple[int, int]:
+        """(max_dec_pic_buffering, num_reorder_pics) for the GOP shape."""
+        if cfg.latency == "zerolatency" or cfg.bframes == 0 \
+                or cfg.intra_period == 1:
+            return 2, 0
+        return 6, 4         # hierarchical GOP-8
+
     def _make_vps(self, cfg: EncoderConfig) -> VPS:
         v = VPS()
         v.vps_id = 0
         v.ptl = self._make_ptl()
-        v.max_dec_pic_buffering = [5]
-        v.num_reorder_pics = [0]
+        dpb, reorder = self._dpb_params(cfg)
+        v.max_dec_pic_buffering = [dpb]
+        v.num_reorder_pics = [reorder]
         v.max_latency_increase = [0]
         return v
 
@@ -90,8 +105,9 @@ class HevcEncoder:
                       0, (s.height - cfg.height) // 2)
         s.bit_depth_luma = s.bit_depth_chroma = 8
         s.log2_max_poc_lsb = 8
-        s.max_dec_pic_buffering = [5]
-        s.num_reorder_pics = [0]
+        dpb, reorder = self._dpb_params(cfg)
+        s.max_dec_pic_buffering = [dpb]
+        s.num_reorder_pics = [reorder]
         s.max_latency_increase = [0]
         s.log2_min_cb = 4          # 16x16 CUs (v1: no 8x8/NxN path yet)
         s.log2_ctb = 6             # 64x64 CTBs
@@ -152,50 +168,134 @@ class HevcEncoder:
         return out
 
     # --------------------------------------------------------------- frames
-    def encode_frame(self, frame: YUVFrame) -> EncodedFrame:
+    def encode_frame(self, frame: YUVFrame) -> list[EncodedFrame]:
+        """Push one input frame; returns 0+ coded pictures in CODING order
+        (asynchronous contract of QY265EncoderEncodeFrame: one call != one
+        output — qy265enc.h:153-155)."""
+        self.queue.append((self.frame_idx, frame))
+        self.frame_idx += 1
+        return self._drain(False)
+
+    def flush(self) -> list[EncodedFrame]:
+        """Drain remaining queued pictures (QY265EncoderDelayedFrames)."""
+        return self._drain(True)
+
+    delayed_frames = flush
+
+    def _gop_n(self) -> int:
+        from .gop import gop_size
+        if self.cfg.intra_period == 1:
+            return 1
+        return gop_size(self.cfg.latency, self.cfg.bframes)
+
+    def _drain(self, flushing: bool) -> list[EncodedFrame]:
+        from .gop import LDP, gop_plan
+        out: list[EncodedFrame] = []
         cfg = self.cfg
-        qp = int(np.clip(cfg.qp, 0, 51))
         iper = cfg.intra_period
-        is_idr = (self.frame_idx == 0 or
-                  (iper > 0 and self.frame_idx % iper == 0))
+        gop_n = self._gop_n()
+        while self.queue:
+            idx0 = self.queue[0][0]
+            if idx0 == 0 or (iper > 0 and idx0 % iper == 0):
+                di, frame = self.queue.pop(0)
+                out.append(self._encode_picture(frame, di, None,
+                                                is_idr=True))
+                continue
+            till_idr = (iper - (idx0 % iper)) if iper > 0 else 1 << 30
+            if till_idr >= gop_n and len(self.queue) >= gop_n:
+                plans = gop_plan(cfg.latency, cfg.bframes)
+                batch = self.queue[:gop_n]
+                self.queue = self.queue[gop_n:]
+                for plan in plans:
+                    di, f = batch[plan.poc_in_gop - 1]
+                    out.append(self._encode_picture(f, di, plan))
+                self.gop_base += gop_n
+                continue
+            if till_idr < gop_n and len(self.queue) >= till_idr:
+                for _ in range(till_idr):
+                    di, f = self.queue.pop(0)
+                    out.append(self._encode_picture(f, di, LDP[0]))
+                    self.gop_base += 1
+                continue
+            if flushing:
+                while self.queue:
+                    di, f = self.queue.pop(0)
+                    out.append(self._encode_picture(f, di, LDP[0]))
+                    self.gop_base += 1
+                continue
+            break
+        return out
+
+    def _encode_picture(self, frame: YUVFrame, display_idx: int,
+                        plan, is_idr: bool = False) -> EncodedFrame:
+        cfg = self.cfg
+        from .config import RC_FIXQP
         if is_idr:
             self.poc = 0
+            self.gop_base = 0
             self.dpb.clear()
-        slice_type = I_SLICE if is_idr else P_SLICE
+            poc = 0
+            slice_type = I_SLICE
+            tid = 0
+            ftype = "I"
+        else:
+            poc = self.gop_base + plan.poc_in_gop
+            slice_type = P_SLICE if plan.slice_type == "P" else B_SLICE
+            tid = plan.tid
+            ftype = plan.slice_type
+        if cfg.rc == RC_FIXQP:
+            qp = int(np.clip(cfg.qp + (0 if is_idr else plan.qp_offset),
+                             0, 51))
+        else:
+            qp = self.rc.frame_qp(ftype, tid, None)
         hdr = SliceHeader(
             nal_type=(NalType.IDR_W_RADL if is_idr else NalType.TRAIL_R),
+            temporal_id=tid,
             first_slice_in_pic=1,
             pps_id=0,
             slice_type=slice_type,
             slice_qp=qp,
-            pic_order_cnt_lsb=self.poc & 0xFF,
+            pic_order_cnt_lsb=poc & 0xFF,
         )
-        if not is_idr:
-            rps = ShortTermRPS(delta_pocs=[-1], used=[1], num_negative=1,
-                               num_positive=0)
-            hdr.st_rps = rps
-            hdr.st_rps_idx = -1
-            hdr.num_ref_idx = [1, 0]
+        hdr.poc = poc        # MotionDeriver scaling / no_backward need it
         fs = FrameState(self.sps)
-        fs.poc = self.poc
+        fs.poc = poc
+        by_poc = {rp.poc: rp for rp in self.dpb}
         if is_idr:
             enc = IntraFrameEncoder(
                 fs, self.sps, self.pps, hdr,
                 frame.y.astype(np.int32), frame.u.astype(np.int32),
                 frame.v.astype(np.int32), qp)
         else:
-            ref_lists = [[self.dpb[-1]], []]
-            enc = PFrameEncoder(
-                fs, self.sps, self.pps, hdr,
-                frame.y.astype(np.int32), frame.u.astype(np.int32),
-                frame.v.astype(np.int32), qp, ref_lists)
+            hdr.st_rps = ShortTermRPS(
+                delta_pocs=list(plan.ref_deltas),
+                used=list(plan.ref_used),
+                num_negative=sum(1 for d in plan.ref_deltas if d < 0),
+                num_positive=sum(1 for d in plan.ref_deltas if d > 0))
+            hdr.st_rps_idx = -1
+            l0 = [by_poc[poc + d] for d in plan.l0 if poc + d in by_poc]
+            l1 = [by_poc[poc + d] for d in plan.l1 if poc + d in by_poc]
+            if slice_type == B_SLICE and (not l0 or not l1):
+                # missing ref (shouldn't happen): degrade to P off any ref
+                slice_type = P_SLICE
+                hdr.slice_type = P_SLICE
+                l0 = l0 or [self.dpb[-1]]
+                l1 = []
+            hdr.num_ref_idx = [max(1, len(l0)),
+                               len(l1) if slice_type == B_SLICE else 0]
+            args = (fs, self.sps, self.pps, hdr,
+                    frame.y.astype(np.int32), frame.u.astype(np.int32),
+                    frame.v.astype(np.int32), qp)
+            if slice_type == B_SLICE:
+                enc = BFrameEncoder(*args, [l0, l1])
+            else:
+                enc = PFrameEncoder(*args, [l0, []])
         cabac_payload = enc.encode()
         tail_val, tail_n = enc.w.enc.get_tail_bits()
         bw = write_slice_header(hdr, self.sps, self.pps)
         assert bw.byte_aligned()
         rbsp = bytearray(bw.getvalue())
         rbsp += cabac_payload
-        # remaining low bits + rbsp stop bit + alignment
         acc = (tail_val << 1) | 1
         nbits = tail_n + 1
         pad = (8 - nbits % 8) % 8
@@ -206,25 +306,29 @@ class HevcEncoder:
         if is_idr and (not self.headers_written
                        or self.cfg.headers_before_keyframe):
             data += self.encode_headers()
-        data += write_nal(hdr.nal_type, bytes(rbsp))
+        data += write_nal(hdr.nal_type, bytes(rbsp), temporal_id=tid)
         # in-loop filters on recon (normative; refs are filtered pictures)
         deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
                       bool(self.pps.deblocking_filter_disabled),
                       self.pps.cb_qp_offset, self.pps.cr_qp_offset)
-        self.dpb = [RefPic(fs, self.poc)]   # v1: single-ref sliding window
+        # DPB update: keep pictures named by this RPS (they cover all
+        # future needs of the GOP pattern) plus the new picture
+        keep = set()
+        if not is_idr:
+            keep = {poc + d for d in plan.ref_deltas}
+        self.dpb = [rp for rp in self.dpb if rp.poc in keep]
+        self.dpb.append(RefPic(fs, poc))
         recon = self._wrap_recon(fs, frame)
-        ef = EncodedFrame(data=data, recon=recon, poc=self.poc, qp=qp,
+        ef = EncodedFrame(data=data, recon=recon, poc=poc, qp=qp,
                           bits=len(data) * 8,
-                          slice_type="I" if is_idr else "P")
+                          slice_type="I" if is_idr
+                          else ("P" if slice_type == P_SLICE else "B"))
+        ef.display_idx = display_idx
         if cfg.psnr:
             ef.psnr = _psnr(frame, recon)
-        self.poc += 1
-        self.frame_idx += 1
+        self.rc.update(ef.slice_type, tid, qp, ef.bits,
+                       getattr(enc, "frame_cplx", 1e5))
         return ef
-
-    def delayed_frames(self):
-        """Drain queued frames (none in the all-intra v1)."""
-        return []
 
     def _wrap_recon(self, fs: FrameState, src: YUVFrame) -> YUVFrame:
         sps = self.sps
@@ -247,12 +351,17 @@ def _psnr(a: YUVFrame, b: YUVFrame) -> tuple[float, float, float]:
 
 
 def encode_sequence(frames: list[YUVFrame], cfg: EncoderConfig) -> tuple[bytes, list[YUVFrame]]:
-    """Convenience: encode a list of frames, returns (annexb, recons)."""
+    """Convenience: encode a list of frames. Returns (annexb in coding
+    order, recons in DISPLAY order)."""
     enc = HevcEncoder(cfg)
     bs = b""
-    recons = []
+    efs: list[EncodedFrame] = []
     for f in frames:
-        ef = enc.encode_frame(f)
+        for ef in enc.encode_frame(f):
+            bs += ef.data
+            efs.append(ef)
+    for ef in enc.flush():
         bs += ef.data
-        recons.append(ef.recon)
-    return bs, recons
+        efs.append(ef)
+    efs.sort(key=lambda e: e.display_idx)
+    return bs, [e.recon for e in efs]

@@ -1,0 +1,54 @@
+"""GOP structure planner: hierarchical-B GOP-8 (offline), low-delay
+IPPP (zerolatency), with RPS / ref-list / temporal-layer / QP-offset tables.
+
+Mirrors the reference's GopStructure::{init,fillRpsInGop,fillPicFeatureInGop}
+(SURVEY.md 2.3) and its run-captured behavior: offline medium = GOP-8
+hierarchical-B coded 8,4,2,1,3,6,5,7 with QP cascade +1/+2/+4 and the RPS
+patterns observed in the reference's own streams (SURVEY.md 5.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PicPlan:
+    """Coding plan for one picture inside a GOP."""
+    poc_in_gop: int              # display offset from GOP start (1..gop)
+    slice_type: str              # "P" or "B"
+    tid: int
+    qp_offset: int
+    ref_deltas: list[int]        # RPS delta POCs (negatives first)
+    ref_used: list[int]          # used_by_curr flags
+    l0: list[int]                # delta POCs forming list 0
+    l1: list[int]                # delta POCs forming list 1
+
+
+# run-captured reference GOP-8 (SURVEY.md 5.6; verified against the
+# reference encoder's own slice headers)
+GOP8: list[PicPlan] = [
+    PicPlan(8, "P", 0, 1, [-8], [1], [-8], []),
+    PicPlan(4, "B", 0, 2, [-4, 4], [1, 1], [-4], [4]),
+    PicPlan(2, "B", 1, 4, [-2, 2, 6], [1, 1, 0], [-2], [2]),
+    PicPlan(1, "B", 2, 4, [-1, 1, 3, 7], [1, 1, 0, 0], [-1], [1]),
+    PicPlan(3, "B", 2, 4, [-1, -3, 1, 5], [1, 0, 1, 0], [-1], [1]),
+    PicPlan(6, "B", 1, 4, [-2, -6, 2], [1, 0, 1], [-2], [2]),
+    PicPlan(5, "B", 2, 4, [-1, -5, 1, 3], [1, 0, 1, 0], [-1], [1]),
+    PicPlan(7, "B", 2, 4, [-1, -3, -7, 1], [1, 0, 0, 1], [-1], [1]),
+]
+
+# low-delay P: every frame refs the previous one
+LDP: list[PicPlan] = [
+    PicPlan(1, "P", 0, 1, [-1], [1], [-1], []),
+]
+
+
+def gop_plan(latency: str, bframes: int) -> list[PicPlan]:
+    if latency == "zerolatency" or bframes == 0:
+        return LDP
+    return GOP8
+
+
+def gop_size(latency: str, bframes: int) -> int:
+    return 1 if (latency == "zerolatency" or bframes == 0) else 8

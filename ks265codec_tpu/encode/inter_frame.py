@@ -40,10 +40,11 @@ class PFrameEncoder(IntraFrameEncoder):
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
         # device passes: intra analysis + dense ME against ref 0
-        _, self.mode16, _ = decide_frame(self.src_y, self.qp)
+        _, self.mode16, _, _ = decide_frame(self.src_y, self.qp)
         ref_y = self.ref_lists[0][0].fs.y
         self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
             self.src_y, np.asarray(ref_y), 16, SEARCH_RANGE, self.lam_satd)
+        self.frame_cplx = float(self.sad16.sum())
         # intra cost for comparison (recompute SATD of chosen mode quickly
         # via decide's cost — decide_frame returns only modes; use a margin
         # rule on SAD instead)
@@ -92,20 +93,21 @@ class PFrameEncoder(IntraFrameEncoder):
             g[y4, x4:x4 + b4] = True
 
         by, bx = y0 >> 4, x0 >> 4
-        mv = [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])]
-        inter_sad = int(self.sad16[by, bx])
+        lst, mv, inter_sad = self._block_motion(by, bx)
         intra_mode = int(self.mode16[by, bx])
         # merge candidates (decoder-identical derivation)
         cands = self.md.merge_candidates(x0, y0, size, x0, y0, size, size,
                                          0, 0)
         merge_idx = -1
+        want_ref = [-1, -1]
+        want_ref[lst] = 0
         for i, c in enumerate(cands):
-            if c.ref_idx[0] == 0 and c.ref_idx[1] < 0 and c.mv[0] == mv:
+            if c.ref_idx == want_ref and c.mv[lst] == mv:
                 merge_idx = i
                 break
         # AMVP predictors for rate estimate + mvd
         amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size, 0,
-                                       0, 0)
+                                       lst, 0)
         mvd0 = [mv[0] - amvp[0][0], mv[1] - amvp[0][1]]
         mvd1 = [mv[0] - amvp[1][0], mv[1] - amvp[1][1]]
         mvp_flag = 0 if (abs(mvd0[0]) + abs(mvd0[1])
@@ -122,8 +124,8 @@ class PFrameEncoder(IntraFrameEncoder):
             return
         # --- inter: predict via MC, residual decision
         mi = MotionInfo()
-        mi.ref_idx[0] = 0
-        mi.mv[0] = mv
+        mi.ref_idx[lst] = 0
+        mi.mv[lst] = mv
         self._store_motion(x0, y0, size, mi)
         motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size, size,
                           mi)
@@ -147,7 +149,9 @@ class PFrameEncoder(IntraFrameEncoder):
             self.w.write_merge_idx(merge_idx)
         else:
             self.w.write_merge_flag(0)
-            self.w.write_ref_idx(0, 0)
+            if self.hdr.slice_type == 0:     # B: inter_pred_idc
+                self.w.write_inter_dir(lst, depth, 32)
+            self.w.write_ref_idx(lst, 0)
             self.w.write_mvd(mvd)
             self.w.write_mvp_flag(mvp_flag)
         if not (merge_idx >= 0):
@@ -183,6 +187,11 @@ class PFrameEncoder(IntraFrameEncoder):
         fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
 
     # ------------------------------------------------------------ helpers
+    def _block_motion(self, by, bx):
+        """(list, mv, sad) of this block's chosen uni prediction."""
+        return (0, [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])],
+                int(self.sad16[by, bx]))
+
     def _intra_sad_estimate(self, x0, y0, size, mode) -> int:
         """Quick SAD of the chosen intra mode vs source (decision only)."""
         pred = self._predict_from_source(x0, y0, size, mode)
@@ -263,3 +272,40 @@ class PFrameEncoder(IntraFrameEncoder):
             r = self._recon_residual(ccr, log2 - 1, self.qp_cr)
             fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] = np.clip(
                 fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] + r, 0, 255)
+
+
+class BFrameEncoder(PFrameEncoder):
+    """B frames: uni-directional choice per block between L0 and L1 refs
+    (explicit bi-prediction lands with the sub-pel refinement pass; merge
+    candidates may still carry bi motion from spatial neighbors)."""
+
+    def encode(self) -> bytes:
+        from ..ops import me as jme
+        from .intra_frame import decide_frame
+        fs, sps = self.fs, self.sps
+        _, self.mode16, _, _ = decide_frame(self.src_y, self.qp)
+        ref0 = np.asarray(self.ref_lists[0][0].fs.y)
+        ref1 = np.asarray(self.ref_lists[1][0].fs.y)
+        mv0, c0, s0 = jme.motion_search_frame(self.src_y, ref0, 16,
+                                              SEARCH_RANGE, self.lam_satd)
+        mv1, c1, s1 = jme.motion_search_frame(self.src_y, ref1, 16,
+                                              SEARCH_RANGE, self.lam_satd)
+        self.dir16 = (c1 < c0).astype(np.int8)
+        self.mv16 = np.where(self.dir16[..., None] == 1, mv1, mv0)
+        self.sad16 = np.where(self.dir16 == 1, s1, s0)
+        self.frame_cplx = float(self.sad16.sum())
+        wctb = sps.pic_width_in_ctbs
+        nctb = wctb * sps.pic_height_in_ctbs
+        for addr in range(nctb):
+            rx, ry = addr % wctb, addr // wctb
+            x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
+            cs = sps.ctb_size
+            fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
+            self._code_ctu_p(x0, y0)
+            self.w.end_ctu(addr == nctb - 1)
+        return self.w.finish()
+
+    def _block_motion(self, by, bx):
+        return (int(self.dir16[by, bx]),
+                [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])],
+                int(self.sad16[by, bx]))

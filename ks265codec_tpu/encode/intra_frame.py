@@ -126,7 +126,8 @@ def decide_frame(src_y: np.ndarray, qp: int):
     c16sum = (cost16.reshape(cost16.shape[0] // 2, 2,
                              cost16.shape[1] // 2, 2).sum(axis=(1, 3)))
     split32 = c16sum < cost32
-    return split32, mode16, mode32
+    frame_cplx = float(np.minimum(c16sum, cost32).sum())
+    return split32, mode16, mode32, frame_cplx
 
 
 class IntraFrameEncoder:
@@ -160,8 +161,8 @@ class IntraFrameEncoder:
 
     def encode(self) -> bytes:
         fs, sps = self.fs, self.sps
-        self.split32, self.mode16, self.mode32 = decide_frame(
-            self.src_y, self.qp)
+        self.split32, self.mode16, self.mode32, self.frame_cplx = \
+            decide_frame(self.src_y, self.qp)
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
         for addr in range(nctb):

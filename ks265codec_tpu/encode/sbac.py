@@ -136,6 +136,17 @@ class CtuSyntaxWriter:
         enc.encode_bypass(0)
         enc.encode_bypass_bins(v, count)
 
+    def write_inter_dir(self, inter_dir: int, depth: int,
+                        pb_sum: int) -> None:
+        """inter_pred_idc (spec 9.3.3): 0=L0, 1=L1, 2=BI. pb_sum = nPbW+nPbH
+        (no BI and no first bin when 12)."""
+        base = CTX_OFFSET["inter_dir"]
+        if pb_sum != 12:
+            self.enc.encode_bin(1 if inter_dir == 2 else 0, base + depth)
+            if inter_dir == 2:
+                return
+        self.enc.encode_bin(1 if inter_dir == 1 else 0, base + 4)
+
     def write_mvp_flag(self, flag: int) -> None:
         self.enc.encode_bin(flag, CTX_OFFSET["mvp_idx"])
 

@@ -87,7 +87,7 @@ def test_quality_sane():
     cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=27,
                         intra_period=1, psnr=1)
     enc = HevcEncoder(cfg)
-    ef = enc.encode_frame(frames[0])
+    ef = enc.encode_frame(frames[0])[0]
     assert ef.psnr[0] > 33, f"PSNR too low: {ef.psnr[0]}"
     assert ef.bits < W * H * 8, "bitstream larger than raw"
 
@@ -138,3 +138,54 @@ def test_nondivisible_dimensions():
     dec = HevcDecoder().decode_all(bs)
     assert dec[0].y.shape == (100, 176)
     assert dec[0].tobytes() == recons[0].tobytes()
+
+
+def test_gop8_bframes_roundtrip():
+    """Hierarchical-B GOP-8: reordering, L1 refs, DPB bumping."""
+    frames = _frames(10, seed=21)
+    cfg = EncoderConfig(width=W, height=H, preset="medium",
+                        latency="offline", qp=30, intra_period=64)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 10
+    assert [d.poc for d in dec] == list(range(10))
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert d.tobytes() == r.tobytes(), f"display {i}"
+
+
+@pytest.mark.skipif(not have_reference(), reason="no reference binaries")
+def test_gop8_reference_decoder(tmp_path):
+    from conftest import _ref_bin
+    frames = _frames(10, seed=21)
+    cfg = EncoderConfig(width=W, height=H, preset="medium",
+                        latency="offline", qp=30, intra_period=64)
+    bs, recons = encode_sequence(frames, cfg)
+    bsf = tmp_path / "b.265"
+    bsf.write_bytes(bs)
+    outf = tmp_path / "bdec.yuv"
+    r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+                        str(outf), "-threads", "1"], capture_output=True)
+    assert r.returncode == 0
+    assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+@pytest.mark.parametrize("rc_mode,kw", [
+    (3, dict(crf=30)),                                  # CRF
+    (2, dict(bitrate_kbps=120)),                        # ABR
+    (1, dict(bitrate_kbps=120, vbv_maxrate_kbps=150,
+             vbv_bufsize_kbits=150)),                   # CBR + VBV
+])
+def test_rate_control_roundtrip(rc_mode, kw):
+    frames = _frames(6, seed=33)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast",
+                        latency="zerolatency", rc=rc_mode,
+                        intra_period=64, **kw)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    if rc_mode in (1, 2):
+        # bitrate within a loose factor of target
+        kbps = len(bs) * 8 * 30.0 / 6 / 1000.0
+        assert kbps < kw["bitrate_kbps"] * 3.5, f"way over target: {kbps}"
