@@ -18,6 +18,11 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..bitstream.cabac import CabacDec
+
+try:
+    from .. import native as _native
+except Exception:                      # pragma: no cover
+    _native = None
 from ..hevc import cabac_tables as CT
 from ..hevc.cabac_tables import CTX_OFFSET, SIG_CTX_MAP_4x4, scan_order
 from ..hevc.params import PPS, SPS
@@ -681,11 +686,6 @@ class SliceDecoder:
         """residual_coding() (spec 7.3.8.11). Returns (coeffs, ts_flag)."""
         dec = self.cabac
         n = 1 << log2
-        ts_flag = 0
-        if (self.pps.transform_skip_enabled and not self._cu_tq_bypass
-                and log2 == 2):
-            ts_flag = dec.decode_bin(CTX_OFFSET["transform_skip"]
-                                     + (0 if c_idx == 0 else 1))
         # scan selection
         scan_idx = 0
         if intra_mode is not None and (log2 == 2 or (log2 == 3 and c_idx == 0)):
@@ -693,6 +693,17 @@ class SliceDecoder:
                 scan_idx = 2
             elif 22 <= intra_mode <= 30:
                 scan_idx = 1
+        parse_ts = int(self.pps.transform_skip_enabled
+                       and not self._cu_tq_bypass and log2 == 2)
+        if _native is not None and _native.HAVE_NATIVE:
+            sbh_f = int(self.pps.sign_data_hiding_enabled
+                        and not self._cu_tq_bypass)
+            return _native.parse_residual(dec, log2, c_idx, scan_idx, sbh_f,
+                                          parse_ts)
+        ts_flag = 0
+        if parse_ts:
+            ts_flag = dec.decode_bin(CTX_OFFSET["transform_skip"]
+                                     + (0 if c_idx == 0 else 1))
         # last significant position
         if c_idx == 0:
             ctx_off, ctx_shift = 3 * (log2 - 2) + ((log2 - 1) >> 2), (log2 + 1) >> 2

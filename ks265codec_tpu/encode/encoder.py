@@ -109,7 +109,7 @@ class HevcEncoder:
         s.max_dec_pic_buffering = [dpb]
         s.num_reorder_pics = [reorder]
         s.max_latency_increase = [0]
-        s.log2_min_cb = 4          # 16x16 CUs (v1: no 8x8/NxN path yet)
+        s.log2_min_cb = 3          # down to 8x8 CUs (intra detail tier)
         s.log2_ctb = 6             # 64x64 CTBs
         s.log2_min_tb = 2
         s.log2_max_tb = 5
@@ -287,9 +287,9 @@ class HevcEncoder:
                     frame.y.astype(np.int32), frame.u.astype(np.int32),
                     frame.v.astype(np.int32), qp)
             if slice_type == B_SLICE:
-                enc = BFrameEncoder(*args, [l0, l1])
+                enc = BFrameEncoder(*args, [l0, l1], subme=cfg.subme)
             else:
-                enc = PFrameEncoder(*args, [l0, []])
+                enc = PFrameEncoder(*args, [l0, []], subme=cfg.subme)
         cabac_payload = enc.encode()
         tail_val, tail_n = enc.w.enc.get_tail_bits()
         bw = write_slice_header(hdr, self.sps, self.pps)

@@ -29,9 +29,10 @@ class PFrameEncoder(IntraFrameEncoder):
     """Codes one P frame (single slice, 16x16 CUs, 2Nx2N PUs)."""
 
     def __init__(self, fs, sps, pps, hdr, src_y, src_cb, src_cr, qp,
-                 ref_lists):
+                 ref_lists, subme: int = 1):
         super().__init__(fs, sps, pps, hdr, src_y, src_cb, src_cr, qp)
         self.ref_lists = ref_lists
+        self.subme = subme
         self.md = MotionDeriver(fs, sps, pps, hdr, ref_lists, 0)
         self.lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         self.lam_satd = float(np.sqrt(self.lam))
@@ -40,14 +41,17 @@ class PFrameEncoder(IntraFrameEncoder):
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
         # device passes: intra analysis + dense ME against ref 0
-        _, self.mode16, _, _ = decide_frame(self.src_y, self.qp)
-        ref_y = self.ref_lists[0][0].fs.y
+        _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
+        ref_y = np.asarray(self.ref_lists[0][0].fs.y)
         self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
-            self.src_y, np.asarray(ref_y), 16, SEARCH_RANGE, self.lam_satd)
+            self.src_y, ref_y, 16, SEARCH_RANGE, self.lam_satd)
+        if self.subme:
+            from ..ops.subpel import refine_subpel_frame
+            self.mv16, self.sad16 = refine_subpel_frame(
+                self.src_y, ref_y, self.mv16 >> 2, 16,
+                self.sps.width, self.sps.height)
         self.frame_cplx = float(self.sad16.sum())
-        # intra cost for comparison (recompute SATD of chosen mode quickly
-        # via decide's cost — decide_frame returns only modes; use a margin
-        # rule on SAD instead)
+        self._decide_cu32()
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
         for addr in range(nctb):
@@ -59,15 +63,139 @@ class PFrameEncoder(IntraFrameEncoder):
             self.w.end_ctu(addr == nctb - 1)
         return self.w.finish()
 
+
+    # ----------------------------------------------- large-CU (32) decision
+    def _decide_cu32(self):
+        """Per-32x32 block: take the minimum-cost child's motion and score
+        it over the whole block; prefer the large CU when it beats the sum
+        of the children plus their per-CU header overhead (the reference's
+        goUp/goDownJudge analog at a coarse tier)."""
+        from ..decode.inter import interp_luma
+        sps = self.sps
+        h4 = self.sad16.shape[0] // 2 * 2
+        w4 = self.sad16.shape[1] // 2 * 2
+        nby, nbx = h4 // 2, w4 // 2
+        self.use32 = np.zeros((self.sad16.shape[0] // 2 + 1,
+                               self.sad16.shape[1] // 2 + 1), bool)
+        self.sad32 = np.zeros_like(self.use32, np.int64)
+        self.mi32 = [[None] * self.use32.shape[1]
+                     for _ in range(self.use32.shape[0])]
+        hdr_bits = 14.0
+        pw, ph = sps.width, sps.height
+        for by in range(nby):
+            for bx in range(nbx):
+                x0, y0 = bx * 32, by * 32
+                if x0 + 32 > pw or y0 + 32 > ph:
+                    continue
+                subs = [(int(self.sad16[2 * by + dy, 2 * bx + dx]),
+                         2 * by + dy, 2 * bx + dx)
+                        for dy in (0, 1) for dx in (0, 1)]
+                child_sum = sum(ssad for ssad, _, _ in subs)
+                best = min(subs)
+                mi, _ = self._block_mi(best[1], best[2])
+                # SAD of the whole 32 block with this motion (luma only)
+                preds = []
+                for l in range(2):
+                    if mi.ref_idx[l] < 0:
+                        continue
+                    ref = self.ref_lists[l][mi.ref_idx[l]].fs.y
+                    preds.append(interp_luma(np.asarray(ref), x0, y0, 32, 32,
+                                             mi.mv[l][0], mi.mv[l][1],
+                                             pw, ph))
+                if len(preds) == 2:
+                    pred = np.clip((preds[0] + preds[1] + 64) >> 7, 0, 255)
+                else:
+                    pred = np.clip((preds[0] + 32) >> 6, 0, 255)
+                src = self.src_y[y0:y0 + 32, x0:x0 + 32]
+                s32 = int(np.abs(src - pred).sum())
+                if s32 <= child_sum + 3 * hdr_bits * self.lam_satd:
+                    self.use32[by, bx] = True
+                    self.sad32[by, bx] = s32
+                    self.mi32[by][bx] = mi
+
+
+    # --------------------------------------------------- 64x64 skip probe
+    def _try_skip64(self, x0, y0, depth0=0) -> bool:
+        """Code a whole-CTB SKIP CU when some merge candidate yields an
+        all-zero quantized residual (the dominant coding mode on static
+        content; the reference reaches it via do64 + skipFastDecision)."""
+        from ..decode.inter import motion_compensate
+        fs, sps = self.fs, self.sps
+        if x0 + 64 > sps.width or y0 + 64 > sps.height:
+            return False
+        cands = self.md.merge_candidates(x0, y0, 64, x0, y0, 64, 64, 0, 0)
+        src = self.src_y[y0:y0 + 64, x0:x0 + 64]
+        tried = set()
+        for idx, mi in enumerate(cands):
+            used = tuple((l, mi.ref_idx[l], tuple(mi.mv[l]))
+                         for l in range(2) if mi.ref_idx[l] >= 0)
+            if not used or used in tried:
+                continue
+            tried.add(used)
+            motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, 64, 64,
+                              mi)
+            pred = fs.y[y0:y0 + 64, x0:x0 + 64]
+            # cheap gate: skip candidates with visibly large luma error
+            if np.abs(src - pred).sum() > 64 * 64 * 4:
+                continue
+            zero = True
+            for dy in (0, 32):
+                for dx in (0, 32):
+                    r = src[dy:dy + 32, dx:dx + 32] \
+                        - pred[dy:dy + 32, dx:dx + 32]
+                    if self._transform_quant_inter(r, 5, self.qp).any():
+                        zero = False
+                        break
+                if not zero:
+                    break
+            if zero:
+                cx0, cy0 = x0 >> 1, y0 >> 1
+                for plane, srcc, qpc in (
+                        (fs.cb, self.src_cb, self.qp_cb),
+                        (fs.cr, self.src_cr, self.qp_cr)):
+                    r = srcc[cy0:cy0 + 32, cx0:cx0 + 32] \
+                        - plane[cy0:cy0 + 32, cx0:cx0 + 32]
+                    if self._transform_quant_inter(r, 5, qpc).any():
+                        zero = False
+                        break
+            if not zero:
+                continue
+            # --- code it
+            self.w.write_split_flag(x0, y0, 6, depth0, 0)
+            x4, y4 = x0 >> 2, y0 >> 2
+            fs.cu_depth[y4:y4 + 16, x4:x4 + 16] = depth0
+            fs.qp[y4:y4 + 16, x4:x4 + 16] = self.qp
+            for g in (fs.cu_edge_v, fs.pu_edge_v, fs.tu_edge_v):
+                g[y4:y4 + 16, x4] = True
+            for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
+                g[y4, x4:x4 + 16] = True
+            self.w.write_skip_flag(x0, y0, 1)
+            fs.skip[y4:y4 + 16, x4:x4 + 16] = True
+            self.w.write_merge_idx(idx)
+            self._store_motion(x0, y0, 64, mi)
+            fs.cbf_luma[y4:y4 + 16, x4:x4 + 16] = False
+            fs.recon_done[y4:y4 + 16, x4:x4 + 16] = True
+            return True
+        return False
+
     # --------------------------------------------------------------- CTU
     def _code_ctu_p(self, x0, y0):
-        """Quadtree: force split down to 16x16 CUs (split flags coded at
-        64 and 32; at picture edges splits are inferred)."""
+        """Quadtree walk: whole-CTB skip probe first, then 32/16 CUs."""
+        if self._try_skip64(x0, y0):
+            return
         self._split_to_16(x0, y0, self.sps.log2_ctb, 0)
 
     def _split_to_16(self, x0, y0, log2, depth):
         sps = self.sps
         size = 1 << log2
+        if log2 == 5 and x0 + 32 <= sps.width and y0 + 32 <= sps.height \
+                and self.use32 is not None \
+                and self.use32[y0 >> 5, x0 >> 5]:
+            self.w.write_split_flag(x0, y0, log2, depth, 0)
+            mi = self.mi32[y0 >> 5][x0 >> 5]
+            self._code_inter_cu(x0, y0, 5, depth, mi,
+                                int(self.sad32[y0 >> 5, x0 >> 5]), None)
+            return
         if log2 > 4:
             self.w.write_split_flag(x0, y0, log2, depth, 1)
             h = size >> 1
@@ -81,6 +209,13 @@ class PFrameEncoder(IntraFrameEncoder):
 
     # ---------------------------------------------------------------- CU
     def _code_cu_p(self, x0, y0, log2, depth):
+        by, bx = y0 >> 4, x0 >> 4
+        mi, inter_sad = self._block_mi(by, bx)
+        intra_mode = int(self.mode16[by, bx])
+        self._code_inter_cu(x0, y0, log2, depth, mi, inter_sad, intra_mode)
+
+    def _code_inter_cu(self, x0, y0, log2, depth, mi, inter_sad,
+                       intra_mode):
         fs = self.fs
         size = 1 << log2
         b4 = size >> 2
@@ -91,31 +226,31 @@ class PFrameEncoder(IntraFrameEncoder):
             g[y4:y4 + b4, x4] = True
         for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
             g[y4, x4:x4 + b4] = True
-
-        by, bx = y0 >> 4, x0 >> 4
-        lst, mv, inter_sad = self._block_motion(by, bx)
-        intra_mode = int(self.mode16[by, bx])
+        used = [l for l in range(2) if mi.ref_idx[l] >= 0]
         # merge candidates (decoder-identical derivation)
         cands = self.md.merge_candidates(x0, y0, size, x0, y0, size, size,
                                          0, 0)
         merge_idx = -1
-        want_ref = [-1, -1]
-        want_ref[lst] = 0
         for i, c in enumerate(cands):
-            if c.ref_idx == want_ref and c.mv[lst] == mv:
+            if c.ref_idx == mi.ref_idx and \
+                    all(c.mv[l] == mi.mv[l] for l in used):
                 merge_idx = i
                 break
-        # AMVP predictors for rate estimate + mvd
-        amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size, 0,
-                                       lst, 0)
-        mvd0 = [mv[0] - amvp[0][0], mv[1] - amvp[0][1]]
-        mvd1 = [mv[0] - amvp[1][0], mv[1] - amvp[1][1]]
-        mvp_flag = 0 if (abs(mvd0[0]) + abs(mvd0[1])
-                         <= abs(mvd1[0]) + abs(mvd1[1])) else 1
-        mvd = mvd0 if mvp_flag == 0 else mvd1
+        # AMVP predictors + mvd per used list
+        mvds, mvp_flags = {}, {}
+        for l in used:
+            amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size,
+                                           0, l, 0)
+            d0 = [mi.mv[l][0] - amvp[0][0], mi.mv[l][1] - amvp[0][1]]
+            d1 = [mi.mv[l][0] - amvp[1][0], mi.mv[l][1] - amvp[1][1]]
+            f = 0 if (abs(d0[0]) + abs(d0[1])
+                      <= abs(d1[0]) + abs(d1[1])) else 1
+            mvp_flags[l] = f
+            mvds[l] = d0 if f == 0 else d1
         # intra-vs-inter: inter includes mv rate; intra pays header + modes
-        use_intra = inter_sad > self._intra_sad_estimate(x0, y0, size,
-                                                         intra_mode) * 1.15
+        use_intra = (intra_mode is not None and
+                     inter_sad > self._intra_sad_estimate(
+                         x0, y0, size, intra_mode) * 1.15)
         if use_intra:
             self.w.write_skip_flag(x0, y0, 0)
             fs.skip[y4:y4 + b4, x4:x4 + b4] = False
@@ -123,9 +258,6 @@ class PFrameEncoder(IntraFrameEncoder):
             self._code_cu(x0, y0, log2, depth, intra_mode)
             return
         # --- inter: predict via MC, residual decision
-        mi = MotionInfo()
-        mi.ref_idx[lst] = 0
-        mi.mv[lst] = mv
         self._store_motion(x0, y0, size, mi)
         motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size, size,
                           mi)
@@ -149,11 +281,13 @@ class PFrameEncoder(IntraFrameEncoder):
             self.w.write_merge_idx(merge_idx)
         else:
             self.w.write_merge_flag(0)
+            inter_dir = 2 if len(used) == 2 else used[0]
             if self.hdr.slice_type == 0:     # B: inter_pred_idc
-                self.w.write_inter_dir(lst, depth, 32)
-            self.w.write_ref_idx(lst, 0)
-            self.w.write_mvd(mvd)
-            self.w.write_mvp_flag(mvp_flag)
+                self.w.write_inter_dir(inter_dir, depth, 32)
+            for l in used:
+                self.w.write_ref_idx(l, 0)
+                self.w.write_mvd(mvds[l])    # mvd_l1_zero is 0 in our PPS
+                self.w.write_mvp_flag(mvp_flags[l])
         if not (merge_idx >= 0):
             self.w.write_rqt_root_cbf(1 if cbf_any else 0)
         if not cbf_any and merge_idx < 0:
@@ -187,10 +321,12 @@ class PFrameEncoder(IntraFrameEncoder):
         fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
 
     # ------------------------------------------------------------ helpers
-    def _block_motion(self, by, bx):
-        """(list, mv, sad) of this block's chosen uni prediction."""
-        return (0, [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])],
-                int(self.sad16[by, bx]))
+    def _block_mi(self, by, bx):
+        """(MotionInfo, cost) of this block's chosen prediction."""
+        mi = MotionInfo()
+        mi.ref_idx[0] = 0
+        mi.mv[0] = [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])]
+        return mi, int(self.sad16[by, bx])
 
     def _intra_sad_estimate(self, x0, y0, size, mode) -> int:
         """Quick SAD of the chosen intra mode vs source (decision only)."""
@@ -283,17 +419,32 @@ class BFrameEncoder(PFrameEncoder):
         from ..ops import me as jme
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
-        _, self.mode16, _, _ = decide_frame(self.src_y, self.qp)
+        _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)
         ref1 = np.asarray(self.ref_lists[1][0].fs.y)
         mv0, c0, s0 = jme.motion_search_frame(self.src_y, ref0, 16,
                                               SEARCH_RANGE, self.lam_satd)
         mv1, c1, s1 = jme.motion_search_frame(self.src_y, ref1, 16,
                                               SEARCH_RANGE, self.lam_satd)
-        self.dir16 = (c1 < c0).astype(np.int8)
-        self.mv16 = np.where(self.dir16[..., None] == 1, mv1, mv0)
-        self.sad16 = np.where(self.dir16 == 1, s1, s0)
+        if self.subme:
+            from ..ops.subpel import bi_pred_cost, refine_subpel_frame
+            pw, ph = self.sps.width, self.sps.height
+            mv0, s0 = refine_subpel_frame(self.src_y, ref0, mv0 >> 2, 16,
+                                          pw, ph)
+            mv1, s1 = refine_subpel_frame(self.src_y, ref1, mv1 >> 2, 16,
+                                          pw, ph)
+            sbi = bi_pred_cost(self.src_y, ref0, ref1, mv0, mv1, 16, pw, ph)
+            bi_bias = self.lam_satd * 8          # extra mvd/refidx bits
+            best_uni = np.minimum(s0, s1)
+            self.dir16 = np.where(sbi + bi_bias < best_uni, 2,
+                                  (s1 < s0).astype(np.int8)).astype(np.int8)
+            self.sad16 = np.minimum(best_uni, sbi + bi_bias)
+        else:
+            self.dir16 = (c1 < c0).astype(np.int8)
+            self.sad16 = np.where(self.dir16 == 1, s1, s0)
+        self.mv0q, self.mv1q = mv0, mv1
         self.frame_cplx = float(self.sad16.sum())
+        self._decide_cu32()
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
         for addr in range(nctb):
@@ -305,7 +456,13 @@ class BFrameEncoder(PFrameEncoder):
             self.w.end_ctu(addr == nctb - 1)
         return self.w.finish()
 
-    def _block_motion(self, by, bx):
-        return (int(self.dir16[by, bx]),
-                [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])],
-                int(self.sad16[by, bx]))
+    def _block_mi(self, by, bx):
+        mi = MotionInfo()
+        d = int(self.dir16[by, bx])
+        if d in (0, 2):
+            mi.ref_idx[0] = 0
+            mi.mv[0] = [int(self.mv0q[by, bx, 0]), int(self.mv0q[by, bx, 1])]
+        if d in (1, 2):
+            mi.ref_idx[1] = 0
+            mi.mv[1] = [int(self.mv1q[by, bx, 0]), int(self.mv1q[by, bx, 1])]
+        return mi, int(self.sad16[by, bx])

@@ -27,8 +27,9 @@ from ..ops import intra as jintra
 from ..ops import transforms as jt
 from .sbac import CtuSyntaxWriter
 
-# mode-header bit estimate used only for the split decision bias
-_HDR_BITS = 6.0
+# per-CU header bit estimate by size (split flags, part/mode/cbf syntax)
+# used only for the split decision bias — small CUs pay more per pixel
+_HDR_BITS = {8: 14.0, 16: 8.0, 32: 6.0}
 
 
 def _build_source_refs(plane: np.ndarray, n: int, bd: int = 8):
@@ -107,7 +108,7 @@ def decide_frame(src_y: np.ndarray, qp: int):
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
     lam_satd = float(np.sqrt(lam))
     out = {}
-    for n in (16, 32):
+    for n in (8, 16, 32):
         refs = _build_source_refs(src_y, n)
         nby, nbx, L = refs.shape
         refs_u = refs.reshape(-1, L)
@@ -118,16 +119,21 @@ def decide_frame(src_y: np.ndarray, qp: int):
                   .reshape(-1, n, n))
         best, cost = _mode_costs(jnp.asarray(refs_u), jnp.asarray(refs_f),
                                  jnp.asarray(blocks), n,
-                                 lam_satd * _HDR_BITS)
+                                 lam_satd * _HDR_BITS[n])
         out[n] = (np.asarray(best).reshape(nby, nbx),
                   np.asarray(cost).reshape(nby, nbx))
+    mode8, cost8 = out[8]
     mode16, cost16 = out[16]
     mode32, cost32 = out[32]
-    c16sum = (cost16.reshape(cost16.shape[0] // 2, 2,
-                             cost16.shape[1] // 2, 2).sum(axis=(1, 3)))
+    c8sum = (cost8.reshape(cost8.shape[0] // 2, 2,
+                           cost8.shape[1] // 2, 2).sum(axis=(1, 3)))
+    split16 = c8sum < cost16
+    best16 = np.minimum(c8sum, cost16)
+    c16sum = (best16.reshape(best16.shape[0] // 2, 2,
+                             best16.shape[1] // 2, 2).sum(axis=(1, 3)))
     split32 = c16sum < cost32
     frame_cplx = float(np.minimum(c16sum, cost32).sum())
-    return split32, mode16, mode32, frame_cplx
+    return (split32, mode16, mode32, frame_cplx, split16, mode8)
 
 
 class IntraFrameEncoder:
@@ -161,8 +167,8 @@ class IntraFrameEncoder:
 
     def encode(self) -> bytes:
         fs, sps = self.fs, self.sps
-        self.split32, self.mode16, self.mode32, self.frame_cplx = \
-            decide_frame(self.src_y, self.qp)
+        (self.split32, self.mode16, self.mode32, self.frame_cplx,
+         self.split16, self.mode8) = decide_frame(self.src_y, self.qp)
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
         for addr in range(nctb):
@@ -180,10 +186,12 @@ class IntraFrameEncoder:
         size = 1 << log2
         inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
         min_cb = sps.log2_min_cb
-        if log2 > 4:
-            split = True            # 64 and any 32-with... see below
-            if log2 == 5 and inside:
-                split = bool(self.split32[y0 >> 5, x0 >> 5])
+        if log2 > 5:
+            split = True
+        elif log2 == 5:
+            split = bool(self.split32[y0 >> 5, x0 >> 5]) if inside else True
+        elif log2 == 4:
+            split = bool(self.split16[y0 >> 4, x0 >> 4]) if inside else True
         else:
             split = False
         if not inside and log2 > min_cb:
@@ -198,8 +206,12 @@ class IntraFrameEncoder:
                 if x1 < sps.width and y1 < sps.height:
                     self._code_cq(x1, y1, log2 - 1, depth + 1)
             return
-        mode = (int(self.mode32[y0 >> 5, x0 >> 5]) if log2 == 5
-                else int(self.mode16[y0 >> 4, x0 >> 4]))
+        if log2 == 5:
+            mode = int(self.mode32[y0 >> 5, x0 >> 5])
+        elif log2 == 4:
+            mode = int(self.mode16[y0 >> 4, x0 >> 4])
+        else:
+            mode = int(self.mode8[y0 >> 3, x0 >> 3])
         self._code_cu(x0, y0, log2, depth, mode)
 
     # ----------------------------------------------------------------- CU

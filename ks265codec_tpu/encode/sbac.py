@@ -15,6 +15,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream.cabac import CabacEnc
+
+try:
+    from .. import native as _native
+except Exception:                      # pragma: no cover
+    _native = None
 from ..hevc import cabac_tables as CT
 from ..hevc.cabac_tables import CTX_OFFSET, scan_order, sig_ctx_inc
 
@@ -268,15 +273,19 @@ class CtuSyntaxWriter:
         (n,n) with at least one nonzero."""
         enc = self.enc
         n = 1 << log2
-        if self.pps.transform_skip_enabled and log2 == 2:
-            enc.encode_bin(0, CTX_OFFSET["transform_skip"]
-                           + (0 if c_idx == 0 else 1))
         scan_idx = 0
         if intra_mode is not None and (log2 == 2 or (log2 == 3 and c_idx == 0)):
             if 6 <= intra_mode <= 14:
                 scan_idx = 2
             elif 22 <= intra_mode <= 30:
                 scan_idx = 1
+        wtz = int(self.pps.transform_skip_enabled and log2 == 2)
+        if _native is not None and _native.HAVE_NATIVE:
+            _native.write_residual(enc, coeffs, log2, c_idx, scan_idx, wtz)
+            return
+        if wtz:
+            enc.encode_bin(0, CTX_OFFSET["transform_skip"]
+                           + (0 if c_idx == 0 else 1))
         sb_scan, in_scan = scan_order(log2, scan_idx)
         nsb = 1 << (log2 - 2)
         # last significant position in scan order
