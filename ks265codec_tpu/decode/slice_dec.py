@@ -102,6 +102,7 @@ class SliceDecoder:
                  rbsp: bytes, data_start: int, slice_idx: int,
                  ref_lists=None):
         self.fs = fs
+        self.data_start = data_start
         self.sps = sps
         self.pps = pps
         self.hdr = hdr
@@ -163,9 +164,9 @@ class SliceDecoder:
                 break
 
     def _entry_byte_offset(self, entry_idx: int) -> int:
-        base = (self.cabac.bitpos + 7) >> 3  # not used; entry points are cumulative
-        # entry points are relative to slice data start
-        raise NotImplementedError("WPP entry-point decode wired when needed")
+        """Start byte of WPP substream entry_idx+1: entry_points[i] holds
+        the byte size of substream i (spec 7.4.7.1 offset_minus1+1)."""
+        return self.data_start + sum(self.hdr.entry_points[:entry_idx + 1])
 
     # ---------------------------------------------------------------- CTU
     def _decode_ctu(self, rx: int, ry: int) -> None:

@@ -37,6 +37,7 @@ class EncodedFrame:
     bits: int
     slice_type: str = "I"
     psnr: tuple[float, float, float] | None = None
+    ssim: tuple[float, float, float] | None = None
     display_idx: int = -1
 
 
@@ -182,6 +183,26 @@ class HevcEncoder:
 
     delayed_frames = flush
 
+    # ----------------------------------------------------- runtime control
+    def reconfig(self, bitrate_kbps: int | None = None,
+                 qp: int | None = None, crf: float | None = None) -> None:
+        """Mid-stream rate reconfiguration (QY265EncoderReconfig,
+        qy265enc.h:200): takes effect from the next coded picture."""
+        if bitrate_kbps is not None:
+            self.cfg.bitrate_kbps = bitrate_kbps
+            self.rc.target_bps = bitrate_kbps * 1000.0
+        if qp is not None:
+            self.cfg.qp = qp
+        if crf is not None:
+            from .rc import qp_to_qscale
+            self.cfg.crf = crf
+            self.rc.crf_qscale = qp_to_qscale(crf)
+
+    def keyframe_request(self) -> None:
+        """Force an IDR at the next input frame
+        (QY265EncoderKeyFrameRequest, qy265enc.h:218)."""
+        self._force_idr = True
+
     def _gop_n(self) -> int:
         from .gop import gop_size
         if self.cfg.intra_period == 1:
@@ -196,6 +217,12 @@ class HevcEncoder:
         gop_n = self._gop_n()
         while self.queue:
             idx0 = self.queue[0][0]
+            if getattr(self, "_force_idr", False):
+                self._force_idr = False
+                di, frame = self.queue.pop(0)
+                out.append(self._encode_picture(frame, di, None,
+                                                is_idr=True))
+                continue
             if idx0 == 0 or (iper > 0 and idx0 % iper == 0):
                 di, frame = self.queue.pop(0)
                 out.append(self._encode_picture(frame, di, None,
@@ -326,6 +353,9 @@ class HevcEncoder:
         ef.display_idx = display_idx
         if cfg.psnr:
             ef.psnr = _psnr(frame, recon)
+        if cfg.ssim:
+            from ..utils.metrics import frame_ssim
+            ef.ssim = frame_ssim(frame, recon)
         self.rc.update(ef.slice_type, tid, qp, ef.bits,
                        getattr(enc, "frame_cplx", 1e5))
         return ef

@@ -91,13 +91,14 @@ def _filter_refs_batch(refs: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("n",))
 def _mode_costs(refs_u, refs_f, src_blocks, n, lam_bits):
-    """Batched: best mode + cost per block. src_blocks (N, n, n)."""
+    """Batched: best mode + cost per block. src_blocks (N, n, n).
+
+    Two separate jit dispatches (predict, then SATD): fusing them into one
+    jit triggers a pathologically slow XLA emitter for the gather+matmul
+    combination at small block sizes."""
     preds = jintra.predict_all_modes(refs_u, refs_f, n, True)   # (N,35,n,n)
     costs = jcost.satd(preds, src_blocks[:, None], 8)           # (N,35)
-    # small fixed bit cost differences: non-MPM modes cost ~5 bits more;
-    # without neighbor context at decision time, charge every mode equally
     best = jnp.argmin(costs, axis=1)
     return best, jnp.min(costs, axis=1) + lam_bits
 

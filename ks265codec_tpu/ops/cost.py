@@ -34,18 +34,24 @@ def sad(a: jax.Array, b: jax.Array) -> jax.Array:
 
 @jax.jit
 def satd4(a: jax.Array, b: jax.Array) -> jax.Array:
-    """4x4 Hadamard SATD per block, HM normalization ((sum+1)>>1)."""
-    d = (a - b).astype(jnp.int32)
-    t = _H4 @ d @ _H4
-    return (jnp.sum(jnp.abs(t), axis=(-2, -1)) + 1) >> 1
+    """4x4 Hadamard SATD per block, HM normalization ((sum+1)>>1).
+
+    Computed in f32 (exact: |d| <= 2^15, Hadamard sums < 2^24) — XLA
+    compiles float matmuls far faster than integer dots and they hit the
+    MXU on TPU."""
+    d = (a - b).astype(jnp.float32)
+    t = _H4.astype(jnp.float32) @ d @ _H4.astype(jnp.float32)
+    s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)
+    return (s + 1) >> 1
 
 
 @jax.jit
 def satd8(a: jax.Array, b: jax.Array) -> jax.Array:
     """8x8 Hadamard SATD per block, HM normalization ((sum+2)>>2)."""
-    d = (a - b).astype(jnp.int32)
-    t = _H8 @ d @ _H8
-    return (jnp.sum(jnp.abs(t), axis=(-2, -1)) + 2) >> 2
+    d = (a - b).astype(jnp.float32)
+    t = _H8.astype(jnp.float32) @ d @ _H8.astype(jnp.float32)
+    s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)
+    return (s + 2) >> 2
 
 
 @partial(jax.jit, static_argnames=("block",))

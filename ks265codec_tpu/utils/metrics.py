@@ -46,3 +46,29 @@ def _ssim_8x8(a: np.ndarray, b: np.ndarray) -> float:
 
 def ssim_frame(a: YUVFrame, b: YUVFrame) -> float:
     return _ssim_8x8(a.y, b.y)
+
+
+def ssim_plane(a, b, c1=(0.01 * 255) ** 2, c2=(0.03 * 255) ** 2):
+    """Mean SSIM over 8x8 blocks (x264-style grid SSIM, matching the
+    reference's calcYuvSsim methodology — SURVEY.md 2.3 PSNR/SSIM)."""
+    import numpy as np
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    h, w = a.shape
+    h8, w8 = h // 8 * 8, w // 8 * 8
+    ab = a[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    bb = b[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    mu_a = ab.mean(axis=(2, 3))
+    mu_b = bb.mean(axis=(2, 3))
+    var_a = ab.var(axis=(2, 3))
+    var_b = bb.var(axis=(2, 3))
+    cov = (ab * bb).mean(axis=(2, 3)) - mu_a * mu_b
+    ssim = (((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+            / ((mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)))
+    return float(ssim.mean())
+
+
+def frame_ssim(a, b):
+    """(Y, U, V) SSIM of two YUVFrames."""
+    return (ssim_plane(a.y, b.y), ssim_plane(a.u, b.u),
+            ssim_plane(a.v, b.v))

@@ -89,3 +89,19 @@ def test_matches_appdecoder_md5(ref_codec, stream_ai_full):
     for line, f in zip(md5_lines, frames):
         want = line.split("MD5 ")[1].split(",")
         assert list(frame_md5(f)) == want
+
+
+def test_wpp_streams(ref_codec, yuv_320x192):
+    """WPP entropy sync: per-row CABAC substreams + entry points."""
+    bs = CACHE / "wpp_qp30.265"
+    rec = CACHE / "wpp_qp30_rec.yuv"
+    if not bs.exists():
+        import subprocess
+        subprocess.run(
+            [str(ref_codec.enc), "-i", str(yuv_320x192), "-wdt", "320",
+             "-hgt", "192", "-frms", "5", "-fr", "30", "-b", str(bs),
+             "-o", str(rec), "-threads", "4", "-wpp", "1", "-fpp", "0",
+             "-preset", "medium", "-latency", "offline", "-rc", "0",
+             "-qp", "30", "-iper", "64"],
+            check=True, capture_output=True, cwd=str(CACHE))
+    _assert_bit_exact(bs, rec, nframes=5)
