@@ -124,44 +124,116 @@ def deblock_frame(fs: FrameState, beta_offset_div2: int = 0,
 
 
 def _deblock_luma_pass(fs, bs, vertical, boff, toff):
+    """Vectorized over all 4-line edge segments of the frame (they are
+    independent by construction: vertical 8x8-grid edges never share
+    samples; same for horizontal)."""
     y_plane = fs.y
     pw, ph = fs.sps.width, fs.sps.height
     ey, ex = np.nonzero(bs > 0)
-    for by, bx in zip(ey, ex):
-        x = bx * 4
-        y = by * 4
-        if x >= pw or y >= ph:
-            continue
-        strength = int(bs[by, bx])
-        qp_q = int(fs.qp[by, bx])
-        qp_p = int(fs.qp[by, bx - 1] if vertical else fs.qp[by - 1, bx])
-        qpl = (qp_p + qp_q + 1) >> 1
-        qb = min(max(qpl + (boff << 1), 0), 51)
-        beta = BETA_TABLE[qb]
-        qt = min(max(qpl + 2 * (strength - 1) + (toff << 1), 0), 53)
-        tc = TC_TABLE[qt]
-        if beta == 0:
-            continue
-        if vertical:
-            # segment: rows y..y+3, edge at column x
-            seg = y_plane[y:y + 4, x - 4:x + 4]  # p3..p0 q0..q3
-            p = seg[:, 3::-1]  # p0..p3 left side reversed
-            q = seg[:, 4:8]
-        else:
-            seg = y_plane[y - 4:y + 4, x:x + 4]
-            p = seg[3::-1, :].T  # rows: line idx, cols: p0..p3
-            q = seg[4:8, :].T
-        p = p.astype(np.int32)
-        q = q.astype(np.int32)
-        new_p, new_q, changed = _filter_luma_segment(p, q, beta, tc)
-        if not changed:
-            continue
-        if vertical:
-            y_plane[y:y + 4, x - 3:x] = new_p[:, 2::-1]
-            y_plane[y:y + 4, x:x + 3] = new_q[:, :3]
-        else:
-            y_plane[y - 3:y, x:x + 4] = new_p.T[2::-1, :]
-            y_plane[y:y + 3, x:x + 4] = new_q.T[:3, :]
+    if len(ey) == 0:
+        return
+    x = ex * 4
+    y = ey * 4
+    keep = (x < pw) & (y < ph)
+    ey, ex, x, y = ey[keep], ex[keep], x[keep], y[keep]
+    if len(ey) == 0:
+        return
+    strength = bs[ey, ex].astype(np.int32)
+    qp_q = fs.qp[ey, ex].astype(np.int32)
+    qp_p = (fs.qp[ey, ex - 1] if vertical else fs.qp[ey - 1, ex]).astype(np.int32)
+    qpl = (qp_p + qp_q + 1) >> 1
+    beta = np.asarray(BETA_TABLE)[np.clip(qpl + (boff << 1), 0, 51)]
+    tc = np.asarray(TC_TABLE)[np.clip(qpl + 2 * (strength - 1) + (toff << 1),
+                                      0, 53)]
+    sel = beta > 0
+    ey, ex, x, y = ey[sel], ex[sel], x[sel], y[sel]
+    beta, tc = beta[sel].astype(np.int32), tc[sel].astype(np.int32)
+    if len(ey) == 0:
+        return
+    # gather segments (N, 4 lines, 8 samples p3..p0 q0..q3)
+    if vertical:
+        rows = y[:, None] + np.arange(4)
+        cols = x[:, None] - 4 + np.arange(8)
+        seg = y_plane[rows[:, :, None], cols[:, None, :]].astype(np.int32)
+    else:
+        rows = y[:, None] - 4 + np.arange(8)
+        cols = x[:, None] + np.arange(4)
+        seg = y_plane[rows[:, :, None], cols[:, None, :]].astype(np.int32)
+        seg = seg.transpose(0, 2, 1)          # lines = columns
+    p = seg[:, :, 3::-1]                      # (N, 4, p0..p3)
+    q = seg[:, :, 4:8]
+    new_p, new_q, changed = _filter_luma_segments(p, q, beta, tc)
+    ci = np.nonzero(changed)[0]
+    if len(ci) == 0:
+        return
+    if vertical:
+        rows = y[ci, None] + np.arange(4)
+        colp = x[ci, None] - 3 + np.arange(3)
+        colq = x[ci, None] + np.arange(3)
+        y_plane[rows[:, :, None], colp[:, None, :]] = new_p[ci][:, :, 2::-1]
+        y_plane[rows[:, :, None], colq[:, None, :]] = new_q[ci][:, :, :3]
+    else:
+        rowp = y[ci, None] - 3 + np.arange(3)
+        rowq = y[ci, None] + np.arange(3)
+        cols = x[ci, None] + np.arange(4)
+        npv = new_p[ci][:, :, 2::-1].transpose(0, 2, 1)  # (N,3,4 lines)
+        nqv = new_q[ci][:, :, :3].transpose(0, 2, 1)
+        y_plane[rowp[:, :, None], cols[:, None, :]] = npv
+        y_plane[rowq[:, :, None], cols[:, None, :]] = nqv
+
+
+def _filter_luma_segments(p, q, beta, tc):
+    """Batched luma edge filter: p,q (N,4,4) int32 lines x p0..p3/q0..q3;
+    beta,tc (N,). Returns (new_p, new_q, changed mask) with new_* (N,4,3).
+    Bit-exact vectorization of _filter_luma_segment."""
+    dp = np.abs(p[:, :, 2] - 2 * p[:, :, 1] + p[:, :, 0])   # (N,4)
+    dq = np.abs(q[:, :, 2] - 2 * q[:, :, 1] + q[:, :, 0])
+    d0 = dp[:, 0] + dq[:, 0]
+    d3 = dp[:, 3] + dq[:, 3]
+    d = d0 + d3
+    filt = d < beta
+
+    def dsam(i):
+        return ((2 * (dp[:, i] + dq[:, i]) < (beta >> 2))
+                & (np.abs(p[:, i, 3] - p[:, i, 0])
+                   + np.abs(q[:, i, 0] - q[:, i, 3]) < (beta >> 3))
+                & (np.abs(p[:, i, 0] - q[:, i, 0]) < ((5 * tc + 1) >> 1)))
+
+    strong = dsam(0) & dsam(3)
+    p0, p1, p2, p3 = p[:, :, 0], p[:, :, 1], p[:, :, 2], p[:, :, 3]
+    q0, q1, q2, q3 = q[:, :, 0], q[:, :, 1], q[:, :, 2], q[:, :, 3]
+    t2 = (2 * tc)[:, None]
+    sp0 = _clip3(p0 - t2, p0 + t2, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+    sp1 = _clip3(p1 - t2, p1 + t2, (p2 + p1 + p0 + q0 + 2) >> 2)
+    sp2 = _clip3(p2 - t2, p2 + t2, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    sq0 = _clip3(q0 - t2, q0 + t2, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+    sq1 = _clip3(q1 - t2, q1 + t2, (q2 + q1 + q0 + p0 + 2) >> 2)
+    sq2 = _clip3(q2 - t2, q2 + t2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+    # weak
+    tcv = tc[:, None]
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    apply = np.abs(delta) < tcv * 10
+    delta = _clip3(-tcv, tcv, delta)
+    wp0 = np.where(apply, np.clip(p0 + delta, 0, 255), p0)
+    wq0 = np.where(apply, np.clip(q0 - delta, 0, 255), q0)
+    tc2 = (tc >> 1)[:, None]
+    dep1 = ((dp[:, 0] + dp[:, 3]) < ((beta + (beta >> 1)) >> 3))[:, None]
+    deq1 = ((dq[:, 0] + dq[:, 3]) < ((beta + (beta >> 1)) >> 3))[:, None]
+    dp1 = _clip3(-tc2, tc2, (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1)
+    wp1 = np.where(dep1 & apply, np.clip(p1 + dp1, 0, 255), p1)
+    dq1 = _clip3(-tc2, tc2, (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1)
+    wq1 = np.where(deq1 & apply, np.clip(q1 + dq1, 0, 255), q1)
+    sm = strong[:, None]
+    changed = filt & (strong | (tc > 0))
+    new_p = np.stack([np.where(sm, sp0, wp0), np.where(sm, sp1, wp1),
+                      np.where(sm, sp2, p2)], axis=2)
+    new_q = np.stack([np.where(sm, sq0, wq0), np.where(sm, sq1, wq1),
+                      np.where(sm, sq2, q2)], axis=2)
+    # segments that don't filter keep originals
+    keepm = ~changed[:, None, None]
+    new_p = np.where(keepm, p[:, :, :3], new_p)
+    new_q = np.where(keepm, q[:, :, :3], new_q)
+    return new_p, new_q, changed
 
 
 def _filter_luma_segment(p, q, beta, tc):
@@ -216,45 +288,52 @@ def _filter_luma_segment(p, q, beta, tc):
 
 
 def _deblock_chroma_pass(fs, bs, vertical, toff, cb_qp_offset, cr_qp_offset):
-    """Chroma deblock: bs==2 edges on the 16-luma-sample grid (4:2:0)."""
+    """Chroma deblock, vectorized: bs==2 edges on the 16-luma grid."""
     pw, ph = fs.sps.width, fs.sps.height
     ey, ex = np.nonzero(bs == 2)
+    if len(ey) == 0:
+        return
+    xl = ex * 4
+    yl = ey * 4
+    keep = (xl < pw) & (yl < ph)
+    keep &= (xl % 16 == 0) if vertical else (yl % 16 == 0)
+    ey, ex, xl, yl = ey[keep], ex[keep], xl[keep], yl[keep]
+    if len(ey) == 0:
+        return
+    qp_q = fs.qp[ey, ex].astype(np.int32)
+    qp_p = (fs.qp[ey, ex - 1] if vertical else fs.qp[ey - 1, ex]).astype(np.int32)
+    qpl = (qp_p + qp_q + 1) >> 1
+    chroma_lut = np.array([chroma_qp(i) for i in range(80)], np.int32)
     for plane, qpoff in ((fs.cb, cb_qp_offset), (fs.cr, cr_qp_offset)):
-        for by, bx in zip(ey, ex):
-            xl = bx * 4
-            yl = by * 4
-            if vertical:
-                if xl % 16 != 0:
-                    continue
-            else:
-                if yl % 16 != 0:
-                    continue
-            if xl >= pw or yl >= ph:
-                continue
-            qp_q = int(fs.qp[by, bx])
-            qp_p = int(fs.qp[by, bx - 1] if vertical else fs.qp[by - 1, bx])
-            qpi = ((qp_p + qp_q + 1) >> 1) + qpoff
-            qpc = chroma_qp(qpi)
-            qt = min(max(qpc + 2 + (toff << 1), 0), 53)
-            tc = TC_TABLE[qt]
-            if tc == 0:
-                continue
-            xc, yc = xl // 2, yl // 2
-            if vertical:
-                seg = plane[yc:yc + 2, xc - 2:xc + 2].astype(np.int32)
-                p1, p0, q0, q1 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
-            else:
-                seg = plane[yc - 2:yc + 2, xc:xc + 2].astype(np.int32)
-                p1, p0, q0, q1 = seg[0, :], seg[1, :], seg[2, :], seg[3, :]
-            delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
-            np0 = np.clip(p0 + delta, 0, 255)
-            nq0 = np.clip(q0 - delta, 0, 255)
-            if vertical:
-                plane[yc:yc + 2, xc - 1] = np0
-                plane[yc:yc + 2, xc] = nq0
-            else:
-                plane[yc - 1, xc:xc + 2] = np0
-                plane[yc, xc:xc + 2] = nq0
+        qpc = chroma_lut[np.clip(qpl + qpoff, 0, 79)]
+        tc = np.asarray(TC_TABLE)[np.clip(qpc + 2 + (toff << 1), 0, 53)]
+        sel = tc > 0
+        if not sel.any():
+            continue
+        tcs = tc[sel].astype(np.int32)[:, None]
+        xc = (xl[sel] // 2)
+        yc = (yl[sel] // 2)
+        if vertical:
+            rows = yc[:, None] + np.arange(2)
+            cols = xc[:, None] - 2 + np.arange(4)
+            seg = plane[rows[:, :, None], cols[:, None, :]].astype(np.int32)
+            p1, p0, q0, q1 = (seg[:, :, 0], seg[:, :, 1],
+                              seg[:, :, 2], seg[:, :, 3])
+        else:
+            rows = yc[:, None] - 2 + np.arange(4)
+            cols = xc[:, None] + np.arange(2)
+            seg = plane[rows[:, :, None], cols[:, None, :]].astype(np.int32)
+            p1, p0, q0, q1 = (seg[:, 0, :], seg[:, 1, :],
+                              seg[:, 2, :], seg[:, 3, :])
+        delta = _clip3(-tcs, tcs, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+        np0 = np.clip(p0 + delta, 0, 255)
+        nq0 = np.clip(q0 - delta, 0, 255)
+        if vertical:
+            plane[rows, xc[:, None] - 1] = np0
+            plane[rows, xc[:, None]] = nq0
+        else:
+            plane[yc[:, None] - 1, cols] = np0
+            plane[yc[:, None], cols] = nq0
 
 
 # ----------------------------------------------------------------- SAO
