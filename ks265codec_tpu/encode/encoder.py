@@ -145,7 +145,7 @@ class HevcEncoder:
         p.weighted_bipred = 0
         p.transquant_bypass_enabled = 0
         p.tiles_enabled = 0
-        p.entropy_coding_sync_enabled = 0
+        p.entropy_coding_sync_enabled = 1 if cfg.wpp else 0
         p.loop_filter_across_slices = 1
         p.deblocking_filter_control_present = 1
         p.deblocking_filter_override_enabled = 0
@@ -285,6 +285,11 @@ class HevcEncoder:
             pic_order_cnt_lsb=poc & 0xFF,
         )
         hdr.poc = poc        # MotionDeriver scaling / no_backward need it
+        # inherit PPS deblock state so header writing/parsing agree on
+        # whether the loop_filter_across_slices flag is present
+        hdr.deblocking_filter_disabled = self.pps.deblocking_filter_disabled
+        hdr.beta_offset_div2 = self.pps.beta_offset_div2
+        hdr.tc_offset_div2 = self.pps.tc_offset_div2
         fs = FrameState(self.sps)
         fs.poc = poc
         by_poc = {rp.poc: rp for rp in self.dpb}
@@ -319,16 +324,20 @@ class HevcEncoder:
                 enc = PFrameEncoder(*args, [l0, []], subme=cfg.subme)
         cabac_payload = enc.encode()
         tail_val, tail_n = enc.w.enc.get_tail_bits()
-        bw = write_slice_header(hdr, self.sps, self.pps)
-        assert bw.byte_aligned()
-        rbsp = bytearray(bw.getvalue())
-        rbsp += cabac_payload
         acc = (tail_val << 1) | 1
         nbits = tail_n + 1
         pad = (8 - nbits % 8) % 8
         acc <<= pad
         nbits += pad
-        rbsp += int(acc).to_bytes(nbits // 8, "big")
+        last_sub = bytes(cabac_payload) + int(acc).to_bytes(nbits // 8, "big")
+        if self.pps.entropy_coding_sync_enabled:
+            hdr.num_entry_points = len(enc.entry_points)
+            hdr.entry_points = list(enc.entry_points)
+        bw = write_slice_header(hdr, self.sps, self.pps)
+        assert bw.byte_aligned()
+        rbsp = bytearray(bw.getvalue())
+        rbsp += getattr(enc, "_wpp_prefix", b"")
+        rbsp += last_sub
         data = b""
         if is_idr and (not self.headers_written
                        or self.cfg.headers_before_keyframe):

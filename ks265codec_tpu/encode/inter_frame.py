@@ -37,9 +37,8 @@ class PFrameEncoder(IntraFrameEncoder):
         self.lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         self.lam_satd = float(np.sqrt(self.lam))
 
-    def encode(self) -> bytes:
+    def _pre_analyze(self) -> None:
         from .intra_frame import decide_frame
-        fs, sps = self.fs, self.sps
         # device passes: intra analysis + dense ME against ref 0
         _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
         ref_y = np.asarray(self.ref_lists[0][0].fs.y)
@@ -52,16 +51,9 @@ class PFrameEncoder(IntraFrameEncoder):
                 self.sps.width, self.sps.height)
         self.frame_cplx = float(self.sad16.sum())
         self._decide_cu32()
-        wctb = sps.pic_width_in_ctbs
-        nctb = wctb * sps.pic_height_in_ctbs
-        for addr in range(nctb):
-            rx, ry = addr % wctb, addr // wctb
-            x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
-            cs = sps.ctb_size
-            fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
-            self._code_ctu_p(x0, y0)
-            self.w.end_ctu(addr == nctb - 1)
-        return self.w.finish()
+
+    def _code_ctu(self, x0: int, y0: int) -> None:
+        self._code_ctu_p(x0, y0)
 
 
     # ----------------------------------------------- large-CU (32) decision
@@ -415,7 +407,7 @@ class BFrameEncoder(PFrameEncoder):
     (explicit bi-prediction lands with the sub-pel refinement pass; merge
     candidates may still carry bi motion from spatial neighbors)."""
 
-    def encode(self) -> bytes:
+    def _pre_analyze(self) -> None:
         from ..ops import me as jme
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
@@ -445,16 +437,6 @@ class BFrameEncoder(PFrameEncoder):
         self.mv0q, self.mv1q = mv0, mv1
         self.frame_cplx = float(self.sad16.sum())
         self._decide_cu32()
-        wctb = sps.pic_width_in_ctbs
-        nctb = wctb * sps.pic_height_in_ctbs
-        for addr in range(nctb):
-            rx, ry = addr % wctb, addr // wctb
-            x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
-            cs = sps.ctb_size
-            fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
-            self._code_ctu_p(x0, y0)
-            self.w.end_ctu(addr == nctb - 1)
-        return self.w.finish()
 
     def _block_mi(self, by, bx):
         mi = MotionInfo()

@@ -166,19 +166,49 @@ class IntraFrameEncoder:
         out[h:, w:] = plane[h - 1, w - 1]
         return out
 
-    def encode(self) -> bytes:
-        fs, sps = self.fs, self.sps
+    def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
          self.split16, self.mode8) = decide_frame(self.src_y, self.qp)
+
+    def _code_ctu(self, x0: int, y0: int) -> None:
+        self._code_cq(x0, y0, self.sps.log2_ctb, 0)
+
+    def encode(self):
+        """Code all CTUs. Returns slice data bytes (WPP: also sets
+        self.entry_points = substream byte sizes, all but the last)."""
+        fs, sps = self.fs, self.sps
+        self._pre_analyze()
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
+        wpp = bool(self.pps.entropy_coding_sync_enabled)
+        substreams: list[bytes] = []
+        saved_ctx = None
+        self.entry_points = []
         for addr in range(nctb):
             rx, ry = addr % wctb, addr // wctb
+            if wpp and rx == 0 and ry > 0:
+                self.w.start_substream(saved_ctx)
             x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
             cs = sps.ctb_size
             fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
-            self._code_cq(x0, y0, sps.log2_ctb, 0)
-            self.w.end_ctu(addr == nctb - 1)
+            self._code_ctu(x0, y0)
+            if wpp and rx == min(1, wctb - 1):
+                saved_ctx = self.w.enc.save_ctx()
+            last = addr == nctb - 1
+            self.w.end_ctu(last)
+            if wpp and rx == wctb - 1 and not last:
+                # end_of_subset_one_bit + byte alignment, then a fresh
+                # engine for the next row
+                self.w.enc.encode_terminate(1)
+                sub = self.w.finish_substream()
+                substreams.append(sub)
+                self.entry_points.append(len(sub))
+        if wpp:
+            # final substream flushed by the caller's slice-end handling;
+            # prepend the finished rows
+            self._wpp_prefix = b"".join(substreams)
+        else:
+            self._wpp_prefix = b""
         return self.w.finish()
 
     # ------------------------------------------------------------ quadtree

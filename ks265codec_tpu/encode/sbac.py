@@ -467,3 +467,24 @@ class CtuSyntaxWriter:
 
     def finish(self) -> bytes:
         return self.enc.finish()
+
+    # ------------------------------------------------- WPP substreams
+    def finish_substream(self) -> bytes:
+        """Flush the current engine into byte-aligned substream bytes
+        (finish + stop bit + zero align, HM encodeSliceFinish)."""
+        payload = bytearray(self.enc.finish())
+        tv, tn = self.enc.get_tail_bits()
+        acc = (tv << 1) | 1
+        nb = tn + 1
+        pad = (8 - nb % 8) % 8
+        acc <<= pad
+        nb += pad
+        payload += int(acc).to_bytes(nb // 8, "big")
+        return bytes(payload)
+
+    def start_substream(self, saved_ctx) -> None:
+        """New engine for the next CTB row, contexts inherited from the
+        saved state after CTU 1 of the row above (initSliceWPP analog)."""
+        ctx = self.enc.ctx            # same backing array
+        ctx[:] = saved_ctx
+        self.enc = CabacEnc(ctx)

@@ -189,3 +189,25 @@ def test_rate_control_roundtrip(rc_mode, kw):
         # bitrate within a loose factor of target
         kbps = len(bs) * 8 * 30.0 / 6 / 1000.0
         assert kbps < kw["bitrate_kbps"] * 3.5, f"way over target: {kbps}"
+
+
+def test_wpp_encode_roundtrip():
+    """Encoder WPP substreams: per-row engines, ctx inheritance, entry
+    points. (cfg.wpp defaults on, so this pins the explicit case.)"""
+    frames = _frames(3, seed=41)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+                        intra_period=0, latency="zerolatency", wpp=True)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+
+
+def test_no_wpp_encode_roundtrip():
+    frames = _frames(2, seed=42)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+                        intra_period=1, wpp=False)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
