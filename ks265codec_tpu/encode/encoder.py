@@ -59,8 +59,19 @@ class HevcEncoder:
         self.headers_written = False
         self.dpb: list[RefPic] = []      # encoder-side reference pictures
         self.queue: list[tuple[int, YUVFrame]] = []
-        from .rc import RateControl
+        from .rc import RateControl, TwoPassStats
         self.rc = RateControl(cfg)
+        self.stats = None
+        self.pass2_dqp = {}
+        if cfg.pass_num == 1:
+            self.stats = TwoPassStats(cfg.stat_file)
+        elif cfg.pass_num == 2:
+            try:
+                self.pass2_dqp = TwoPassStats.read(
+                    cfg.stat_file).qp_offsets(cfg.bitrate_kbps * 1000.0,
+                                              cfg.frame_rate)
+            except OSError:
+                self.pass2_dqp = {}
 
     # -------------------------------------------------------- parameter sets
     @staticmethod
@@ -275,6 +286,9 @@ class HevcEncoder:
                              0, 51))
         else:
             qp = self.rc.frame_qp(ftype, tid, None)
+        if self.pass2_dqp:
+            qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
+                             cfg.qp_min, cfg.qp_max))
         hdr = SliceHeader(
             nal_type=(NalType.IDR_W_RADL if is_idr else NalType.TRAIL_R),
             temporal_id=tid,
@@ -367,6 +381,10 @@ class HevcEncoder:
             ef.ssim = frame_ssim(frame, recon)
         self.rc.update(ef.slice_type, tid, qp, ef.bits,
                        getattr(enc, "frame_cplx", 1e5))
+        if self.stats is not None:
+            self.stats.add(display_idx, ef.slice_type, qp, ef.bits,
+                           getattr(enc, "frame_cplx", 0.0))
+            self.stats.write()
         return ef
 
     def _wrap_recon(self, fs: FrameState, src: YUVFrame) -> YUVFrame:

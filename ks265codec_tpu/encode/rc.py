@@ -145,3 +145,58 @@ class RateControl:
 
     def _clip(self, qp: float) -> int:
         return int(round(max(self.cfg.qp_min, min(self.cfg.qp_max, qp))))
+
+
+class TwoPassStats:
+    """2-pass RC stats file (reference analog: writeRateControlFrameStats /
+    initPass2 with qy_rename atomic replace — SURVEY.md 5.4).
+
+    Pass 1 (cfg.pass_num == 1) appends one line per coded picture; pass 2
+    (cfg.pass_num == 2) reads them and scales per-frame QPs so complex
+    frames get the bits (x264 2-pass qcomp reallocation, simplified).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.rows: list[dict] = []
+
+    def add(self, poc: int, ftype: str, qp: int, bits: int,
+            cplx: float) -> None:
+        self.rows.append(dict(poc=poc, type=ftype, qp=qp, bits=bits,
+                              cplx=cplx))
+
+    def write(self) -> None:
+        import os
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in self.rows:
+                f.write(f"{r['poc']} {r['type']} {r['qp']} {r['bits']} "
+                        f"{r['cplx']:.1f}\n")
+        os.replace(tmp, self.path)      # atomic (qy_rename analog)
+
+    @classmethod
+    def read(cls, path: str) -> "TwoPassStats":
+        st = cls(path)
+        with open(path) as f:
+            for line in f:
+                p, t, q, b, c = line.split()
+                st.add(int(p), t, int(q), int(b), float(c))
+        return st
+
+    def qp_offsets(self, target_bps: float, fps: float) -> dict[int, int]:
+        """Display-index -> QP delta for pass 2: spend bits where pass 1
+        found complexity, under the sequence bit budget."""
+        import math
+        if not self.rows:
+            return {}
+        total_target = target_bps * len(self.rows) / max(fps, 1e-3)
+        total_p1 = sum(r["bits"] for r in self.rows) or 1
+        # global shift to hit the target
+        global_dqp = 6.0 * math.log2(total_p1 / max(total_target, 1.0))
+        mean_cplx = (sum(r["cplx"] for r in self.rows)
+                     / len(self.rows)) or 1.0
+        out = {}
+        for i, r in enumerate(self.rows):
+            rel = 0.4 * 6.0 * math.log2(max(r["cplx"], 1.0) / mean_cplx)
+            out[i] = int(round(global_dqp - rel))
+        return out

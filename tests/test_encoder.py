@@ -211,3 +211,21 @@ def test_no_wpp_encode_roundtrip():
     dec = HevcDecoder().decode_all(bs)
     for d, r in zip(dec, recons):
         assert d.tobytes() == r.tobytes()
+
+
+def test_two_pass(tmp_path):
+    """2-pass RC: pass 1 writes the stats file, pass 2 redistributes QP."""
+    frames = _frames(4, seed=51)
+    stat = str(tmp_path / "2p.log")
+    cfg1 = EncoderConfig(width=W, height=H, preset="ultrafast",
+                         latency="zerolatency", rc=2, bitrate_kbps=150,
+                         intra_period=0, pass_num=1, stat_file=stat)
+    bs1, _ = encode_sequence(frames, cfg1)
+    assert (tmp_path / "2p.log").exists()
+    cfg2 = EncoderConfig(width=W, height=H, preset="ultrafast",
+                         latency="zerolatency", rc=2, bitrate_kbps=150,
+                         intra_period=0, pass_num=2, stat_file=stat)
+    bs2, recons = encode_sequence(frames, cfg2)
+    dec = HevcDecoder().decode_all(bs2)
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
