@@ -104,16 +104,22 @@ _LADDER = {
 
 def resolve_preset(cfg: EncoderConfig) -> EncoderConfig:
     """Apply preset ladder then latency policy (fillCfgs<Preset> +
-    fillCfgByLatency analog)."""
+    fillCfgByLatency analog). Explicitly-set fields win over the ladder
+    (reference semantics: CLI flags override the preset defaults) —
+    detected by comparison with the dataclass defaults."""
+    ref = EncoderConfig(width=cfg.width or 16, height=cfg.height or 16)
     for k, v in _LADDER[cfg.preset].items():
-        setattr(cfg, k, v)
+        if getattr(cfg, k) == getattr(ref, k):
+            setattr(cfg, k, v)
     if cfg.latency == "zerolatency":
         cfg.bframes = 0
         cfg.lookahead = 0
         cfg.temporal_layers = 1
     elif cfg.latency in ("livestreaming", "netvideo"):
-        cfg.bframes = 3
-        cfg.temporal_layers = 2
+        if cfg.bframes == ref.bframes:
+            cfg.bframes = 3
+        if cfg.temporal_layers == ref.temporal_layers:
+            cfg.temporal_layers = 2
     return cfg
 
 

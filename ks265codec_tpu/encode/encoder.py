@@ -129,7 +129,7 @@ class HevcEncoder:
         s.max_transform_hierarchy_depth_intra = 0
         s.scaling_list_enabled = 0
         s.amp_enabled = 0
-        s.sao_enabled = 0          # v1 (SAO encode lands with its RDO)
+        s.sao_enabled = 1 if cfg.sao > 0 else 0
         s.pcm_enabled = 0
         s.long_term_ref_pics_present = 0
         s.temporal_mvp_enabled = 0
@@ -304,15 +304,13 @@ class HevcEncoder:
         hdr.deblocking_filter_disabled = self.pps.deblocking_filter_disabled
         hdr.beta_offset_div2 = self.pps.beta_offset_div2
         hdr.tc_offset_div2 = self.pps.tc_offset_div2
-        fs = FrameState(self.sps)
-        fs.poc = poc
+        sao_on = bool(self.sps.sao_enabled)
+        if sao_on:
+            hdr.sao_luma = 1
+            hdr.sao_chroma = 1
         by_poc = {rp.poc: rp for rp in self.dpb}
-        if is_idr:
-            enc = IntraFrameEncoder(
-                fs, self.sps, self.pps, hdr,
-                frame.y.astype(np.int32), frame.u.astype(np.int32),
-                frame.v.astype(np.int32), qp)
-        else:
+        l0 = l1 = None
+        if not is_idr:
             hdr.st_rps = ShortTermRPS(
                 delta_pocs=list(plan.ref_deltas),
                 used=list(plan.ref_used),
@@ -329,14 +327,48 @@ class HevcEncoder:
                 l1 = []
             hdr.num_ref_idx = [max(1, len(l0)),
                                len(l1) if slice_type == B_SLICE else 0]
-            args = (fs, self.sps, self.pps, hdr,
+
+        def make_enc(fstate):
+            if is_idr:
+                return IntraFrameEncoder(
+                    fstate, self.sps, self.pps, hdr,
                     frame.y.astype(np.int32), frame.u.astype(np.int32),
                     frame.v.astype(np.int32), qp)
-            if slice_type == B_SLICE:
-                enc = BFrameEncoder(*args, [l0, l1], subme=cfg.subme)
-            else:
-                enc = PFrameEncoder(*args, [l0, []], subme=cfg.subme)
+            args = (fstate, self.sps, self.pps, hdr,
+                    frame.y.astype(np.int32), frame.u.astype(np.int32),
+                    frame.v.astype(np.int32), qp)
+            if hdr.slice_type == B_SLICE:
+                return BFrameEncoder(*args, [l0, l1], subme=cfg.subme)
+            return PFrameEncoder(*args, [l0, []], subme=cfg.subme)
+
+        fs = FrameState(self.sps)
+        fs.poc = poc
+        enc = make_enc(fs)
         cabac_payload = enc.encode()
+        sao_params = None
+        if sao_on:
+            # two-pass slice coding: pass 1 gave the reconstruction; decide
+            # SAO on the deblocked picture, then re-code the (deterministic)
+            # decisions with real sao() syntax interleaved
+            from .sao import decide_sao
+            deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
+                          bool(self.pps.deblocking_filter_disabled),
+                          self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+            sao_params = decide_sao(fs, enc.src_y, enc.src_cb, enc.src_cr,
+                                    qp, max(cfg.sao, 1))
+            fs2 = FrameState(self.sps)
+            fs2.poc = poc
+            enc2 = make_enc(fs2)
+            for attr in ("split32", "mode16", "mode32", "frame_cplx",
+                         "split16", "mode8", "mv16", "sad16",
+                         "inter_cost16", "dir16", "mv0q", "mv1q",
+                         "use32", "sad32", "mi32"):
+                if hasattr(enc, attr):
+                    setattr(enc2, attr, getattr(enc, attr))
+            enc2._skip_pre = True
+            enc2.sao_params = sao_params
+            cabac_payload = enc2.encode()
+            fs, enc = fs2, enc2
         tail_val, tail_n = enc.w.enc.get_tail_bits()
         acc = (tail_val << 1) | 1
         nbits = tail_n + 1
@@ -361,6 +393,9 @@ class HevcEncoder:
         deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
                       bool(self.pps.deblocking_filter_disabled),
                       self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        if sao_params is not None:
+            fs.sao = sao_params
+            sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
         # DPB update: keep pictures named by this RPS (they cover all
         # future needs of the GOP pattern) plus the new picture
         keep = set()

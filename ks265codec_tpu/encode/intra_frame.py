@@ -155,6 +155,8 @@ class IntraFrameEncoder:
         self.src_cb = self._pad(src_cb, fs.ph // 2, fs.pw // 2)
         self.src_cr = self._pad(src_cr, fs.ph // 2, fs.pw // 2)
         self.w = CtuSyntaxWriter(fs, sps, pps, hdr)
+        self.sao_params = None        # set for SAO pass-2 re-encode
+        self._skip_pre = False
 
     @staticmethod
     def _pad(plane, ph, pw):
@@ -165,6 +167,17 @@ class IntraFrameEncoder:
         out[:h, w:] = plane[:, w - 1:w]
         out[h:, w:] = plane[h - 1, w - 1]
         return out
+
+    @property
+    def _sao_off(self):
+        """All-off SAO grid for the throwaway pass-1 syntax."""
+        if getattr(self, "_sao_off_grid", None) is None:
+            from ..decode.slice_dec import SaoCtuParam
+            sps = self.sps
+            self._sao_off_grid = [
+                [SaoCtuParam() for _ in range(sps.pic_width_in_ctbs)]
+                for _ in range(sps.pic_height_in_ctbs)]
+        return self._sao_off_grid
 
     def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
@@ -177,7 +190,8 @@ class IntraFrameEncoder:
         """Code all CTUs. Returns slice data bytes (WPP: also sets
         self.entry_points = substream byte sizes, all but the last)."""
         fs, sps = self.fs, self.sps
-        self._pre_analyze()
+        if not self._skip_pre:
+            self._pre_analyze()
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
         wpp = bool(self.pps.entropy_coding_sync_enabled)
@@ -191,6 +205,10 @@ class IntraFrameEncoder:
             x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
             cs = sps.ctb_size
             fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
+            if self.hdr.sao_luma or self.hdr.sao_chroma:
+                self.w.write_sao(rx, ry,
+                                 self.sao_params if self.sao_params
+                                 is not None else self._sao_off)
             self._code_ctu(x0, y0)
             if wpp and rx == min(1, wctb - 1):
                 saved_ctx = self.w.enc.save_ctx()

@@ -1,0 +1,142 @@
+"""SAO encoder: per-CTU statistics, offset derivation and RD decision.
+
+Reference equivalents: CEncSao::{modeDecisionCtu, statBoEo01,
+EoTypeDistEstimation, BoTypeDistEstimation, estIterOffset} (SURVEY.md 2.3
+"In-loop filters"). Operates on the deblocked reconstruction vs the source;
+classification is bit-identical to the decoder's apply (decode/filters.py
+sao_frame), so encode-side estimates are exact distortions.
+
+Slice coding is two-pass: pass 1 produces the reconstruction, SAO
+parameters are decided frame-wide here, pass 2 re-codes the (identical,
+deterministic) CTU decisions with the real sao() syntax interleaved.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..decode.slice_dec import SaoCtuParam
+
+_EO_OFFS = {
+    0: ((0, -1), (0, 1)),
+    1: ((-1, 0), (1, 0)),
+    2: ((-1, -1), (1, 1)),
+    3: ((-1, 1), (1, -1)),
+}
+
+
+def _edge_categories(rec: np.ndarray, x0, y0, x1, y1, eo_class, bw, bh):
+    """Edge index (0..4, 2=neutral) per pixel of the block, with picture-
+    boundary validity — mirrors decode/filters.py sao_frame exactly."""
+    (ay, ax), (by2, bx2) = _EO_OFFS[eo_class]
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    ny_a, nx_a = ys + ay, xs + ax
+    ny_b, nx_b = ys + by2, xs + bx2
+    valid = ((ny_a >= 0) & (ny_a < bh) & (nx_a >= 0) & (nx_a < bw)
+             & (ny_b >= 0) & (ny_b < bh) & (nx_b >= 0) & (nx_b < bw))
+    blk = rec[y0:y1, x0:x1]
+    a = rec[np.clip(ny_a, 0, bh - 1), np.clip(nx_a, 0, bw - 1)]
+    b = rec[np.clip(ny_b, 0, bh - 1), np.clip(nx_b, 0, bw - 1)]
+    edge_idx = 2 + np.sign(blk - a) + np.sign(blk - b)
+    return edge_idx, valid
+
+
+def _best_offset(cnt: int, errsum: float, lo: int, hi: int,
+                 lam: float) -> tuple[int, float]:
+    """Offset in [lo,hi] minimizing N*h^2 - 2*h*E + lam*rate(|h|)."""
+    if cnt == 0:
+        return 0, 0.0
+    best_h, best_c = 0, 0.0
+    start = int(np.clip(round(errsum / cnt), lo, hi))
+    # scan toward zero from the unconstrained optimum (estIterOffset style)
+    step = -1 if start > 0 else 1
+    h = start
+    while True:
+        cost = cnt * h * h - 2.0 * h * errsum + lam * (abs(h) + 1)
+        if cost < best_c:
+            best_c, best_h = cost, h
+        if h == 0:
+            break
+        h += step
+    return best_h, best_c
+
+
+def decide_sao(fs, src_y, src_cb, src_cr, qp: int, tier: int):
+    """Fill fs.sao with per-CTU decisions. tier: cfg.sao ladder value
+    (1 = superfast: luma EO only; >=3: + BO + chroma)."""
+    sps = fs.sps
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    cs = sps.ctb_size
+    planes = ((fs.y, src_y, 0), (fs.cb, src_cb, 1), (fs.cr, src_cr, 2))
+    for ry in range(sps.pic_height_in_ctbs):
+        for rx in range(sps.pic_width_in_ctbs):
+            param = SaoCtuParam()
+            for rec, src, c in planes:
+                if c > 0 and tier < 3:
+                    continue
+                shift = 0 if c == 0 else 1
+                bw, bh = sps.width >> shift, sps.height >> shift
+                x0, y0 = (rx * cs) >> shift, (ry * cs) >> shift
+                x1, y1 = min(x0 + (cs >> shift), bw), min(y0 + (cs >> shift), bh)
+                if x0 >= bw or y0 >= bh:
+                    continue
+                if c == 2 and param.type_idx[1] == 0:
+                    # chroma shares the type; skip Cr-only search when Cb off
+                    continue
+                diff = (src[y0:y1, x0:x1].astype(np.int64)
+                        - rec[y0:y1, x0:x1].astype(np.int64))
+                best = (0.0, 0, None, 0, 0)   # cost, type, offs, band, eo
+                # --- EO classes
+                eo_classes = (0, 1) if tier <= 1 else (0, 1, 2, 3)
+                if c == 2:
+                    eo_classes = (param.eo_class[1],) \
+                        if param.type_idx[1] == 2 else ()
+                for eo in eo_classes:
+                    idx, valid = _edge_categories(rec, x0, y0, x1, y1, eo,
+                                                  bw, bh)
+                    cost = lam * 3
+                    offs = []
+                    for cat, (lo, hi) in zip((0, 1, 3, 4),
+                                             ((0, 7), (0, 7), (-7, 0),
+                                              (-7, 0))):
+                        m = valid & (idx == cat)
+                        h, cst = _best_offset(int(m.sum()),
+                                              float(diff[m].sum()), lo, hi,
+                                              lam)
+                        offs.append(h)
+                        cost += cst
+                    if cost < best[0]:
+                        best = (cost, 2, offs, 0, eo)
+                # --- BO (tier >= 3)
+                if tier >= 3 and c != 2 or (c == 2 and param.type_idx[1] == 1):
+                    band = rec[y0:y1, x0:x1] >> 3
+                    cnts = np.bincount(band.ravel(), minlength=32)
+                    sums = np.bincount(band.ravel(),
+                                       weights=diff.ravel(), minlength=32)
+                    bh_, bc_ = np.zeros(32, np.int64), np.zeros(32)
+                    for b in range(32):
+                        bh_[b], bc_[b] = _best_offset(int(cnts[b]),
+                                                      float(sums[b]), -7, 7,
+                                                      lam)
+                    win = bc_[:29].copy()
+                    for k in range(1, 4):
+                        win += bc_[k:29 + k] if len(bc_[k:29 + k]) == 29 \
+                            else 0
+                    # cost of best 4-band window
+                    wcosts = np.array([bc_[b:b + 4].sum()
+                                       for b in range(29)])
+                    bpos = int(np.argmin(wcosts))
+                    cost = float(wcosts[bpos]) + lam * 8
+                    if cost < best[0]:
+                        best = (cost, 1, [int(bh_[bpos + k])
+                                          for k in range(4)], bpos, 0)
+                if best[2] is not None:
+                    param.type_idx[c] = best[1]
+                    param.offsets[c] = list(best[2])
+                    param.band_pos[c] = best[3]
+                    param.eo_class[c] = best[4]
+                    if c == 1:
+                        param.type_idx[2] = best[1]
+                        param.eo_class[2] = best[4]
+            fs.sao[ry][rx] = param
+    return fs.sao

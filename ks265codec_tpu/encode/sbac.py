@@ -49,6 +49,64 @@ class CtuSyntaxWriter:
         return (bool(self.fs.mi_parsed[y >> 2, x >> 2])
                 and self.fs.slice_id[y >> 2, x >> 2] == self.slice_idx)
 
+    # ----------------------------------------------------------------- SAO
+    def write_sao(self, rx: int, ry: int, params) -> None:
+        """sao() syntax per CTU — exact mirror of SliceDecoder._parse_sao.
+        params: 2-D per-CTU SaoCtuParam grid (merge bits derived by value
+        equality with the left/up neighbors)."""
+        enc = self.enc
+        hdr = self.hdr
+        p = params[ry][rx]
+
+        def same(a, b):
+            return (a.type_idx == b.type_idx and a.offsets == b.offsets
+                    and a.band_pos == b.band_pos
+                    and a.eo_class == b.eo_class)
+
+        log2 = self.sps.log2_ctb
+        can_left = rx > 0 and self.fs.slice_id[
+            (ry << log2) >> 2, ((rx << log2) - 1) >> 2] == self.slice_idx
+        can_up = ry > 0 and self.fs.slice_id[
+            ((ry << log2) - 1) >> 2, (rx << log2) >> 2] == self.slice_idx
+        if can_left:
+            merge_left = 1 if same(p, params[ry][rx - 1]) else 0
+            enc.encode_bin(merge_left, CTX_OFFSET["sao_merge"])
+            if merge_left:
+                return
+        if can_up:
+            merge_up = 1 if same(p, params[ry - 1][rx]) else 0
+            enc.encode_bin(merge_up, CTX_OFFSET["sao_merge"])
+            if merge_up:
+                return
+        for c in range(3):
+            enabled = hdr.sao_luma if c == 0 else hdr.sao_chroma
+            if not enabled:
+                continue
+            t = p.type_idx[c]
+            if c != 2:
+                enc.encode_bin(1 if t else 0, CTX_OFFSET["sao_type"])
+                if t:
+                    enc.encode_bypass(1 if t == 2 else 0)
+            if t == 0:
+                continue
+            offs = p.offsets[c]
+            for v in offs:
+                a = abs(int(v))
+                for _ in range(a):
+                    enc.encode_bypass(1)
+                if a < 7:
+                    enc.encode_bypass(0)
+            if t == 1:
+                for v in offs:
+                    if v:
+                        enc.encode_bypass(1 if v < 0 else 0)
+                enc.encode_bypass_bins(p.band_pos[c], 5)
+            else:
+                if c == 0:
+                    enc.encode_bypass_bins(p.eo_class[0], 2)
+                elif c == 1:
+                    enc.encode_bypass_bins(p.eo_class[1], 2)
+
     # -------------------------------------------------------------- quadtree
     def write_split_flag(self, x0: int, y0: int, log2: int, depth: int,
                          split: int) -> None:
