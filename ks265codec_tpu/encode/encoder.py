@@ -136,6 +136,12 @@ class HevcEncoder:
         s.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
         s.st_rps = []
         s.lt_ref_pic_poc_lsb = []
+        from ..hevc.params import VUI
+        from fractions import Fraction
+        fr = Fraction(cfg.frame_rate).limit_denominator(1001)
+        s.vui = VUI(timing_info_present=1,
+                    num_units_in_tick=fr.denominator,
+                    time_scale=fr.numerator)
         return s
 
     def _make_pps(self, cfg: EncoderConfig) -> PPS:

@@ -245,6 +245,33 @@ def read_vui(r: BitReader, sps) -> VUI:
     return v
 
 
+def write_vui(w: BitWriter, v: VUI) -> None:
+    """Mirror of read_vui for the fields we emit (timing + signal type)."""
+    w.write_bit(0)   # aspect_ratio_info_present
+    w.write_bit(0)   # overscan_info_present
+    w.write_bit(v.video_signal_type_present)
+    if v.video_signal_type_present:
+        w.write_bits(v.video_format, 3)
+        w.write_bit(v.video_full_range_flag)
+        w.write_bit(v.colour_description_present)
+        if v.colour_description_present:
+            w.write_bits(v.colour_primaries, 8)
+            w.write_bits(v.transfer_characteristics, 8)
+            w.write_bits(v.matrix_coeffs, 8)
+    w.write_bit(0)   # chroma_loc_info_present
+    w.write_bit(0)   # neutral_chroma_indication
+    w.write_bit(0)   # field_seq
+    w.write_bit(0)   # frame_field_info_present
+    w.write_bit(0)   # default_display_window
+    w.write_bit(v.timing_info_present)
+    if v.timing_info_present:
+        w.write_bits(v.num_units_in_tick, 32)
+        w.write_bits(v.time_scale, 32)
+        w.write_bit(0)   # poc_proportional_to_timing
+        w.write_bit(0)   # hrd_parameters_present
+    w.write_bit(0)   # bitstream_restriction
+
+
 def _skip_hrd(r: BitReader, max_sub_layers_minus1: int):
     nal_hrd = r.read_bit()
     vcl_hrd = r.read_bit()
@@ -586,7 +613,11 @@ def write_sps(s: SPS) -> bytes:
             w.write_bit(used)
     w.write_bit(s.temporal_mvp_enabled)
     w.write_bit(s.strong_intra_smoothing)
-    w.write_bit(0)  # vui_parameters_present
+    if s.vui is not None:
+        w.write_bit(1)
+        write_vui(w, s.vui)
+    else:
+        w.write_bit(0)  # vui_parameters_present
     w.write_bit(0)  # sps_extension
     w.rbsp_trailing_bits()
     return w.getvalue()
