@@ -117,7 +117,7 @@ class SliceDecoder:
         self.qp_cur = hdr.slice_qp      # QP of current QG (pred + delta)
         self.qg_pred = hdr.slice_qp
         self._dqp_coded = True          # no parse unless enabled per QG
-        self._qg_rect = None
+        self._cu_rect = (0, 0, 0)
         self.wpp_saved_ctx: bytearray | None = None
         # per-CU transient state
         self._cu_intra_modes = np.zeros((2, 2), np.int32)
@@ -294,8 +294,6 @@ class SliceDecoder:
         self.qg_pred = (qp_a + qp_b + 1) >> 1
         self.qp_cur = self.qg_pred
         self._dqp_coded = False
-        qg = self.sps.ctb_size >> self.pps.diff_cu_qp_delta_depth
-        self._qg_rect = (x0, y0, qg)
 
     def _parse_cu_qp_delta(self) -> None:
         """cu_qp_delta_abs/sign (spec 7.3.8.11, 9.3.3): TU(5)+EG0."""
@@ -311,9 +309,11 @@ class SliceDecoder:
             v = -v
         self._dqp_coded = True
         self.qp_cur = (self.qg_pred + v + 52) % 52
-        # the whole QG shares the final QP (deblock reads this grid)
-        x0, y0, qg = self._qg_rect
-        self.fs.qp[y0 >> 2:(y0 + qg) >> 2, x0 >> 2:(x0 + qg) >> 2] = self.qp_cur
+        # HM semantics: the delta applies to the CURRENT CU (earlier CUs of
+        # the QG keep the predicted QP they were assigned at parse time)
+        x0, y0, size = self._cu_rect
+        self.fs.qp[y0 >> 2:(y0 + size) >> 2,
+                   x0 >> 2:(x0 + size) >> 2] = self.qp_cur
 
     def _read_eg0(self) -> int:
         dec = self.cabac
@@ -333,6 +333,7 @@ class SliceDecoder:
         b4 = size >> 2
         x4, y4 = x0 >> 2, y0 >> 2
         fs.cu_depth[y4:y4 + b4, x4:x4 + b4] = depth
+        self._cu_rect = (x0, y0, size)
         fs.qp[y4:y4 + b4, x4:x4 + b4] = self.qp_cur
         fs.cu_edge_v[y4:y4 + b4, x4] = True
         fs.cu_edge_h[y4, x4:x4 + b4] = True

@@ -105,3 +105,29 @@ def test_wpp_streams(ref_codec, yuv_320x192):
              "-qp", "30", "-iper", "64"],
             check=True, capture_output=True, cwd=str(CACHE))
     _assert_bit_exact(bs, rec, nframes=5)
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("ref4", ["-preset", "medium", "-latency", "offline", "-ref", "4"]),
+    ("bf3_live", ["-preset", "fast", "-latency", "livestreaming"]),
+    ("tune_game", ["-preset", "medium", "-tune", "game"]),
+    ("placebo_off", ["-preset", "placebo", "-latency", "offline"]),
+    ("nodf", ["-preset", "medium", "-df", "0"]),
+    ("no_sis", ["-preset", "slow", "-sis", "0"]),
+    ("crf", ["-preset", "medium", "-rc", "3", "-crf", "30"]),
+    ("abr", ["-preset", "fast", "-rc", "2", "-br", "300"]),
+])
+def test_reference_matrix(ref_codec, yuv_320x192, name, extra):
+    """Wider reference-encoder configuration sweep (tunes, multi-ref,
+    latencies, RC modes) — all must decode bit-exactly."""
+    bs = CACHE / f"mx_{name}.265"
+    rec = CACHE / f"mx_{name}_rec.yuv"
+    if not bs.exists():
+        import subprocess
+        subprocess.run(
+            [str(ref_codec.enc), "-i", str(yuv_320x192), "-wdt", "320",
+             "-hgt", "192", "-frms", "8", "-fr", "30", "-b", str(bs),
+             "-o", str(rec), "-threads", "1", "-wpp", "0", "-fpp", "0",
+             "-iper", "64"] + extra,
+            check=True, capture_output=True, cwd=str(CACHE))
+    _assert_bit_exact(bs, rec, nframes=8)

@@ -42,7 +42,7 @@ def _frames(n=3, w=W, h=H, seed=11):
 @pytest.fixture(scope="session")
 def ai_stream():
     frames = _frames(2)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=30,
                         intra_period=1)
     return encode_sequence(frames, cfg)
 
@@ -50,7 +50,7 @@ def ai_stream():
 @pytest.fixture(scope="session")
 def ipp_stream():
     frames = _frames(4)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=30,
                         intra_period=64)
     return encode_sequence(frames, cfg)
 
@@ -75,7 +75,7 @@ def test_ipp_roundtrip_own_decoder(ipp_stream):
 @pytest.mark.parametrize("qp", [22, 40])
 def test_qp_sweep_roundtrip(qp):
     frames = _frames(1)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=qp,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=qp,
                         intra_period=1)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -84,7 +84,7 @@ def test_qp_sweep_roundtrip(qp):
 
 def test_quality_sane():
     frames = _frames(1)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=27,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=27,
                         intra_period=1, psnr=1)
     enc = HevcEncoder(cfg)
     ef = enc.encode_frame(frames[0])[0]
@@ -110,7 +110,7 @@ def test_reference_decoder_accepts(tmp_path, ai_stream, ipp_stream):
 
 def test_deblock_off_roundtrip():
     frames = _frames(1)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=32,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=32,
                         intra_period=1, deblock=False)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -120,7 +120,7 @@ def test_deblock_off_roundtrip():
 def test_idr_cadence():
     """Mid-stream IDR every 2 frames (POC reset exercised)."""
     frames = _frames(4)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=30,
                         intra_period=2)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -132,7 +132,7 @@ def test_idr_cadence():
 def test_nondivisible_dimensions():
     """Conformance-window cropping: 176x100 (not multiples of 16)."""
     frames = _frames(1, w=176, h=100)
-    cfg = EncoderConfig(width=176, height=100, preset="ultrafast", qp=30,
+    cfg = EncoderConfig(width=176, height=100, sao=0, preset="ultrafast", qp=30,
                         intra_period=1)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -143,7 +143,7 @@ def test_nondivisible_dimensions():
 def test_gop8_bframes_roundtrip():
     """Hierarchical-B GOP-8: reordering, L1 refs, DPB bumping."""
     frames = _frames(10, seed=21)
-    cfg = EncoderConfig(width=W, height=H, preset="medium",
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="medium",
                         latency="offline", qp=30, intra_period=64)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -157,7 +157,7 @@ def test_gop8_bframes_roundtrip():
 def test_gop8_reference_decoder(tmp_path):
     from conftest import _ref_bin
     frames = _frames(10, seed=21)
-    cfg = EncoderConfig(width=W, height=H, preset="medium",
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="medium",
                         latency="offline", qp=30, intra_period=64)
     bs, recons = encode_sequence(frames, cfg)
     bsf = tmp_path / "b.265"
@@ -177,7 +177,7 @@ def test_gop8_reference_decoder(tmp_path):
 ])
 def test_rate_control_roundtrip(rc_mode, kw):
     frames = _frames(6, seed=33)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast",
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast",
                         latency="zerolatency", rc=rc_mode,
                         intra_period=64, **kw)
     bs, recons = encode_sequence(frames, cfg)
@@ -195,7 +195,7 @@ def test_wpp_encode_roundtrip():
     """Encoder WPP substreams: per-row engines, ctx inheritance, entry
     points. (cfg.wpp defaults on, so this pins the explicit case.)"""
     frames = _frames(3, seed=41)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=30,
                         intra_period=0, latency="zerolatency", wpp=True)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -205,7 +205,7 @@ def test_wpp_encode_roundtrip():
 
 def test_no_wpp_encode_roundtrip():
     frames = _frames(2, seed=42)
-    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=30,
+    cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=30,
                         intra_period=1, wpp=False)
     bs, recons = encode_sequence(frames, cfg)
     dec = HevcDecoder().decode_all(bs)
@@ -217,15 +217,43 @@ def test_two_pass(tmp_path):
     """2-pass RC: pass 1 writes the stats file, pass 2 redistributes QP."""
     frames = _frames(4, seed=51)
     stat = str(tmp_path / "2p.log")
-    cfg1 = EncoderConfig(width=W, height=H, preset="ultrafast",
+    cfg1 = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast",
                          latency="zerolatency", rc=2, bitrate_kbps=150,
                          intra_period=0, pass_num=1, stat_file=stat)
     bs1, _ = encode_sequence(frames, cfg1)
     assert (tmp_path / "2p.log").exists()
-    cfg2 = EncoderConfig(width=W, height=H, preset="ultrafast",
+    cfg2 = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast",
                          latency="zerolatency", rc=2, bitrate_kbps=150,
                          intra_period=0, pass_num=2, stat_file=stat)
     bs2, recons = encode_sequence(frames, cfg2)
     dec = HevcDecoder().decode_all(bs2)
     for d, r in zip(dec, recons):
         assert d.tobytes() == r.tobytes()
+
+
+def test_sao_roundtrip():
+    """SAO encoding (two-pass slice coding) end-to-end."""
+    frames = _frames(2, seed=61)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=32,
+                        latency="zerolatency", intra_period=0, sao=4)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+
+
+@pytest.mark.skipif(not have_reference(), reason="no reference binaries")
+def test_sao_reference_decoder(tmp_path):
+    from conftest import _ref_bin
+    frames = _frames(2, seed=61)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=32,
+                        latency="zerolatency", intra_period=0, sao=4)
+    bs, recons = encode_sequence(frames, cfg)
+    bsf = tmp_path / "sao.265"
+    bsf.write_bytes(bs)
+    outf = tmp_path / "sdec.yuv"
+    import subprocess
+    r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+                        str(outf), "-threads", "1"], capture_output=True)
+    assert r.returncode == 0
+    assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
