@@ -84,6 +84,8 @@ class QY265Decoder:
     """QY265DecodeFrame / GetDecodedFrame / ReturnDecodedFrame / Flush."""
 
     def __init__(self, threads: int = 1, skip_mode: bool = False):
+        self._threads = threads
+        self._skip_mode = skip_mode
         self._dec = HevcDecoder(threads=threads, skip_mode=skip_mode)
         self._out = []
 
@@ -106,7 +108,8 @@ class QY265Decoder:
     def flush(self, clear_cached: bool = False) -> int:
         if clear_cached:
             self._out.clear()
-            self._dec = HevcDecoder()
+            self._dec = HevcDecoder(threads=self._threads,
+                                    skip_mode=self._skip_mode)
             return QY_OK
         self._out.extend(self._dec.flush())
         return QY_OK

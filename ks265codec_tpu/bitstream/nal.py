@@ -66,6 +66,10 @@ class Nal:
     layer_id: int
     rbsp: bytes  # payload after the 2-byte header, EPB removed
     pts: int = 0
+    # rbsp indices i where an emulation-prevention byte sat before rbsp[i]
+    # (needed to map entry_point_offsets, which count EPB'd bytes, onto the
+    # de-escaped rbsp — HEVC 7.4.7.1)
+    epb_pos: tuple = ()
 
 
 def split_annexb(data: bytes) -> list[tuple[int, int]]:
@@ -91,9 +95,16 @@ def split_annexb(data: bytes) -> list[tuple[int, int]]:
 
 def remove_epb(payload: bytes) -> bytes:
     """Strip emulation-prevention 0x03 bytes (00 00 03 xx -> 00 00 xx)."""
+    return remove_epb_pos(payload)[0]
+
+
+def remove_epb_pos(payload: bytes) -> tuple[bytes, tuple[int, ...]]:
+    """Strip EPBs; also return rbsp indices where one was removed (the EPB
+    sat immediately before rbsp[i] for each returned i)."""
     if b"\x00\x00\x03" not in payload:
-        return payload
+        return payload, ()
     out = bytearray()
+    pos: list[int] = []
     zeros = 0
     i = 0
     n = len(payload)
@@ -102,11 +113,26 @@ def remove_epb(payload: bytes) -> bytes:
         if zeros >= 2 and b == 3 and i + 1 <= n:
             zeros = 0
             i += 1
+            pos.append(len(out))
             continue
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
         i += 1
-    return bytes(out)
+    return bytes(out), tuple(pos)
+
+
+def epb_insert_positions(rbsp: bytes) -> list[int]:
+    """Indices i where insert_epb() will place a 0x03 before rbsp[i]
+    (mirror of insert_epb; used to convert substream sizes into
+    entry_point_offsets, which count post-escape bytes)."""
+    pos = []
+    zeros = 0
+    for i, b in enumerate(rbsp):
+        if zeros >= 2 and b <= 3:
+            pos.append(i)
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return pos
 
 
 def insert_epb(rbsp: bytes) -> bytes:
@@ -135,8 +161,9 @@ def parse_nals(data: bytes) -> list[Nal]:
         tid_plus1 = hdr & 0x7
         if tid_plus1 == 0:
             continue
-        nals.append(Nal(nal_type, tid_plus1 - 1, layer_id,
-                        remove_epb(data[s + 2:e])))
+        rbsp, epb_pos = remove_epb_pos(data[s + 2:e])
+        nals.append(Nal(nal_type, tid_plus1 - 1, layer_id, rbsp,
+                        epb_pos=epb_pos))
     return nals
 
 

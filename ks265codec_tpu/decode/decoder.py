@@ -117,7 +117,8 @@ class HevcDecoder:
             return
         ref_lists = self._build_ref_lists(hdr, sps)
         sd = SliceDecoder(self.cur, sps, pps, hdr, nal.rbsp,
-                          reader.pos // 8, self.cur_slice_idx, ref_lists)
+                          reader.pos // 8, self.cur_slice_idx, ref_lists,
+                          epb_pos=nal.epb_pos)
         sd.decode()
         self.cur_slice_idx += 1
 

@@ -449,7 +449,10 @@ def motion_compensate(fs, hdr, ref_lists, xp, yp, nw, nh, mi: MotionInfo,
         w = hdr.weights[lst][ridx][comp]
         denom = (hdr.luma_log2_weight_denom if comp == 0
                  else hdr.chroma_log2_weight_denom)
-        return (w.weight, w.offset, denom)
+        # log2Wd = denom + shift1, shift1 = 14 - bitDepth (8.5.4.2.3):
+        # predictions are 14-bit here, so the combine must also remove the
+        # interpolation headroom, not just the weight denominator
+        return (w.weight, w.offset, denom + (14 - bd))
 
     # explicit WP applies when any flag set for this PU's refs; HEVC applies
     # the weighted formula whenever the pred-weight table is present.

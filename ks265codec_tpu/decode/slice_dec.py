@@ -100,9 +100,10 @@ class SliceDecoder:
 
     def __init__(self, fs: FrameState, sps: SPS, pps: PPS, hdr: SliceHeader,
                  rbsp: bytes, data_start: int, slice_idx: int,
-                 ref_lists=None):
+                 ref_lists=None, epb_pos: tuple = ()):
         self.fs = fs
         self.data_start = data_start
+        self.epb_pos = epb_pos
         self.sps = sps
         self.pps = pps
         self.hdr = hdr
@@ -147,16 +148,20 @@ class SliceDecoder:
         entry_idx = 0
         while True:
             rx, ry = addr % wctb, addr // wctb
-            if wpp and rx == 0 and ry > 0 and self.wpp_saved_ctx is not None:
+            if wpp and rx == 0 and ry > 0 \
+                    and entry_idx < len(self.hdr.entry_points):
                 # new CTB row: re-init engine at the entry point with the
-                # context saved after CTB 1 of the row above (initSliceWPP)
+                # context saved after CTB min(1, wctb-1) of the row above
+                # (initSliceWPP; the saved ctx exists for any legal stream,
+                # including 1-CTB-wide pictures where it is saved at rx==0)
                 byte_off = self._entry_byte_offset(entry_idx)
                 entry_idx += 1
                 self.cabac = CabacDec(self.rbsp, byte_off, self.cabac.ctx)
-                self.cabac.load_ctx(self.wpp_saved_ctx)
+                if self.wpp_saved_ctx is not None:
+                    self.cabac.load_ctx(self.wpp_saved_ctx)
                 self.qp_cur = self.hdr.slice_qp  # qPY_PREV reset per CTB row
             self._decode_ctu(rx, ry)
-            if wpp and rx == 1:
+            if wpp and rx == min(1, wctb - 1):
                 self.wpp_saved_ctx = self.cabac.save_ctx()
             end = self.cabac.decode_terminate()
             addr += 1
@@ -164,9 +169,25 @@ class SliceDecoder:
                 break
 
     def _entry_byte_offset(self, entry_idx: int) -> int:
-        """Start byte of WPP substream entry_idx+1: entry_points[i] holds
-        the byte size of substream i (spec 7.4.7.1 offset_minus1+1)."""
-        return self.data_start + sum(self.hdr.entry_points[:entry_idx + 1])
+        """Start byte (in the de-escaped rbsp) of WPP substream entry_idx+1.
+
+        entry_points[i] holds the byte size of substream i as coded in the
+        NAL unit, i.e. INCLUDING emulation-prevention bytes (7.4.7.1); we
+        map the coded offset back onto the rbsp using the recorded EPB
+        removal positions (HM's numEmulationPreventionBytes subtraction)."""
+        coded = sum(self.hdr.entry_points[:entry_idx + 1])
+        p = self.data_start
+        left = coded
+        for e in self.epb_pos:
+            if e <= self.data_start:
+                continue
+            gap = e - p          # rbsp bytes until the EPB before rbsp[e]
+            if left > gap:       # the coded range spans this EPB
+                left -= gap + 1
+                p = e
+            else:
+                break
+        return min(p + left, len(self.rbsp))
 
     # ---------------------------------------------------------------- CTU
     def _decode_ctu(self, rx: int, ry: int) -> None:

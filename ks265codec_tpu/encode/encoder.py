@@ -350,55 +350,54 @@ class HevcEncoder:
         fs = FrameState(self.sps)
         fs.poc = poc
         enc = make_enc(fs)
-        cabac_payload = enc.encode()
+        enc.compute()       # stage 1: decisions + recon + maps + coeffs
+        # normative deblock on the reconstruction (refs are filtered pics);
+        # SAO decision runs on the deblocked picture, single coding pass
+        deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
+                      bool(self.pps.deblocking_filter_disabled),
+                      self.pps.cb_qp_offset, self.pps.cr_qp_offset)
         sao_params = None
         if sao_on:
-            # two-pass slice coding: pass 1 gave the reconstruction; decide
-            # SAO on the deblocked picture, then re-code the (deterministic)
-            # decisions with real sao() syntax interleaved
             from .sao import decide_sao
-            deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
-                          bool(self.pps.deblocking_filter_disabled),
-                          self.pps.cb_qp_offset, self.pps.cr_qp_offset)
             sao_params = decide_sao(fs, enc.src_y, enc.src_cb, enc.src_cr,
                                     qp, max(cfg.sao, 1))
-            fs2 = FrameState(self.sps)
-            fs2.poc = poc
-            enc2 = make_enc(fs2)
-            for attr in ("split32", "mode16", "mode32", "frame_cplx",
-                         "split16", "mode8", "mv16", "sad16",
-                         "inter_cost16", "dir16", "mv0q", "mv1q",
-                         "use32", "sad32", "mi32"):
-                if hasattr(enc, attr):
-                    setattr(enc2, attr, getattr(enc, attr))
-            enc2._skip_pre = True
-            enc2.sao_params = sao_params
-            cabac_payload = enc2.encode()
-            fs, enc = fs2, enc2
-        tail_val, tail_n = enc.w.enc.get_tail_bits()
-        acc = (tail_val << 1) | 1
-        nbits = tail_n + 1
-        pad = (8 - nbits % 8) % 8
-        acc <<= pad
-        nbits += pad
-        last_sub = bytes(cabac_payload) + int(acc).to_bytes(nbits // 8, "big")
+        # stage 2: entropy-code the slice from the maps
+        from .map_writer import write_slice_data
+        slice_data, raw_entries = write_slice_data(
+            fs, enc.syn, self.sps, self.pps, hdr, sao_params)
         if self.pps.entropy_coding_sync_enabled:
-            hdr.num_entry_points = len(enc.entry_points)
-            hdr.entry_points = list(enc.entry_points)
-        bw = write_slice_header(hdr, self.sps, self.pps)
-        assert bw.byte_aligned()
-        rbsp = bytearray(bw.getvalue())
-        rbsp += getattr(enc, "_wpp_prefix", b"")
-        rbsp += last_sub
+            hdr.num_entry_points = len(raw_entries)
+            hdr.entry_points = list(raw_entries)
+        # entry_point_offsets count bytes AS CODED IN THE NAL, i.e. after
+        # emulation-prevention insertion (7.4.7.1); iterate because the
+        # adjusted values may change the header length and thus the EPB
+        # positions near the header/data boundary
+        from ..bitstream.nal import epb_insert_positions
+        for _ in range(8):
+            bw = write_slice_header(hdr, self.sps, self.pps)
+            assert bw.byte_aligned()
+            rbsp = bytearray(bw.getvalue())
+            data_start = len(rbsp)
+            rbsp += slice_data
+            if not raw_entries:
+                break
+            ins = epb_insert_positions(bytes(rbsp))
+            adjusted = []
+            b_prev = data_start
+            for raw in raw_entries:
+                b_k = b_prev + raw
+                adjusted.append(raw + sum(1 for i in ins
+                                          if b_prev < i <= b_k))
+                b_prev = b_k
+            if adjusted == hdr.entry_points:
+                break
+            hdr.entry_points = adjusted
         data = b""
         if is_idr and (not self.headers_written
                        or self.cfg.headers_before_keyframe):
             data += self.encode_headers()
         data += write_nal(hdr.nal_type, bytes(rbsp), temporal_id=tid)
-        # in-loop filters on recon (normative; refs are filtered pictures)
-        deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
-                      bool(self.pps.deblocking_filter_disabled),
-                      self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        # SAO applies on the already-deblocked recon (normative order)
         if sao_params is not None:
             fs.sao = sao_params
             sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))

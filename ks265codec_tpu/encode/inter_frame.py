@@ -152,8 +152,7 @@ class PFrameEncoder(IntraFrameEncoder):
                         break
             if not zero:
                 continue
-            # --- code it
-            self.w.write_split_flag(x0, y0, 6, depth0, 0)
+            # --- record it (SKIP CU covering the whole CTB)
             x4, y4 = x0 >> 2, y0 >> 2
             fs.cu_depth[y4:y4 + 16, x4:x4 + 16] = depth0
             fs.qp[y4:y4 + 16, x4:x4 + 16] = self.qp
@@ -161,9 +160,9 @@ class PFrameEncoder(IntraFrameEncoder):
                 g[y4:y4 + 16, x4] = True
             for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
                 g[y4, x4:x4 + 16] = True
-            self.w.write_skip_flag(x0, y0, 1)
             fs.skip[y4:y4 + 16, x4:x4 + 16] = True
-            self.w.write_merge_idx(idx)
+            self.syn.merge_flag[y4:y4 + 16, x4:x4 + 16] = 1
+            self.syn.merge_idx[y4:y4 + 16, x4:x4 + 16] = idx
             self._store_motion(x0, y0, 64, mi)
             fs.cbf_luma[y4:y4 + 16, x4:x4 + 16] = False
             fs.recon_done[y4:y4 + 16, x4:x4 + 16] = True
@@ -183,20 +182,17 @@ class PFrameEncoder(IntraFrameEncoder):
         if log2 == 5 and x0 + 32 <= sps.width and y0 + 32 <= sps.height \
                 and self.use32 is not None \
                 and self.use32[y0 >> 5, x0 >> 5]:
-            self.w.write_split_flag(x0, y0, log2, depth, 0)
             mi = self.mi32[y0 >> 5][x0 >> 5]
             self._code_inter_cu(x0, y0, 5, depth, mi,
                                 int(self.sad32[y0 >> 5, x0 >> 5]), None)
             return
         if log2 > 4:
-            self.w.write_split_flag(x0, y0, log2, depth, 1)
             h = size >> 1
             for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
                 x1, y1 = x0 + dx, y0 + dy
                 if x1 < sps.width and y1 < sps.height:
                     self._split_to_16(x1, y1, log2 - 1, depth + 1)
             return
-        self.w.write_split_flag(x0, y0, log2, depth, 0)
         self._code_cu_p(x0, y0, log2, depth)
 
     # ---------------------------------------------------------------- CU
@@ -244,11 +240,10 @@ class PFrameEncoder(IntraFrameEncoder):
                      inter_sad > self._intra_sad_estimate(
                          x0, y0, size, intra_mode) * 1.15)
         if use_intra:
-            self.w.write_skip_flag(x0, y0, 0)
             fs.skip[y4:y4 + b4, x4:x4 + b4] = False
-            # _code_cu writes pred_mode (intra) itself for non-I slices
             self._code_cu(x0, y0, log2, depth, intra_mode)
             return
+        syn = self.syn
         # --- inter: predict via MC, residual decision
         self._store_motion(x0, y0, size, mi)
         motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size, size,
@@ -257,55 +252,44 @@ class PFrameEncoder(IntraFrameEncoder):
         cbf_any = bool(coeff_y.any() or coeff_cb.any() or coeff_cr.any())
         if merge_idx >= 0 and not cbf_any:
             # SKIP CU
-            self.w.write_skip_flag(x0, y0, 1)
             fs.skip[y4:y4 + b4, x4:x4 + b4] = True
-            self.w.write_merge_idx(merge_idx)
+            syn.merge_flag[y4:y4 + b4, x4:x4 + b4] = 1
+            syn.merge_idx[y4:y4 + b4, x4:x4 + b4] = merge_idx
             fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
             fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
             self._clip_recon(x0, y0, size)
             return
-        self.w.write_skip_flag(x0, y0, 0)
         fs.skip[y4:y4 + b4, x4:x4 + b4] = False
-        self.w.write_pred_mode(False)
-        self.w.write_part_2Nx2N_inter()
         if merge_idx >= 0:
-            self.w.write_merge_flag(1)
-            self.w.write_merge_idx(merge_idx)
+            syn.merge_flag[y4:y4 + b4, x4:x4 + b4] = 1
+            syn.merge_idx[y4:y4 + b4, x4:x4 + b4] = merge_idx
         else:
-            self.w.write_merge_flag(0)
+            syn.merge_flag[y4:y4 + b4, x4:x4 + b4] = 0
             inter_dir = 2 if len(used) == 2 else used[0]
-            if self.hdr.slice_type == 0:     # B: inter_pred_idc
-                self.w.write_inter_dir(inter_dir, depth, 32)
+            syn.inter_dir[y4:y4 + b4, x4:x4 + b4] = inter_dir
             for l in used:
-                self.w.write_ref_idx(l, 0)
-                self.w.write_mvd(mvds[l])    # mvd_l1_zero is 0 in our PPS
-                self.w.write_mvp_flag(mvp_flags[l])
-        if not (merge_idx >= 0):
-            self.w.write_rqt_root_cbf(1 if cbf_any else 0)
+                (syn.ref0 if l == 0 else syn.ref1)[y4:y4 + b4,
+                                                   x4:x4 + b4] = 0
+                mvd_map = syn.mvd0 if l == 0 else syn.mvd1
+                mvd_map[y4:y4 + b4, x4:x4 + b4, 0] = mvds[l][0]
+                mvd_map[y4:y4 + b4, x4:x4 + b4, 1] = mvds[l][1]
+                (syn.mvp0 if l == 0 else syn.mvp1)[y4:y4 + b4,
+                                                   x4:x4 + b4] = mvp_flags[l]
+        cbf_y = int(coeff_y.any())
+        cbf_cb = int(coeff_cb.any())
+        cbf_cr = int(coeff_cr.any())
         if not cbf_any and merge_idx < 0:
             fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
             fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
             self._clip_recon(x0, y0, size)
             return
-        # transform tree (merge with cbf, or AMVP with root cbf 1):
-        cbf_y = int(coeff_y.any())
-        cbf_cb = int(coeff_cb.any())
-        cbf_cr = int(coeff_cr.any())
-        self.w.write_cbf_chroma(cbf_cb, 0)
-        self.w.write_cbf_chroma(cbf_cr, 0)
-        # inter depth-0 leaf: cbf_luma inferred 1 unless chroma cbf present
-        if cbf_cb or cbf_cr:
-            self.w.write_cbf_luma(cbf_y, 0)
-        else:
-            assert cbf_y, "root cbf means some residual"
-            cbf_y = 1
-        if cbf_y:
-            self.w.write_residual(coeff_y, log2, 0, None)
-        c_log2 = log2 - 1
-        if cbf_cb:
-            self.w.write_residual(coeff_cb, c_log2, 1, None)
-        if cbf_cr:
-            self.w.write_residual(coeff_cr, c_log2, 2, None)
+        csz = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        syn.cy[y0:y0 + size, x0:x0 + size] = coeff_y
+        syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cb
+        syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cr
+        syn.cbf_cb[y4:y4 + b4, x4:x4 + b4] = cbf_cb
+        syn.cbf_cr[y4:y4 + b4, x4:x4 + b4] = cbf_cr
         self._recon_inter(x0, y0, log2, coeff_y if cbf_y else None,
                           coeff_cb if cbf_cb else None,
                           coeff_cr if cbf_cr else None)

@@ -13,6 +13,7 @@ per-PU recursive RDO.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -25,11 +26,62 @@ from ..hevc.tables import chroma_qp
 from ..ops import cost as jcost
 from ..ops import intra as jintra
 from ..ops import transforms as jt
-from .sbac import CtuSyntaxWriter
+from .map_writer import EncSyntax
 
 # per-CU header bit estimate by size (split flags, part/mode/cbf syntax)
 # used only for the split decision bias — small CUs pay more per pixel
 _HDR_BITS = {8: 14.0, 16: 8.0, 32: 6.0}
+
+
+def _block_any(plane, blk):
+    """(H//blk, W//blk) bool: any nonzero in each blk x blk block."""
+    h, w = plane.shape
+    return (plane.reshape(h // blk, blk, w // blk, blk) != 0).any(axis=(1, 3))
+
+
+def _cbf_cells8(coeff, log2m, chroma: bool):
+    """Per-8x8-cell cbf of the covering CU/TU, from a coefficient plane."""
+    a8 = _block_any(coeff, 4 if chroma else 8)
+    a16 = np.repeat(np.repeat(_block_any(coeff, 8 if chroma else 16), 2, 0),
+                    2, 1)[:a8.shape[0], :a8.shape[1]]
+    a32 = np.repeat(np.repeat(_block_any(coeff, 16 if chroma else 32), 4, 0),
+                    4, 1)[:a8.shape[0], :a8.shape[1]]
+    return np.where(log2m == 5, a32, np.where(log2m == 4, a16, a8))
+
+
+def fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
+                    cy, ccb, ccr) -> None:
+    """Vectorized FrameState/EncSyntax fill for a whole intra frame (the
+    per-4x4 stores the sequential walk does one CU at a time). Writes only
+    the in-picture cells — the sequential walk never touches the padding,
+    and stray edge flags there would deblock across the picture border."""
+    rep = lambda a: np.repeat(np.repeat(a, 2, 0), 2, 1)
+    # valid (in-picture) cell region; dims are multiples of 16
+    h4v, w4v = fs.sps.height >> 2, fs.sps.width >> 2
+    v = (slice(0, h4v), slice(0, w4v))
+    depth8 = (fs.sps.log2_ctb - log2m.astype(np.int32)).astype(np.int8)
+    fs.cu_depth[v] = rep(depth8)[v]
+    fs.qp[v] = rep(qp_map8.astype(np.int8))[v]
+    fs.intra_mode[v] = rep(modes8.astype(np.int8))[v]
+    fs.pred_mode[v] = 1
+    fs.mi_parsed[v] = True
+    fs.recon_done[v] = True
+    fs.slice_id[:] = 0
+    syn.chroma_mode[v] = rep(cmodes8)[v]
+    # CU/PU/TU edges: cell starts a CU when its coords align to the CU size
+    h4, w4 = fs.h4, fs.w4
+    s4 = (1 << (rep(log2m.astype(np.int32)) - 2))
+    x4 = np.arange(w4)[None, :]
+    y4 = np.arange(h4)[:, None]
+    ev = ((x4 % s4) == 0)
+    eh = ((y4 % s4) == 0)
+    for g in (fs.cu_edge_v, fs.pu_edge_v, fs.tu_edge_v):
+        g[v] = ev[v]
+    for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
+        g[v] = eh[v]
+    fs.cbf_luma[v] = rep(_cbf_cells8(cy, log2m, False))[v]
+    syn.cbf_cb[v] = rep(_cbf_cells8(ccb, log2m, True)).astype(np.uint8)[v]
+    syn.cbf_cr[v] = rep(_cbf_cells8(ccr, log2m, True)).astype(np.uint8)[v]
 
 
 def _build_source_refs(plane: np.ndarray, n: int, bd: int = 8):
@@ -154,8 +206,7 @@ class IntraFrameEncoder:
         self.src_y = self._pad(src_y, fs.ph, fs.pw)
         self.src_cb = self._pad(src_cb, fs.ph // 2, fs.pw // 2)
         self.src_cr = self._pad(src_cr, fs.ph // 2, fs.pw // 2)
-        self.w = CtuSyntaxWriter(fs, sps, pps, hdr)
-        self.sao_params = None        # set for SAO pass-2 re-encode
+        self.syn = EncSyntax(fs)
         self._skip_pre = False
 
     @staticmethod
@@ -168,17 +219,6 @@ class IntraFrameEncoder:
         out[h:, w:] = plane[h - 1, w - 1]
         return out
 
-    @property
-    def _sao_off(self):
-        """All-off SAO grid for the throwaway pass-1 syntax."""
-        if getattr(self, "_sao_off_grid", None) is None:
-            from ..decode.slice_dec import SaoCtuParam
-            sps = self.sps
-            self._sao_off_grid = [
-                [SaoCtuParam() for _ in range(sps.pic_width_in_ctbs)]
-                for _ in range(sps.pic_height_in_ctbs)]
-        return self._sao_off_grid
-
     def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
          self.split16, self.mode8) = decide_frame(self.src_y, self.qp)
@@ -186,48 +226,77 @@ class IntraFrameEncoder:
     def _code_ctu(self, x0: int, y0: int) -> None:
         self._code_cq(x0, y0, self.sps.log2_ctb, 0)
 
-    def encode(self):
-        """Code all CTUs. Returns slice data bytes (WPP: also sets
-        self.entry_points = substream byte sizes, all but the last)."""
+    def compute(self):
+        """Stage 1: decide + reconstruct every CTU, filling the FrameState
+        grids, the EncSyntax maps and the coefficient planes. No entropy
+        coding happens here (map_writer / native slicewriter do stage 2).
+
+        Production path: the wavefront-batched device pass (ops/wavefront:
+        one jitted dispatch per frame). Fallback/oracle: the sequential
+        per-CU host walk (compute_sequential), bit-identical by test."""
+        if type(self) is IntraFrameEncoder and not os.environ.get(
+                "KS265_SEQ_COMPUTE"):
+            from ..ops.wavefront import WavefrontIntraCoder
+            coder = WavefrontIntraCoder()
+            if coder.available:
+                self.compute_wavefront(coder)
+                return
+        self.compute_sequential()
+
+    def compute_sequential(self):
         fs, sps = self.fs, self.sps
         if not self._skip_pre:
             self._pre_analyze()
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
-        wpp = bool(self.pps.entropy_coding_sync_enabled)
-        substreams: list[bytes] = []
-        saved_ctx = None
-        self.entry_points = []
+        fs.slice_id[:] = 0
         for addr in range(nctb):
             rx, ry = addr % wctb, addr // wctb
-            if wpp and rx == 0 and ry > 0:
-                self.w.start_substream(saved_ctx)
-            x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
-            cs = sps.ctb_size
-            fs.slice_id[y0 >> 2:(y0 + cs) >> 2, x0 >> 2:(x0 + cs) >> 2] = 0
-            if self.hdr.sao_luma or self.hdr.sao_chroma:
-                self.w.write_sao(rx, ry,
-                                 self.sao_params if self.sao_params
-                                 is not None else self._sao_off)
-            self._code_ctu(x0, y0)
-            if wpp and rx == min(1, wctb - 1):
-                saved_ctx = self.w.enc.save_ctx()
-            last = addr == nctb - 1
-            self.w.end_ctu(last)
-            if wpp and rx == wctb - 1 and not last:
-                # end_of_subset_one_bit + byte alignment, then a fresh
-                # engine for the next row
-                self.w.enc.encode_terminate(1)
-                sub = self.w.finish_substream()
-                substreams.append(sub)
-                self.entry_points.append(len(sub))
-        if wpp:
-            # final substream flushed by the caller's slice-end handling;
-            # prepend the finished rows
-            self._wpp_prefix = b"".join(substreams)
-        else:
-            self._wpp_prefix = b""
-        return self.w.finish()
+            self._code_ctu(rx << sps.log2_ctb, ry << sps.log2_ctb)
+
+    # ------------------------------------------- wavefront (device) compute
+    def _decision_maps8(self):
+        """Per-8x8-cell (log2 size, luma mode, chroma mode) maps from the
+        batched decision pass, mirroring _code_cq's split inference."""
+        sps = self.sps
+        h8, w8 = self.fs.ph >> 3, self.fs.pw >> 3
+        log2m = np.full((h8, w8), 3, np.uint8)
+        modes = np.repeat(np.repeat(self.mode8, 1, 0), 1, 1).astype(np.uint8)
+        # 16-blocks are always fully inside (dims are multiples of 16)
+        pick16 = ~self.split16
+        m16 = np.repeat(np.repeat(pick16, 2, 0), 2, 1)[:h8, :w8]
+        log2m[m16] = 4
+        mode16e = np.repeat(np.repeat(self.mode16, 2, 0), 2, 1)[:h8, :w8]
+        modes[m16] = mode16e[m16].astype(np.uint8)
+        # 32-blocks: only where fully inside the picture
+        nby32, nbx32 = self.split32.shape
+        inside32 = np.zeros_like(self.split32)
+        full_y = (np.arange(nby32) + 1) * 32 <= sps.height
+        full_x = (np.arange(nbx32) + 1) * 32 <= sps.width
+        inside32[:] = full_y[:, None] & full_x[None, :]
+        pick32 = (~self.split32) & inside32
+        m32 = np.repeat(np.repeat(pick32, 4, 0), 4, 1)[:h8, :w8]
+        log2m[m32] = 5
+        mode32e = np.repeat(np.repeat(self.mode32, 4, 0), 4, 1)[:h8, :w8]
+        modes[m32] = mode32e[m32].astype(np.uint8)
+        return log2m, modes, modes.copy()      # chroma = DM
+
+    def compute_wavefront(self, coder):
+        fs, sps, syn = self.fs, self.sps, self.syn
+        if not self._skip_pre:
+            self._pre_analyze()
+        log2m, modes8, cmodes8 = self._decision_maps8()
+        qp_map8 = np.full(log2m.shape, self.qp, np.uint8)
+        ry, rcb, rcr, cy, ccb, ccr = coder.code_frame(
+            self.src_y, self.src_cb, self.src_cr, log2m, modes8, cmodes8,
+            qp_map8, self.pps.cb_qp_offset + self.hdr.cb_qp_offset,
+            self.pps.cr_qp_offset + self.hdr.cr_qp_offset, sps)
+        fs.y[:], fs.cb[:], fs.cr[:] = ry, rcb, rcr
+        syn.cy[:] = cy
+        syn.ccb[:] = ccb
+        syn.ccr[:] = ccr
+        fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
+                        cy, ccb, ccr)
 
     # ------------------------------------------------------------ quadtree
     def _code_cq(self, x0, y0, log2, depth):
@@ -247,7 +316,6 @@ class IntraFrameEncoder:
             split = True            # inferred at picture boundary
         if log2 <= min_cb:
             split = False
-        self.w.write_split_flag(x0, y0, log2, depth, int(split))
         if split:
             h = size >> 1
             for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
@@ -265,7 +333,7 @@ class IntraFrameEncoder:
 
     # ----------------------------------------------------------------- CU
     def _code_cu(self, x0, y0, log2, depth, mode):
-        fs = self.fs
+        fs, syn = self.fs, self.syn
         size = 1 << log2
         b4 = size >> 2
         x4, y4 = x0 >> 2, y0 >> 2
@@ -277,7 +345,10 @@ class IntraFrameEncoder:
         fs.pu_edge_h[y4, x4:x4 + b4] = True
         fs.tu_edge_v[y4:y4 + b4, x4] = True
         fs.tu_edge_h[y4, x4:x4 + b4] = True
-        self.w.write_intra_cu_header(x0, y0, log2, [mode], mode)
+        fs.intra_mode[y4:y4 + b4, x4:x4 + b4] = mode
+        fs.pred_mode[y4:y4 + b4, x4:x4 + b4] = 1      # MODE_INTRA
+        fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
+        syn.chroma_mode[y4:y4 + b4, x4:x4 + b4] = mode     # DM
         # --- luma TU (same size as CU; max_transform_hierarchy_depth=0)
         pred = self._predict(0, x0, y0, size, mode)
         src = self.src_y[y0:y0 + size, x0:x0 + size]
@@ -294,16 +365,11 @@ class IntraFrameEncoder:
         coeff_cb = self._transform_quant(res_cb, c_log2, self.qp_cb)
         coeff_cr = self._transform_quant(res_cr, c_log2, self.qp_cr)
         cbf_cb, cbf_cr = int(coeff_cb.any()), int(coeff_cr.any())
-        # --- syntax: cbf_cb, cbf_cr (depth 0), cbf_luma, then residuals
-        self.w.write_cbf_chroma(cbf_cb, 0)
-        self.w.write_cbf_chroma(cbf_cr, 0)
-        self.w.write_cbf_luma(cbf_y, 0)
-        if cbf_y:
-            self.w.write_residual(coeff_y, log2, 0, mode)
-        if cbf_cb:
-            self.w.write_residual(coeff_cb, c_log2, 1, mode)
-        if cbf_cr:
-            self.w.write_residual(coeff_cr, c_log2, 2, mode)
+        syn.cy[y0:y0 + size, x0:x0 + size] = coeff_y
+        syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cb
+        syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cr
+        syn.cbf_cb[y4:y4 + b4, x4:x4 + b4] = cbf_cb
+        syn.cbf_cr[y4:y4 + b4, x4:x4 + b4] = cbf_cr
         # --- reconstruct (normative path, == decoder)
         fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = bool(cbf_y)
         resi_y = self._recon_residual(coeff_y, log2, self.qp) if cbf_y else None

@@ -1,0 +1,233 @@
+"""Stage-2 slice syntax writer: dense decision maps -> CABAC slice payload.
+
+The encoder is split into a COMPUTE stage (batched device passes + normative
+reconstruction filling per-4x4 decision maps and per-pixel coefficient
+planes) and this WRITE stage, which walks the quadtree implied by the maps
+and entropy-codes the syntax. This is the TPU-native analog of the
+reference's CCtuSbac::processCtuSbac consuming the CtuCache's stored coding
+params (SURVEY.md 2.3 "CTU entropy coder": storeCodingParam ->
+processCtuSbac), and it is what lets the bit-serial pass run natively/
+threaded while the device computes the next frame.
+
+This module holds the Python reference implementation; native/slicewriter
+mirrors it byte-exactly (A/B tested) and is used in production.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.cabac import CabacEnc
+from ..decode.slice_dec import SaoCtuParam
+from ..hevc import cabac_tables as CT
+from .sbac import CtuSyntaxWriter
+
+MODE_INTER, MODE_INTRA = 0, 1
+
+
+class EncSyntax:
+    """Per-4x4 syntax-element maps + coefficient planes filled by the
+    compute stage and consumed by the slice writer (Python or native)."""
+
+    def __init__(self, fs):
+        h4, w4 = fs.h4, fs.w4
+        self.chroma_mode = np.zeros((h4, w4), np.uint8)
+        self.cbf_cb = np.zeros((h4, w4), np.uint8)
+        self.cbf_cr = np.zeros((h4, w4), np.uint8)
+        self.merge_flag = np.zeros((h4, w4), np.uint8)
+        self.merge_idx = np.zeros((h4, w4), np.uint8)
+        self.inter_dir = np.zeros((h4, w4), np.uint8)   # inter_pred_idc
+        self.ref0 = np.zeros((h4, w4), np.int8)
+        self.ref1 = np.zeros((h4, w4), np.int8)
+        self.mvd0 = np.zeros((h4, w4, 2), np.int16)
+        self.mvd1 = np.zeros((h4, w4, 2), np.int16)
+        self.mvp0 = np.zeros((h4, w4), np.uint8)
+        self.mvp1 = np.zeros((h4, w4), np.uint8)
+        self.part = np.zeros((h4, w4), np.uint8)        # PART_2Nx2N
+        self.tu_split = np.zeros((h4, w4), np.uint8)
+        # coefficient planes: each TU's quantized levels stored in place
+        self.cy = np.zeros((fs.ph, fs.pw), np.int16)
+        self.ccb = np.zeros((fs.ph // 2, fs.pw // 2), np.int16)
+        self.ccr = np.zeros((fs.ph // 2, fs.pw // 2), np.int16)
+
+
+class _WriterState:
+    """FrameState view with a fresh coded-progression bitmap so neighbor
+    availability during writing matches what a decoder will see."""
+
+    def __init__(self, fs):
+        self.sps = fs.sps
+        for name in ("cu_depth", "qp", "skip", "pred_mode", "intra_mode",
+                     "cbf_luma", "slice_id", "h4", "w4"):
+            setattr(self, name, getattr(fs, name))
+        self.mi_parsed = np.zeros((fs.h4, fs.w4), bool)
+
+
+def _sao_off_grid(sps):
+    return [[SaoCtuParam() for _ in range(sps.pic_width_in_ctbs)]
+            for _ in range(sps.pic_height_in_ctbs)]
+
+
+def write_slice_data(fs, syn: EncSyntax, sps, pps, hdr,
+                     sao_params=None) -> tuple[bytes, list[int]]:
+    """Entropy-code one slice from the maps. Returns (slice data bytes with
+    all substreams flushed/aligned incl. the rbsp stop bit, raw substream
+    byte sizes for all but the last substream).
+
+    Dispatches to the native whole-slice writer (native/cabac.c
+    ks_write_slice) and falls back to this Python implementation for
+    configurations the native path does not cover yet."""
+    try:
+        from .. import native as _native
+    except Exception:                  # pragma: no cover
+        _native = None
+    if _native is not None and _native.HAVE_NATIVE:
+        r = _native.write_slice_native(fs, syn, sps, pps, hdr, sao_params)
+        if r is not None:
+            return r
+    return write_slice_data_py(fs, syn, sps, pps, hdr, sao_params)
+
+
+def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
+                        sao_params=None) -> tuple[bytes, list[int]]:
+    """Python reference implementation of the slice writer (the native
+    writer is A/B tested against this byte-for-byte)."""
+    ws = _WriterState(fs)
+    w = CtuSyntaxWriter(ws, sps, pps, hdr)
+    wctb = sps.pic_width_in_ctbs
+    nctb = wctb * sps.pic_height_in_ctbs
+    wpp = bool(pps.entropy_coding_sync_enabled)
+    sao_on = bool(hdr.sao_luma or hdr.sao_chroma)
+    sao = sao_params if sao_params is not None else _sao_off_grid(sps)
+    substreams: list[bytes] = []
+    entry_points: list[int] = []
+    saved_ctx = None
+    for addr in range(nctb):
+        rx, ry = addr % wctb, addr // wctb
+        if wpp and rx == 0 and ry > 0:
+            w.start_substream(saved_ctx)
+        x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
+        if sao_on:
+            w.write_sao(rx, ry, sao)
+        _write_cq(w, ws, syn, sps, hdr, x0, y0, sps.log2_ctb, 0)
+        if wpp and rx == min(1, wctb - 1):
+            saved_ctx = w.enc.save_ctx()
+        last = addr == nctb - 1
+        w.end_ctu(last)
+        if wpp and rx == wctb - 1 and not last:
+            w.enc.encode_terminate(1)
+            sub = w.finish_substream()
+            substreams.append(sub)
+            entry_points.append(len(sub))
+    final = w.finish_substream()
+    return b"".join(substreams) + final, entry_points
+
+
+def _write_cq(w, ws, syn, sps, hdr, x0, y0, log2, depth):
+    size = 1 << log2
+    inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
+    min_cb = sps.log2_min_cb
+    x4, y4 = x0 >> 2, y0 >> 2
+    if inside:
+        cu_log2 = sps.log2_ctb - int(ws.cu_depth[y4, x4])
+        split = cu_log2 < log2
+    else:
+        split = log2 > min_cb
+    w.write_split_flag(x0, y0, log2, depth, int(split))
+    if split:
+        h = size >> 1
+        for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+            x1, y1 = x0 + dx, y0 + dy
+            if x1 < sps.width and y1 < sps.height:
+                _write_cq(w, ws, syn, sps, hdr, x1, y1, log2 - 1, depth + 1)
+        return
+    _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth)
+
+
+def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
+    size = 1 << log2
+    b4 = size >> 2
+    x4, y4 = x0 >> 2, y0 >> 2
+    is_i = hdr.slice_type == 2
+    intra = ws.pred_mode[y4, x4] == MODE_INTRA
+
+    def mark():
+        ws.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
+
+    if not is_i:
+        skip = bool(ws.skip[y4, x4])
+        w.write_skip_flag(x0, y0, 1 if skip else 0)
+        if skip:
+            w.write_merge_idx(int(syn.merge_idx[y4, x4]))
+            mark()
+            return
+    if intra:
+        mode = int(ws.intra_mode[y4, x4])
+        cmode = int(syn.chroma_mode[y4, x4])
+        # write_intra_cu_header stores modes + mi_parsed progression itself
+        w.write_intra_cu_header(x0, y0, log2, [mode], cmode)
+        cbf_y = int(ws.cbf_luma[y4, x4])
+        cbf_cb = int(syn.cbf_cb[y4, x4])
+        cbf_cr = int(syn.cbf_cr[y4, x4])
+        w.write_cbf_chroma(cbf_cb, 0)
+        w.write_cbf_chroma(cbf_cr, 0)
+        w.write_cbf_luma(cbf_y, 0)
+        c_log2 = log2 - 1
+        csz = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        if cbf_y:
+            cf = syn.cy[y0:y0 + size, x0:x0 + size].astype(np.int32)
+            w.write_residual(cf, log2, 0, mode)
+        if cbf_cb:
+            cf = syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz].astype(np.int32)
+            w.write_residual(cf, c_log2, 1, cmode)
+        if cbf_cr:
+            cf = syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz].astype(np.int32)
+            w.write_residual(cf, c_log2, 2, cmode)
+        return
+    # ----- inter CU (2Nx2N)
+    w.write_pred_mode(False)
+    w.write_part_2Nx2N_inter()
+    merge = bool(syn.merge_flag[y4, x4])
+    cbf_y = int(ws.cbf_luma[y4, x4])
+    cbf_cb = int(syn.cbf_cb[y4, x4])
+    cbf_cr = int(syn.cbf_cr[y4, x4])
+    cbf_any = bool(cbf_y or cbf_cb or cbf_cr)
+    if merge:
+        w.write_merge_flag(1)
+        w.write_merge_idx(int(syn.merge_idx[y4, x4]))
+    else:
+        w.write_merge_flag(0)
+        inter_dir = int(syn.inter_dir[y4, x4])
+        if hdr.slice_type == 0:          # B
+            w.write_inter_dir(inter_dir, depth, size + size)
+        used = (0, 1) if inter_dir == 2 else (inter_dir,)
+        for lst in used:
+            ridx = int((syn.ref0 if lst == 0 else syn.ref1)[y4, x4])
+            w.write_ref_idx(lst, ridx)
+            mvd = (syn.mvd0 if lst == 0 else syn.mvd1)[y4, x4]
+            w.write_mvd((int(mvd[0]), int(mvd[1])))
+            w.write_mvp_flag(int((syn.mvp0 if lst == 0
+                                  else syn.mvp1)[y4, x4]))
+        w.write_rqt_root_cbf(1 if cbf_any else 0)
+    mark()
+    if not cbf_any:
+        return
+    w.write_cbf_chroma(cbf_cb, 0)
+    w.write_cbf_chroma(cbf_cr, 0)
+    if cbf_cb or cbf_cr:
+        w.write_cbf_luma(cbf_y, 0)
+    else:
+        cbf_y = 1                        # inferred at inter depth-0 leaf
+    c_log2 = log2 - 1
+    csz = size >> 1
+    cx0, cy0 = x0 >> 1, y0 >> 1
+    if cbf_y:
+        cf = syn.cy[y0:y0 + size, x0:x0 + size].astype(np.int32)
+        w.write_residual(cf, log2, 0, None)
+    if cbf_cb:
+        cf = syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz].astype(np.int32)
+        w.write_residual(cf, c_log2, 1, None)
+    if cbf_cr:
+        cf = syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz].astype(np.int32)
+        w.write_residual(cf, c_log2, 2, None)

@@ -339,8 +339,12 @@ class CtuSyntaxWriter:
                 scan_idx = 1
         wtz = int(self.pps.transform_skip_enabled and log2 == 2)
         if _native is not None and _native.HAVE_NATIVE:
-            _native.write_residual(enc, coeffs, log2, c_idx, scan_idx, wtz)
-            return
+            try:
+                _native.write_residual(enc, coeffs, log2, c_idx, scan_idx,
+                                       wtz)
+                return
+            except OverflowError:
+                pass    # engine state restored; use the Python writer
         if wtz:
             enc.encode_bin(0, CTX_OFFSET["transform_skip"]
                            + (0 if c_idx == 0 else 1))

@@ -163,12 +163,14 @@ typedef struct {
     uint8_t *out;
     long out_len, out_cap;
     uint8_t *ctx;
+    int overflow;
 } Enc;
 
 static inline void e_write_out(Enc *e) {
     int lead = (int)(e->low >> (24 - e->bits_left));
     e->bits_left += 8;
     e->low &= 0xFFFFFFFFu >> e->bits_left;
+    if (e->out_len + e->num_buffered + 2 > e->out_cap) { e->overflow = 1; return; }
     if (lead == 0xFF) e->num_buffered++;
     else if (e->num_buffered > 0) {
         int carry = lead >> 8;
@@ -363,7 +365,7 @@ long ks_write_residual(uint8_t *ctx, uint32_t *low, int *range,
                        const int *ctx_bases) {
     tables_init(); scans_init();
     Enc e = {*low, *range, *bits_left, *num_buffered, *buffered_byte,
-             out, 0, out_cap, ctx};
+             out, 0, out_cap, ctx, 0};
     const int n = 1 << log2;
     const int B_TS = ctx_bases[0], B_LX = ctx_bases[1], B_LY = ctx_bases[2],
               B_CG = ctx_bases[3], B_SIG = ctx_bases[4], B_ONE = ctx_bases[5],
@@ -512,9 +514,647 @@ long ks_write_residual(uint8_t *ctx, uint32_t *low, int *range,
             if (lvl >= 2) first_coeff2 = 0;
         }
     }
+    if (e.overflow) return -2;      /* caller must retry with a bigger cap */
     *low = e.low; *range = e.range; *bits_left = e.bits_left;
     *num_buffered = e.num_buffered; *buffered_byte = e.buffered_byte;
     return e.out_len;
+}
+
+/* ==========================================================================
+ * Whole-slice syntax writer (encoder stage 2): consumes the dense per-4x4
+ * decision maps + per-pixel coefficient planes produced by the compute
+ * stage and entropy-codes the complete slice data (all WPP substreams,
+ * terminate bits, alignment, final flush) in ONE call.
+ *
+ * Byte-exact mirror of encode/map_writer.py (the Python reference
+ * implementation, A/B tested). This is the native analog of the
+ * reference's CCtuSbac::processCtuSbac + CEncCabacEngine driven from
+ * stored coding params (SURVEY.md 2.3 "CTU entropy coder").
+ * ========================================================================== */
+
+/* context-base indices in the bases[] array passed from Python
+ * (first 7 match the residual writer's historical order) */
+enum {
+    CB_TS, CB_LAST_X, CB_LAST_Y, CB_SIG_CG, CB_SIG, CB_ONE, CB_ABS,
+    CB_SAO_MERGE, CB_SAO_TYPE, CB_SPLIT_CU, CB_SKIP, CB_MERGE_FLAG,
+    CB_MERGE_IDX, CB_PART_SIZE, CB_PRED_MODE, CB_INTRA_PRED,
+    CB_CHROMA_PRED, CB_INTER_DIR, CB_MVD, CB_REF_IDX, CB_MVP_IDX,
+    CB_DQP, CB_QT_CBF_LUMA, CB_QT_CBF_CHROMA, CB_QT_ROOT_CBF,
+    CB_TRANS_SUBDIV, CB_COUNT
+};
+
+/* scalar params array indices */
+enum {
+    P_WIDTH, P_HEIGHT, P_PW, P_PH, P_LOG2_CTB, P_LOG2_MIN_CB,
+    P_SLICE_TYPE, P_WPP, P_SAO_LUMA, P_SAO_CHROMA, P_TS_ENABLED,
+    P_SBH, P_DQP_ENABLED, P_DQP_DEPTH, P_NREF0, P_NREF1,
+    P_MAX_MERGE, P_SLICE_QP, P_NCTX, P_COUNT
+};
+
+typedef struct {
+    const int32_t *p;                 /* scalar params */
+    const int *bases;
+    /* per-4x4 maps, row-major (h4, w4) */
+    const uint8_t *depth, *skip, *pred_mode, *intra_mode, *chroma_mode;
+    const uint8_t *cbf_y, *cbf_cb, *cbf_cr;
+    const uint8_t *merge_flag, *merge_idx, *inter_dir;
+    const uint8_t *ref0, *ref1, *mvp0, *mvp1, *qpmap;
+    const int16_t *mvd0, *mvd1;       /* (h4, w4, 2) */
+    /* coeff planes */
+    const int16_t *cy, *ccb, *ccr;
+    /* sao per CTU: type (nctb,3) u8, off (nctb,3,4) i8, band u8, eo u8 */
+    const uint8_t *sao_type;
+    const int8_t *sao_off;
+    const uint8_t *sao_band, *sao_eo;
+    int w4, h4, wctb, hctb;
+    uint8_t *coded;                   /* per-4x4 progression bitmap */
+    Enc e;
+    int err;
+} SW;
+
+static inline int sw_cell(const SW *sw, int x, int y) {
+    return (y >> 2) * sw->w4 + (x >> 2);
+}
+static inline int sw_avail(const SW *sw, int x, int y) {
+    if (x < 0 || y < 0 || x >= sw->p[P_WIDTH] || y >= sw->p[P_HEIGHT])
+        return 0;
+    return sw->coded[sw_cell(sw, x, y)];
+}
+
+/* residual core reading from an int16 plane (copy rect then reuse logic) */
+static void sw_residual(SW *sw, const int16_t *plane, int stride,
+                        int x0, int y0, int log2, int c_idx, int scan_idx) {
+    int32_t blk[32 * 32];
+    const int n = 1 << log2;
+    for (int r = 0; r < n; r++)
+        for (int c = 0; c < n; c++)
+            blk[r * n + c] = plane[(y0 + r) * stride + x0 + c];
+    int wtz = sw->p[P_TS_ENABLED] && log2 == 2;
+    /* inline: reuse ks_write_residual's body via a temporary Enc handoff */
+    Enc *e = &sw->e;
+    uint32_t low = e->low;
+    int range = e->range, bits_left = e->bits_left,
+        num_buffered = e->num_buffered, buffered_byte = e->buffered_byte;
+    long r = ks_write_residual(e->ctx, &low, &range, &bits_left,
+                               &num_buffered, &buffered_byte,
+                               e->out + e->out_len, e->out_cap - e->out_len,
+                               blk, log2, c_idx, scan_idx, wtz, sw->bases);
+    if (r < 0) { sw->err = (int)r; return; }
+    e->low = low; e->range = range; e->bits_left = bits_left;
+    e->num_buffered = num_buffered; e->buffered_byte = buffered_byte;
+    e->out_len += r;
+}
+
+static int sw_scan_idx(int log2, int c_idx, int mode) {
+    if (log2 == 2 || (log2 == 3 && c_idx == 0)) {
+        if (mode >= 6 && mode <= 14) return 2;
+        if (mode >= 22 && mode <= 30) return 1;
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------- mvd */
+static void sw_write_eg1(SW *sw, int value) {
+    Enc *e = &sw->e;
+    int count = 1, v = value;
+    while (v >= (1 << count)) { v -= 1 << count; e_bypass(e, 1); count++; }
+    e_bypass(e, 0);
+    e_bypass_n(e, (uint32_t)v, count);
+}
+static void sw_write_mvd(SW *sw, int mx, int my) {
+    Enc *e = &sw->e;
+    int base = sw->bases[CB_MVD];
+    int gt0x = mx != 0, gt0y = my != 0;
+    e_bin(e, gt0x, base);
+    e_bin(e, gt0y, base);
+    int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+    if (gt0x) e_bin(e, ax > 1, base + 1);
+    if (gt0y) e_bin(e, ay > 1, base + 1);
+    if (gt0x) {
+        if (ax > 1) sw_write_eg1(sw, ax - 2);
+        e_bypass(e, mx < 0);
+    }
+    if (gt0y) {
+        if (ay > 1) sw_write_eg1(sw, ay - 2);
+        e_bypass(e, my < 0);
+    }
+}
+
+/* ------------------------------------------------------------------ intra */
+static int sw_nbr_mode(SW *sw, int px, int py, int nx, int ny, int above) {
+    if (!sw_avail(sw, nx, ny)) return 1;
+    if (above && (ny >> sw->p[P_LOG2_CTB]) != (py >> sw->p[P_LOG2_CTB]))
+        return 1;
+    int cell = sw_cell(sw, nx, ny);
+    if (sw->pred_mode[cell] != 1) return 1;
+    return sw->intra_mode[cell];
+}
+static void sw_mpm(SW *sw, int px, int py, int cands[3]) {
+    int a = sw_nbr_mode(sw, px, py, px - 1, py, 0);
+    int b = sw_nbr_mode(sw, px, py, px, py - 1, 1);
+    if (a == b) {
+        if (a < 2) { cands[0] = 0; cands[1] = 1; cands[2] = 26; }
+        else {
+            cands[0] = a;
+            cands[1] = 2 + ((a + 29) % 32);
+            cands[2] = 2 + ((a - 2 + 1) % 32);
+        }
+        return;
+    }
+    cands[0] = a; cands[1] = b;
+    if (a != 0 && b != 0) cands[2] = 0;
+    else if (a != 1 && b != 1) cands[2] = 1;
+    else cands[2] = 26;
+}
+
+static void sw_intra_cu_header(SW *sw, int x0, int y0, int log2) {
+    Enc *e = &sw->e;
+    const int32_t *p = sw->p;
+    int cell = sw_cell(sw, x0, y0);
+    int mode = sw->intra_mode[cell];
+    int cmode = sw->chroma_mode[cell];
+    if (p[P_SLICE_TYPE] != 2)
+        e_bin(e, 1, sw->bases[CB_PRED_MODE]);     /* intra */
+    if (log2 == p[P_LOG2_MIN_CB])
+        e_bin(e, 1, sw->bases[CB_PART_SIZE]);     /* 2Nx2N */
+    int cands[3];
+    sw_mpm(sw, x0, y0, cands);
+    /* mark this PU's cells coded (MPM progression) */
+    int b4 = (1 << log2) >> 2;
+    for (int r = 0; r < b4; r++)
+        for (int c = 0; c < b4; c++)
+            sw->coded[((y0 >> 2) + r) * sw->w4 + (x0 >> 2) + c] = 1;
+    int idx = -1;
+    for (int k = 0; k < 3; k++) if (cands[k] == mode) { idx = k; break; }
+    e_bin(e, idx >= 0, sw->bases[CB_INTRA_PRED]);
+    if (idx >= 0) {
+        e_bypass(e, idx ? 1 : 0);
+        if (idx) e_bypass(e, idx - 1);
+    } else {
+        int sc[3] = {cands[0], cands[1], cands[2]};
+        /* sort 3 */
+        for (int i = 0; i < 2; i++)
+            for (int j = i + 1; j < 3; j++)
+                if (sc[j] < sc[i]) { int t = sc[i]; sc[i] = sc[j]; sc[j] = t; }
+        int rem = mode;
+        for (int i = 2; i >= 0; i--) if (rem > sc[i]) rem--;
+        e_bypass_n(e, (uint32_t)rem, 5);
+    }
+    /* chroma (DM or one of the 4 table modes) */
+    if (cmode == mode) e_bin(e, 0, sw->bases[CB_CHROMA_PRED]);
+    else {
+        static const int table[4] = {0, 26, 10, 1};
+        int mapped[4], ci = 0;
+        for (int i = 0; i < 4; i++)
+            mapped[i] = (table[i] == mode) ? 34 : table[i];
+        for (int i = 0; i < 4; i++) if (mapped[i] == cmode) { ci = i; break; }
+        e_bin(e, 1, sw->bases[CB_CHROMA_PRED]);
+        e_bypass_n(e, (uint32_t)ci, 2);
+    }
+}
+
+/* -------------------------------------------------------------------- CU */
+static void sw_write_cu(SW *sw, int x0, int y0, int log2, int depth) {
+    Enc *e = &sw->e;
+    const int32_t *p = sw->p;
+    int size = 1 << log2, b4 = size >> 2;
+    int cell = sw_cell(sw, x0, y0);
+    int is_i = p[P_SLICE_TYPE] == 2;
+    int intra = sw->pred_mode[cell] == 1;
+    int x4 = x0 >> 2, y4 = y0 >> 2;
+
+    if (!is_i) {
+        int skip = sw->skip[cell] != 0;
+        int ctx = 0;
+        if (sw_avail(sw, x0 - 1, y0)) ctx += sw->skip[sw_cell(sw, x0 - 1, y0)] != 0;
+        if (sw_avail(sw, x0, y0 - 1)) ctx += sw->skip[sw_cell(sw, x0, y0 - 1)] != 0;
+        e_bin(e, skip, sw->bases[CB_SKIP] + ctx);
+        if (skip) {
+            int midx = sw->merge_idx[cell];
+            int cmax = p[P_MAX_MERGE] - 1;
+            if (cmax > 0) {
+                e_bin(e, midx > 0, sw->bases[CB_MERGE_IDX]);
+                if (midx > 0) {
+                    for (int k = 1; k < midx; k++) e_bypass(e, 1);
+                    if (midx < cmax) e_bypass(e, 0);
+                }
+            }
+            goto mark;
+        }
+    }
+    if (intra) {
+        sw_intra_cu_header(sw, x0, y0, log2);
+        int cbf_y = sw->cbf_y[cell], cbf_cb = sw->cbf_cb[cell],
+            cbf_cr = sw->cbf_cr[cell];
+        int mode = sw->intra_mode[cell], cmode = sw->chroma_mode[cell];
+        e_bin(e, cbf_cb != 0, sw->bases[CB_QT_CBF_CHROMA]);
+        e_bin(e, cbf_cr != 0, sw->bases[CB_QT_CBF_CHROMA]);
+        e_bin(e, cbf_y != 0, sw->bases[CB_QT_CBF_LUMA] + 1);
+        if (cbf_y)
+            sw_residual(sw, sw->cy, p[P_PW], x0, y0, log2, 0,
+                        sw_scan_idx(log2, 0, mode));
+        if (cbf_cb)
+            sw_residual(sw, sw->ccb, p[P_PW] >> 1, x0 >> 1, y0 >> 1,
+                        log2 - 1, 1, sw_scan_idx(log2 - 1, 1, cmode));
+        if (cbf_cr)
+            sw_residual(sw, sw->ccr, p[P_PW] >> 1, x0 >> 1, y0 >> 1,
+                        log2 - 1, 2, sw_scan_idx(log2 - 1, 2, cmode));
+        return;                       /* intra header marked already */
+    }
+    /* inter 2Nx2N */
+    e_bin(e, 0, sw->bases[CB_PRED_MODE]);
+    e_bin(e, 1, sw->bases[CB_PART_SIZE]);
+    int cbf_y = sw->cbf_y[cell], cbf_cb = sw->cbf_cb[cell],
+        cbf_cr = sw->cbf_cr[cell];
+    int cbf_any = cbf_y || cbf_cb || cbf_cr;
+    int merge = sw->merge_flag[cell] != 0;
+    e_bin(e, merge, sw->bases[CB_MERGE_FLAG]);
+    if (merge) {
+        int midx = sw->merge_idx[cell];
+        int cmax = p[P_MAX_MERGE] - 1;
+        if (cmax > 0) {
+            e_bin(e, midx > 0, sw->bases[CB_MERGE_IDX]);
+            if (midx > 0) {
+                for (int k = 1; k < midx; k++) e_bypass(e, 1);
+                if (midx < cmax) e_bypass(e, 0);
+            }
+        }
+    } else {
+        int idir = sw->inter_dir[cell];
+        if (p[P_SLICE_TYPE] == 0) {   /* B: inter_pred_idc */
+            if (size + size != 12) {
+                e_bin(e, idir == 2, sw->bases[CB_INTER_DIR] + depth);
+            }
+            if (idir != 2 || size + size == 12)
+                e_bin(e, idir == 1, sw->bases[CB_INTER_DIR] + 4);
+        }
+        for (int lst = 0; lst < 2; lst++) {
+            if (idir != 2 && idir != lst) continue;
+            int ridx = lst == 0 ? sw->ref0[cell] : sw->ref1[cell];
+            int cmax = p[lst == 0 ? P_NREF0 : P_NREF1] - 1;
+            if (cmax > 0) {
+                e_bin(e, ridx > 0, sw->bases[CB_REF_IDX]);
+                if (ridx > 0 && cmax > 1) {
+                    e_bin(e, ridx > 1, sw->bases[CB_REF_IDX] + 1);
+                    for (int k = 2; k < ridx; k++) e_bypass(e, 1);
+                    if (ridx > 1 && ridx < cmax) e_bypass(e, 0);
+                }
+            }
+            const int16_t *mvd = (lst == 0 ? sw->mvd0 : sw->mvd1)
+                                 + (y4 * sw->w4 + x4) * 2;
+            sw_write_mvd(sw, mvd[0], mvd[1]);
+            e_bin(e, lst == 0 ? sw->mvp0[cell] : sw->mvp1[cell],
+                  sw->bases[CB_MVP_IDX]);
+        }
+        e_bin(e, cbf_any, sw->bases[CB_QT_ROOT_CBF]);
+    }
+    if (cbf_any) {
+        e_bin(e, cbf_cb != 0, sw->bases[CB_QT_CBF_CHROMA]);
+        e_bin(e, cbf_cr != 0, sw->bases[CB_QT_CBF_CHROMA]);
+        if (cbf_cb || cbf_cr)
+            e_bin(e, cbf_y != 0, sw->bases[CB_QT_CBF_LUMA] + 1);
+        else cbf_y = 1;               /* inferred at inter depth-0 leaf */
+        if (cbf_y)
+            sw_residual(sw, sw->cy, p[P_PW], x0, y0, log2, 0, 0);
+        if (cbf_cb)
+            sw_residual(sw, sw->ccb, p[P_PW] >> 1, x0 >> 1, y0 >> 1,
+                        log2 - 1, 1, 0);
+        if (cbf_cr)
+            sw_residual(sw, sw->ccr, p[P_PW] >> 1, x0 >> 1, y0 >> 1,
+                        log2 - 1, 2, 0);
+    }
+mark:
+    for (int r = 0; r < b4; r++)
+        for (int c = 0; c < b4; c++)
+            sw->coded[(y4 + r) * sw->w4 + x4 + c] = 1;
+}
+
+static void sw_write_cq(SW *sw, int x0, int y0, int log2, int depth) {
+    Enc *e = &sw->e;
+    const int32_t *p = sw->p;
+    int size = 1 << log2;
+    int inside = (x0 + size <= p[P_WIDTH]) && (y0 + size <= p[P_HEIGHT]);
+    int split;
+    if (inside) {
+        int cu_log2 = p[P_LOG2_CTB] - sw->depth[sw_cell(sw, x0, y0)];
+        split = cu_log2 < log2;
+    } else split = log2 > p[P_LOG2_MIN_CB];
+    if (inside && log2 > p[P_LOG2_MIN_CB]) {
+        int ctx = 0;
+        if (sw_avail(sw, x0 - 1, y0))
+            ctx += sw->depth[sw_cell(sw, x0 - 1, y0)] > depth;
+        if (sw_avail(sw, x0, y0 - 1))
+            ctx += sw->depth[sw_cell(sw, x0, y0 - 1)] > depth;
+        e_bin(e, split, sw->bases[CB_SPLIT_CU] + ctx);
+    }
+    if (split) {
+        int h = size >> 1;
+        static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int k = 0; k < 4; k++) {
+            int x1 = x0 + off[k][0] * h, y1 = y0 + off[k][1] * h;
+            if (x1 < p[P_WIDTH] && y1 < p[P_HEIGHT])
+                sw_write_cq(sw, x1, y1, log2 - 1, depth + 1);
+        }
+        return;
+    }
+    sw_write_cu(sw, x0, y0, log2, depth);
+}
+
+/* -------------------------------------------------------------------- SAO */
+static int sw_sao_same(const SW *sw, int a, int b) {
+    for (int c = 0; c < 3; c++) {
+        if (sw->sao_type[a * 3 + c] != sw->sao_type[b * 3 + c]) return 0;
+        if (sw->sao_band[a * 3 + c] != sw->sao_band[b * 3 + c]) return 0;
+        if (sw->sao_eo[a * 3 + c] != sw->sao_eo[b * 3 + c]) return 0;
+        for (int k = 0; k < 4; k++)
+            if (sw->sao_off[(a * 3 + c) * 4 + k]
+                != sw->sao_off[(b * 3 + c) * 4 + k]) return 0;
+    }
+    return 1;
+}
+static void sw_write_sao(SW *sw, int rx, int ry) {
+    Enc *e = &sw->e;
+    int idx = ry * sw->wctb + rx;
+    if (rx > 0) {
+        int ml = sw_sao_same(sw, idx, idx - 1);
+        e_bin(e, ml, sw->bases[CB_SAO_MERGE]);
+        if (ml) return;
+    }
+    if (ry > 0) {
+        int mu = sw_sao_same(sw, idx, idx - sw->wctb);
+        e_bin(e, mu, sw->bases[CB_SAO_MERGE]);
+        if (mu) return;
+    }
+    for (int c = 0; c < 3; c++) {
+        int enabled = c == 0 ? sw->p[P_SAO_LUMA] : sw->p[P_SAO_CHROMA];
+        if (!enabled) continue;
+        int t = sw->sao_type[idx * 3 + c];
+        if (c != 2) {
+            e_bin(e, t != 0, sw->bases[CB_SAO_TYPE]);
+            if (t) e_bypass(e, t == 2);
+        }
+        if (t == 0) continue;
+        const int8_t *offs = sw->sao_off + (idx * 3 + c) * 4;
+        for (int k = 0; k < 4; k++) {
+            int a = offs[k] < 0 ? -offs[k] : offs[k];
+            for (int b = 0; b < a; b++) e_bypass(e, 1);
+            if (a < 7) e_bypass(e, 0);
+        }
+        if (t == 1) {
+            for (int k = 0; k < 4; k++)
+                if (offs[k]) e_bypass(e, offs[k] < 0);
+            e_bypass_n(e, sw->sao_band[idx * 3 + c], 5);
+        } else if (c == 0 || c == 1) {
+            e_bypass_n(e, sw->sao_eo[idx * 3 + c], 2);
+        }
+    }
+}
+
+/* -------------------------------------------------- terminate + substreams */
+static void sw_terminate(Enc *e, int val) {
+    e->range -= 2;
+    if (val) {
+        e->low += (uint32_t)e->range;
+        e->low <<= 7;
+        e->range = 2 << 7;
+        e->bits_left -= 7;
+    } else if (e->range >= 256) return;
+    else {
+        e->low <<= 1;
+        e->range <<= 1;
+        e->bits_left -= 1;
+    }
+    if (e->bits_left < 12) e_write_out(e);
+}
+
+static void sw_finish_substream(Enc *e) {
+    /* HM TEncBinCABAC::finish + rbsp stop bit + byte alignment */
+    if (e->out_len + e->num_buffered + 8 > e->out_cap) { e->overflow = 1; return; }
+    if (e->low >> (32 - e->bits_left)) {
+        e->out[e->out_len++] = (uint8_t)((e->buffered_byte + 1) & 0xFF);
+        for (int i = 0; i < e->num_buffered - 1; i++)
+            e->out[e->out_len++] = 0x00;
+        e->low -= 1u << (32 - e->bits_left);
+    } else {
+        if (e->num_buffered > 0)
+            e->out[e->out_len++] = (uint8_t)e->buffered_byte;
+        for (int i = 0; i < e->num_buffered - 1; i++)
+            e->out[e->out_len++] = 0xFF;
+    }
+    int nbits = 24 - e->bits_left;
+    uint32_t val = (e->low >> 8) & ((nbits > 0) ? ((1u << nbits) - 1) : 0);
+    uint32_t acc = (val << 1) | 1;
+    int nb = nbits + 1;
+    int pad = (8 - nb % 8) % 8;
+    acc <<= pad; nb += pad;
+    for (int k = nb - 8; k >= 0; k -= 8)
+        e->out[e->out_len++] = (uint8_t)((acc >> k) & 0xFF);
+    /* reset engine for the next substream */
+    e->low = 0; e->range = 510; e->bits_left = 23;
+    e->num_buffered = 0; e->buffered_byte = 0xFF;
+}
+
+long ks_write_slice(const int32_t *params, const int *bases,
+                    const uint8_t *init_ctx,
+                    const uint8_t *depth, const uint8_t *skip,
+                    const uint8_t *pred_mode, const uint8_t *intra_mode,
+                    const uint8_t *chroma_mode, const uint8_t *cbf_y,
+                    const uint8_t *cbf_cb, const uint8_t *cbf_cr,
+                    const uint8_t *merge_flag, const uint8_t *merge_idx,
+                    const uint8_t *inter_dir, const uint8_t *ref0,
+                    const uint8_t *ref1, const uint8_t *mvp0,
+                    const uint8_t *mvp1, const uint8_t *qpmap,
+                    const int16_t *mvd0, const int16_t *mvd1,
+                    const int16_t *cy, const int16_t *ccb,
+                    const int16_t *ccr,
+                    const uint8_t *sao_type, const int8_t *sao_off,
+                    const uint8_t *sao_band, const uint8_t *sao_eo,
+                    uint8_t *out, long out_cap,
+                    int32_t *entry_sizes, int32_t *n_entries,
+                    uint8_t *work /* >= 2*nctx + h4*w4 bytes */) {
+    tables_init(); scans_init();
+    if (params[P_DQP_ENABLED]) return -3;      /* not yet in native */
+    SW sw;
+    memset(&sw, 0, sizeof(sw));
+    sw.p = params; sw.bases = bases;
+    sw.depth = depth; sw.skip = skip; sw.pred_mode = pred_mode;
+    sw.intra_mode = intra_mode; sw.chroma_mode = chroma_mode;
+    sw.cbf_y = cbf_y; sw.cbf_cb = cbf_cb; sw.cbf_cr = cbf_cr;
+    sw.merge_flag = merge_flag; sw.merge_idx = merge_idx;
+    sw.inter_dir = inter_dir; sw.ref0 = ref0; sw.ref1 = ref1;
+    sw.mvp0 = mvp0; sw.mvp1 = mvp1; sw.qpmap = qpmap;
+    sw.mvd0 = mvd0; sw.mvd1 = mvd1;
+    sw.cy = cy; sw.ccb = ccb; sw.ccr = ccr;
+    sw.sao_type = sao_type; sw.sao_off = sao_off;
+    sw.sao_band = sao_band; sw.sao_eo = sao_eo;
+    sw.w4 = params[P_PW] >> 2; sw.h4 = params[P_PH] >> 2;
+    int log2_ctb = params[P_LOG2_CTB];
+    sw.wctb = (params[P_WIDTH] + (1 << log2_ctb) - 1) >> log2_ctb;
+    sw.hctb = (params[P_HEIGHT] + (1 << log2_ctb) - 1) >> log2_ctb;
+    int nctx = params[P_NCTX];
+    uint8_t *ctx = work;
+    uint8_t *saved = work + nctx;
+    sw.coded = work + 2 * nctx;
+    memcpy(ctx, init_ctx, (size_t)nctx);
+    memset(sw.coded, 0, (size_t)(sw.w4 * sw.h4));
+    sw.e.low = 0; sw.e.range = 510; sw.e.bits_left = 23;
+    sw.e.num_buffered = 0; sw.e.buffered_byte = 0xFF;
+    sw.e.out = out; sw.e.out_len = 0; sw.e.out_cap = out_cap;
+    sw.e.ctx = ctx; sw.e.overflow = 0;
+    int wpp = params[P_WPP];
+    int sao_on = params[P_SAO_LUMA] || params[P_SAO_CHROMA];
+    int nctb = sw.wctb * sw.hctb;
+    int ne = 0;
+    long sub_start = 0;
+    int have_saved = 0;
+    for (int addr = 0; addr < nctb; addr++) {
+        int rx = addr % sw.wctb, ry = addr / sw.wctb;
+        if (wpp && rx == 0 && ry > 0 && have_saved)
+            memcpy(ctx, saved, (size_t)nctx);
+        int x0 = rx << log2_ctb, y0 = ry << log2_ctb;
+        if (sao_on) sw_write_sao(&sw, rx, ry);
+        sw_write_cq(&sw, x0, y0, log2_ctb, 0);
+        if (sw.err) return sw.err;
+        if (wpp && rx == (sw.wctb - 1 < 1 ? sw.wctb - 1 : 1)) {
+            memcpy(saved, ctx, (size_t)nctx);
+            have_saved = 1;
+        }
+        int last = addr == nctb - 1;
+        sw_terminate(&sw.e, last ? 1 : 0);
+        if (wpp && rx == sw.wctb - 1 && !last) {
+            sw_terminate(&sw.e, 1);
+            sw_finish_substream(&sw.e);
+            if (sw.e.overflow) return -2;
+            entry_sizes[ne++] = (int32_t)(sw.e.out_len - sub_start);
+            sub_start = sw.e.out_len;
+        }
+    }
+    sw_finish_substream(&sw.e);
+    if (sw.e.overflow) return -2;
+    *n_entries = ne;
+    return sw.e.out_len;
+}
+
+/* ==========================================================================
+ * Wavefront schedule builder for the device intra coding pass.
+ *
+ * Walks the CU quadtree in z-order (identical recursion to the slice
+ * writer), computing for every intra CU:
+ *   - reference-sample availability masks at 4-sample-group granularity
+ *     (spec 6.4.1 z-order availability, same predicate as the sequential
+ *     coder's recon_done check), and
+ *   - the DEPENDENCY LEVEL: 1 + max level over the cells its available
+ *     reference samples come from. CUs of equal level have no data
+ *     dependency, so the device executes each level as one batched step
+ *     (the TPU-native form of the reference's wavefront: SURVEY.md 2.6
+ *     "WPP -> batched anti-diagonal execution").
+ * ========================================================================== */
+
+typedef struct {
+    const uint8_t *log2map;     /* (h8, w8): log2 CU size per 8x8 cell */
+    int w8, h8, width, height, log2_min_cb;
+    int32_t *lvl8;              /* per 8x8 cell level */
+    uint8_t *coded8;
+    int32_t *ox, *oy, *olog2, *olevel;
+    uint32_t *oal, *oat;
+    uint8_t *oac;
+    long n;
+} SB;
+
+static void sb_emit(SB *b, int x, int y, int log2) {
+    int n2 = 2 << log2;
+    int ng = n2 >> 2;
+    uint32_t al = 0, at = 0;
+    uint8_t ac = 0;
+    int32_t maxl = -1;
+    if (x > 0) {
+        int c8x = (x - 1) >> 3;
+        for (int g = 0; g < ng; g++) {
+            int sy = y + 4 * g;
+            if (sy >= b->height) break;
+            int c8y = sy >> 3;
+            if (b->coded8[c8y * b->w8 + c8x]) {
+                al |= 1u << g;
+                int32_t l = b->lvl8[c8y * b->w8 + c8x];
+                if (l > maxl) maxl = l;
+            }
+        }
+        if (y > 0 && b->coded8[((y - 1) >> 3) * b->w8 + c8x]) {
+            ac = 1;
+            int32_t l = b->lvl8[((y - 1) >> 3) * b->w8 + c8x];
+            if (l > maxl) maxl = l;
+        }
+    }
+    if (y > 0) {
+        int c8y = (y - 1) >> 3;
+        for (int g = 0; g < ng; g++) {
+            int sx = x + 4 * g;
+            if (sx >= b->width) break;
+            if (b->coded8[c8y * b->w8 + (sx >> 3)]) {
+                at |= 1u << g;
+                int32_t l = b->lvl8[c8y * b->w8 + (sx >> 3)];
+                if (l > maxl) maxl = l;
+            }
+        }
+    }
+    int32_t level = maxl + 1;
+    b->ox[b->n] = x; b->oy[b->n] = y;
+    b->olog2[b->n] = 1 << log2;      /* store SIZE, not log2 */
+    b->olevel[b->n] = level;
+    b->oal[b->n] = al; b->oac[b->n] = ac; b->oat[b->n] = at;
+    b->n++;
+    int s8 = 1 << (log2 - 3);
+    for (int r = 0; r < s8; r++)
+        for (int c = 0; c < s8; c++) {
+            int cell = ((y >> 3) + r) * b->w8 + (x >> 3) + c;
+            b->lvl8[cell] = level;
+            b->coded8[cell] = 1;
+        }
+}
+
+static void sb_walk(SB *b, int x0, int y0, int log2) {
+    int size = 1 << log2;
+    int inside = (x0 + size <= b->width) && (y0 + size <= b->height);
+    int split;
+    if (inside) {
+        int cu_log2 = b->log2map[(y0 >> 3) * b->w8 + (x0 >> 3)];
+        split = cu_log2 < log2;
+    } else split = log2 > b->log2_min_cb;
+    if (split) {
+        int h = size >> 1;
+        static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int k = 0; k < 4; k++) {
+            int x1 = x0 + off[k][0] * h, y1 = y0 + off[k][1] * h;
+            if (x1 < b->width && y1 < b->height)
+                sb_walk(b, x1, y1, log2 - 1);
+        }
+        return;
+    }
+    sb_emit(b, x0, y0, log2);
+}
+
+long ks_build_intra_schedule(
+    const uint8_t *log2map, int w8, int h8, int width, int height,
+    int log2_ctb, int log2_min_cb,
+    int32_t *out_x, int32_t *out_y, int32_t *out_size, int32_t *out_level,
+    uint32_t *out_avail_l, uint8_t *out_avail_c, uint32_t *out_avail_t,
+    int32_t *work /* >= 2 * w8 * h8 int32 */) {
+    SB b;
+    b.log2map = log2map; b.w8 = w8; b.h8 = h8;
+    b.width = width; b.height = height; b.log2_min_cb = log2_min_cb;
+    b.lvl8 = work;
+    b.coded8 = (uint8_t *)(work + w8 * h8);
+    memset(b.lvl8, 0, sizeof(int32_t) * w8 * h8);
+    memset(b.coded8, 0, (size_t)(w8 * h8));
+    b.ox = out_x; b.oy = out_y; b.olog2 = out_size; b.olevel = out_level;
+    b.oal = out_avail_l; b.oac = out_avail_c; b.oat = out_avail_t;
+    b.n = 0;
+    int wctb = (width + (1 << log2_ctb) - 1) >> log2_ctb;
+    int hctb = (height + (1 << log2_ctb) - 1) >> log2_ctb;
+    for (int ry = 0; ry < hctb; ry++)
+        for (int rx = 0; rx < wctb; rx++)
+            sb_walk(&b, rx << log2_ctb, ry << log2_ctb, log2_ctb);
+    return b.n;
 }
 
 /* Test hook: replay an op sequence through the encoder engine.
@@ -526,7 +1166,7 @@ long ks_engine_replay(uint8_t *ctx, const int32_t *ops, long n_ops,
                       int *num_buffered, int *buffered_byte) {
     tables_init();
     Enc e = {*low, *range, *bits_left, *num_buffered, *buffered_byte,
-             out, 0, out_cap, ctx};
+             out, 0, out_cap, ctx, 0};
     for (long i = 0; i < n_ops; i++) {
         int kind = ops[3 * i], a = ops[3 * i + 1], b = ops[3 * i + 2];
         if (kind == 0) e_bin(&e, b, a);

@@ -1,0 +1,413 @@
+"""Wavefront-batched intra coding pass: the whole frame's prediction ->
+transform -> quant -> dequant -> reconstruction feedback loop as ONE jitted
+device dispatch.
+
+This is the TPU-native replacement for the reference's per-CTU sequential
+hot loop (CCtuEnc::processOneCtu -> intraReconstruct* -> H265_2dDct ->
+H265Quant -> reconstruct, SURVEY.md 3.2): the host builds a dependency
+SCHEDULE (native ks_build_intra_schedule: z-order walk, availability masks,
+longest-path levels), and the device executes one `lax.fori_loop` step per
+level, each step batching every CU of that level across three size classes
+(8/16/32 luma + their chroma). Reference-sample substitution (spec
+8.4.4.2.2) is a vectorized cummax scan; filtering (8.4.4.2.3), all-mode
+angular projection (8.4.4.2.6), DCT (8.6.4), quant/dequant round-trip all
+bit-exactly mirror the scalar oracle in decode/recon.py (A/B tested by
+tests/test_wavefront.py against the sequential compute path).
+
+Carry = (recon Y/Cb/Cr, coeff planes Y/Cb/Cr); outputs land in-place via
+masked scatters, so one dispatch returns the finished frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hevc.tables import chroma_qp
+from . import intra as jintra
+from .transforms import _LEVEL_SCALE, _QUANT_SCALE, _T, _clip16
+
+# schedule K caps per size class: same-row CUs chain through their left
+# reference, so an antichain has at most one CU per 8/16/32-row
+_LEVEL_PAD = 32
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+# --------------------------------------------------------------- prediction
+
+def _predict_dyn(refs_u, refs_f, modes, n: int, is_luma: bool):
+    """Per-CU-mode intra prediction, batch (K, 4n+1) -> (K, n, n) int32.
+
+    Same math as intra.predict_all_modes but gathering only each CU's mode
+    row from the static tables."""
+    ext_idx, g, f, filt = jintra._TABLES[n]
+    K = refs_u.shape[0]
+    am = jnp.clip(modes - 2, 0, 32)
+    use_f = (filt[am] == 1) if is_luma else jnp.zeros((K,), bool)
+    refs_sel = jnp.where(use_f[:, None], refs_f, refs_u)
+    e = jnp.take_along_axis(refs_sel, ext_idx[am], axis=1)   # (K, 3n+2)
+    gm = g[am]                                               # (K, n, n)
+    fm = f[am]
+    p1 = jnp.take_along_axis(e, gm.reshape(K, -1), axis=1).reshape(K, n, n)
+    p2 = jnp.take_along_axis(e, (gm + 1).reshape(K, -1),
+                             axis=1).reshape(K, n, n)
+    ang = ((32 - fm) * p1 + fm * p2 + 16) >> 5
+
+    maxv = 255
+    lu = refs_u[:, :2 * n]
+    tu = refs_u[:, 2 * n + 1:]
+    cu = refs_u[:, 2 * n]
+    if is_luma and jintra._PLANAR_FILT[n]:
+        pl = refs_f
+    else:
+        pl = refs_u
+    left = pl[:, :2 * n]
+    top = pl[:, 2 * n + 1:]
+    x = jnp.arange(n, dtype=jnp.int32)
+    tr = top[:, n][:, None, None]
+    bl = left[:, n][:, None, None]
+    planar = ((n - 1 - x)[None, None, :] * left[:, :n, None]
+              + (x + 1)[None, None, :] * tr
+              + (n - 1 - x)[None, :, None] * top[:, None, :n]
+              + (x + 1)[None, :, None] * bl + n) >> (n.bit_length())
+    dc = (jnp.sum(lu[:, :n], axis=1) + jnp.sum(tu[:, :n], axis=1)
+          + n) >> (n.bit_length())
+    dcp = jnp.broadcast_to(dc[:, None, None], (K, n, n)).astype(jnp.int32)
+    if is_luma and n < 32:
+        row0 = (tu[:, :n] + 3 * dc[:, None] + 2) >> 2
+        col0 = (lu[:, :n] + 3 * dc[:, None] + 2) >> 2
+        c00 = (lu[:, 0] + 2 * dc + tu[:, 0] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(row0)
+        dcp = dcp.at[:, 1:, 0].set(col0[:, 1:])
+        dcp = dcp.at[:, 0, 0].set(c00)
+        v26 = jnp.clip(tu[:, 0][:, None] + ((lu[:, :n] - cu[:, None]) >> 1),
+                       0, maxv)
+        h10 = jnp.clip(lu[:, 0][:, None] + ((tu[:, :n] - cu[:, None]) >> 1),
+                       0, maxv)
+        ang = jnp.where((modes == 26)[:, None, None],
+                        ang.at[:, :, 0].set(v26), ang)
+        ang = jnp.where((modes == 10)[:, None, None],
+                        ang.at[:, 0, :].set(h10), ang)
+    pred = jnp.where((modes == 0)[:, None, None], planar,
+                     jnp.where((modes == 1)[:, None, None], dcp, ang))
+    return pred.astype(jnp.int32)
+
+
+def _build_refs_dyn(plane, xs, ys, avail_l, avail_c, avail_t, n: int,
+                    expand: int, strong: bool, is_luma: bool):
+    """Batched reference construction + substitution + filtering.
+
+    plane (H, W) int32; xs/ys (K,) block origins in this plane's coords;
+    avail masks at 4-luma-sample-group granularity (expand=1 luma,
+    expand=2 chroma: each mask bit covers 2 contour samples).
+    Returns (refs_u, refs_f) each (K, 4n+1)."""
+    H, W = plane.shape
+    K = xs.shape[0]
+    n2 = 2 * n
+    L = 4 * n + 1
+    # contour order: bottom-left upward, corner, top left-to-right
+    i = jnp.arange(L)
+    # sample coords per contour index
+    py = jnp.where(i < n2, ys[:, None] + (n2 - 1 - i)[None, :],
+                   ys[:, None] - 1)
+    px = jnp.where(i < n2, xs[:, None] - 1,
+                   jnp.where(i == n2, xs[:, None] - 1,
+                             xs[:, None] + (i - n2 - 1)[None, :]))
+    vals = plane[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
+    # availability per contour position from the group masks
+    goff = jnp.where(i < n2, (n2 - 1 - i) * expand // 4, 0)
+    toff = jnp.where(i > n2, (i - n2 - 1) * expand // 4, 0)
+    m_left = (avail_l[:, None] >> goff[None, :]) & 1
+    m_top = (avail_t[:, None] >> toff[None, :]) & 1
+    mask = jnp.where(i[None, :] < n2, m_left,
+                     jnp.where(i[None, :] == n2,
+                               avail_c[:, None].astype(jnp.uint32) & 1,
+                               m_top)).astype(bool)
+    # substitution (8.4.4.2.2): forward-fill from the last available sample;
+    # leading unavailable samples take the first available one; all-
+    # unavailable -> mid grey
+    idx = jnp.where(mask, i[None, :], -1)
+    last = jax.lax.associative_scan(jnp.maximum, idx, axis=1)
+    first = jnp.argmax(mask, axis=1)
+    fidx = jnp.where(last >= 0, last, first[:, None])
+    subst = jnp.take_along_axis(vals, fidx, axis=1)
+    subst = jnp.where(mask.any(axis=1)[:, None], subst, 128)
+    # reorder contour -> refs layout [left top->bottom | corner | top]
+    refs_u = jnp.concatenate(
+        [subst[:, :n2][:, ::-1], subst[:, n2:n2 + 1], subst[:, n2 + 1:]],
+        axis=1).astype(jnp.int32)
+    if not is_luma:
+        return refs_u, refs_u
+    # [1 2 1] smoothing along the contour
+    sm = subst.at[:, 1:-1].set(
+        (subst[:, :-2] + 2 * subst[:, 1:-1] + subst[:, 2:] + 2) >> 2)
+    refs_f = jnp.concatenate(
+        [sm[:, :n2][:, ::-1], sm[:, n2:n2 + 1], sm[:, n2 + 1:]],
+        axis=1).astype(jnp.int32)
+    if strong and n == 32:
+        corner = refs_u[:, n2]
+        topv = refs_u[:, n2 + 1:]
+        leftv = refs_u[:, :n2]
+        cond = ((jnp.abs(corner + topv[:, n2 - 1] - 2 * topv[:, n - 1])
+                 < 8)
+                & (jnp.abs(corner + leftv[:, n2 - 1] - 2 * leftv[:, n - 1])
+                   < 8))
+        bi_i = jnp.arange(1, n2 + 1, dtype=jnp.int32)
+        ft = ((64 - bi_i)[None, :] * corner[:, None]
+              + bi_i[None, :] * topv[:, n2 - 1][:, None] + 32) >> 6
+        fl = ((64 - bi_i)[None, :] * corner[:, None]
+              + bi_i[None, :] * leftv[:, n2 - 1][:, None] + 32) >> 6
+        ft = ft.at[:, n2 - 1].set(topv[:, n2 - 1])
+        fl = fl.at[:, n2 - 1].set(leftv[:, n2 - 1])
+        refs_strong = jnp.concatenate(
+            [fl, corner[:, None], ft], axis=1).astype(jnp.int32)
+        refs_f = jnp.where(cond[:, None], refs_strong, refs_f)
+    return refs_u, refs_f
+
+
+# ----------------------------------------------------------- transform path
+
+def _mm_lhs(t, x):
+    """Exact t @ x for int32 x with |x| < 2^17 and |t| <= 90: split x into
+    8-bit halves so each f32 matmul is exact (< 2^24) and rides the MXU —
+    int32 dots hit pathologically slow XLA emitters on both backends."""
+    tf = t.astype(jnp.float32)
+    hi = (x >> 8).astype(jnp.float32)
+    lo = (x & 255).astype(jnp.float32)
+    return ((tf @ hi).astype(jnp.int32) << 8) + (tf @ lo).astype(jnp.int32)
+
+
+def _mm_rhs(x, t):
+    """Exact x @ t under the same bounds."""
+    tf = t.astype(jnp.float32)
+    hi = (x >> 8).astype(jnp.float32)
+    lo = (x & 255).astype(jnp.float32)
+    return ((hi @ tf).astype(jnp.int32) << 8) + (lo @ tf).astype(jnp.int32)
+
+
+def _fwd_quant(resi, qp, n: int, log2: int):
+    """forward DCT + intra quantization, batch (K, n, n), qp (K,)."""
+    t = _T[n]
+    shift1 = log2 + 8 - 9
+    shift2 = log2 + 6
+    e = _mm_lhs(t, resi)
+    if shift1 > 0:
+        e = (e + (1 << (shift1 - 1))) >> shift1
+    c = (_mm_rhs(e, t.T) + (1 << (shift2 - 1))) >> shift2
+    qp = qp[:, None, None]
+    qbits = 29 + qp // 6 - 8 - log2
+    scale = _QUANT_SCALE[qp % 6]
+    rnd = jnp.int32(171) << (qbits - 9)
+    a = jnp.abs(c)
+    q = jnp.clip((a * scale + rnd) >> qbits, 0, 32767)
+    return jnp.where(c < 0, -q, q)
+
+
+def _dequant_itx(levels, qp, n: int, log2: int):
+    """dequant + inverse DCT, mirrors decode/recon.py semantics."""
+    qp = qp[:, None, None]
+    s = 8 + log2 - 5
+    p = qp // 6
+    tv = levels * (16 * _LEVEL_SCALE[qp % 6])
+    sp = jnp.maximum(s - p, 0)
+    ps = jnp.maximum(p - s, 0)
+    rnd = jnp.where(s - p >= 1, jnp.int32(1) << jnp.maximum(s - p - 1, 0), 0)
+    d = _clip16((tv + rnd) >> sp << ps)
+    t = _T[n]
+    e = _clip16((_mm_lhs(t.T, d) + 64) >> 7)
+    return _clip16((_mm_rhs(e, t) + (1 << 11)) >> 12)
+
+
+# ------------------------------------------------------------- step kernels
+
+def _gather_block(plane, xs, ys, n: int):
+    rows = ys[:, None, None] + jnp.arange(n)[None, :, None]
+    cols = xs[:, None, None] + jnp.arange(n)[None, None, :]
+    return plane[rows, cols]
+
+
+def _scatter_block(plane, xs, ys, vals, valid, n: int):
+    """Masked scatter of (K, n, n) blocks; invalid CUs dropped via OOB."""
+    H = plane.shape[0]
+    ys = jnp.where(valid, ys, H + 1)
+    rows = ys[:, None, None] + jnp.arange(n)[None, :, None]
+    cols = xs[:, None, None] + jnp.arange(n)[None, None, :]
+    return plane.at[rows, cols].set(vals.astype(plane.dtype), mode="drop")
+
+
+def _process_class(carry, fields, srcs, n: int, strong: bool):
+    (ry, rcb, rcr, cy, ccb, ccr) = carry
+    (src_y, src_cb, src_cr) = srcs
+    xs, ys, mode, cmode, qpy, qpc_b, qpc_r, al, ac, at, valid = fields
+    log2 = n.bit_length() - 1
+    # ---- luma
+    refs_u, refs_f = _build_refs_dyn(ry, xs, ys, al, ac, at, n, 1,
+                                     strong, True)
+    pred = _predict_dyn(refs_u, refs_f, mode, n, True)
+    resi = _gather_block(src_y, xs, ys, n) - pred
+    lev = _fwd_quant(resi, qpy, n, log2)
+    rec = jnp.clip(pred + _dequant_itx(lev, qpy, n, log2), 0, 255)
+    ry = _scatter_block(ry, xs, ys, rec, valid, n)
+    cy = _scatter_block(cy, xs, ys, lev, valid, n)
+    # ---- chroma (half coords, mask bits cover 2 samples)
+    nc = n // 2
+    clog2 = log2 - 1
+    cxs, cys = xs >> 1, ys >> 1
+    for (plane, cplane, srcp, qpc, which) in (
+            (rcb, ccb, src_cb, qpc_b, 0), (rcr, ccr, src_cr, qpc_r, 1)):
+        cref_u, _ = _build_refs_dyn(plane, cxs, cys, al, ac, at, nc, 2,
+                                    False, False)
+        cpred = _predict_dyn(cref_u, cref_u, cmode, nc, False)
+        cresi = _gather_block(srcp, cxs, cys, nc) - cpred
+        clev = _fwd_quant(cresi, qpc, nc, clog2)
+        crec = jnp.clip(cpred + _dequant_itx(clev, qpc, nc, clog2), 0, 255)
+        plane = _scatter_block(plane, cxs, cys, crec, valid, nc)
+        cplane = _scatter_block(cplane, cxs, cys, clev, valid, nc)
+        if which == 0:
+            rcb, ccb = plane, cplane
+        else:
+            rcr, ccr = plane, cplane
+    return (ry, rcb, rcr, cy, ccb, ccr)
+
+
+@partial(jax.jit, static_argnames=("strong",), donate_argnums=())
+def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
+                      n_levels, strong: bool):
+    ph, pw = src_y.shape
+    ry = jnp.zeros((ph, pw), jnp.int32)
+    rcb = jnp.zeros((ph // 2, pw // 2), jnp.int32)
+    rcr = jnp.zeros((ph // 2, pw // 2), jnp.int32)
+    cy = jnp.zeros((ph, pw), jnp.int32)
+    ccb = jnp.zeros((ph // 2, pw // 2), jnp.int32)
+    ccr = jnp.zeros((ph // 2, pw // 2), jnp.int32)
+    carry0 = (ry, rcb, rcr, cy, ccb, ccr)
+    srcs = (src_y, src_cb, src_cr)
+
+    def body(t, carry):
+        for sched, n in ((sched8, 8), (sched16, 16), (sched32, 32)):
+            if sched is None:
+                continue
+            fields = tuple(a[t] for a in sched)
+            carry = _process_class(carry, fields, srcs, n, strong)
+        return carry
+
+    return jax.lax.fori_loop(0, n_levels, body, carry0)
+
+
+class WavefrontIntraCoder:
+    """Host orchestration: native schedule build + packing + device call."""
+
+    def __init__(self):
+        self._native = None
+        try:
+            from .. import native
+            if native.HAVE_NATIVE:
+                self._native = native
+        except Exception:
+            pass
+
+    @property
+    def available(self) -> bool:
+        return self._native is not None
+
+    def build_schedule(self, log2map8: np.ndarray, width: int, height: int,
+                       log2_ctb: int, log2_min_cb: int):
+        """-> dict size -> packed [L, K] field arrays + n_levels."""
+        import ctypes
+        lib = self._native._lib
+        h8, w8 = log2map8.shape
+        cap = w8 * h8
+        m = np.ascontiguousarray(log2map8, np.uint8)
+        ox = np.empty(cap, np.int32)
+        oy = np.empty(cap, np.int32)
+        osz = np.empty(cap, np.int32)
+        olv = np.empty(cap, np.int32)
+        oal = np.empty(cap, np.uint32)
+        oac = np.empty(cap, np.uint8)
+        oat = np.empty(cap, np.uint32)
+        work = np.empty(2 * cap, np.int32)
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        lib.ks_build_intra_schedule.restype = ctypes.c_long
+        count = lib.ks_build_intra_schedule(
+            p(m, ctypes.c_uint8), w8, h8, width, height, log2_ctb,
+            log2_min_cb,
+            p(ox, ctypes.c_int32), p(oy, ctypes.c_int32),
+            p(osz, ctypes.c_int32), p(olv, ctypes.c_int32),
+            p(oal, ctypes.c_uint32), p(oac, ctypes.c_uint8),
+            p(oat, ctypes.c_uint32), p(work, ctypes.c_int32))
+        return (ox[:count], oy[:count], osz[:count], olv[:count],
+                oal[:count], oac[:count], oat[:count])
+
+    def pack(self, sched, modes8, cmodes8, qp_map8, height, width):
+        """Group CU records by level into padded [L, K] arrays/class."""
+        ox, oy, osz, olv, oal, oac, oat = sched
+        n_levels = int(olv.max()) + 1 if len(olv) else 0
+        lpad = _round_up(max(n_levels, 1), _LEVEL_PAD)
+        out = {}
+        for size in (8, 16, 32):
+            sel = osz == size
+            if not sel.any():
+                out[size] = None
+                continue
+            x, y, lv = ox[sel], oy[sel], olv[sel]
+            al, ac, at = oal[sel], oac[sel], oat[sel]
+            mode = modes8[y >> 3, x >> 3]
+            cmode = cmodes8[y >> 3, x >> 3]
+            qp = qp_map8[y >> 3, x >> 3]
+            # per-level slot assignment
+            order = np.argsort(lv, kind="stable")
+            lv_s = lv[order]
+            slot = np.arange(len(lv_s)) - np.searchsorted(lv_s, lv_s)
+            kmax = int(slot.max()) + 1
+            kpad = _round_up(kmax, 8)
+            shape = (lpad, kpad)
+
+            def packed(vals, dtype, fill=0):
+                a = np.full(shape, fill, dtype)
+                a[lv_s, slot] = vals[order].astype(dtype)
+                return a
+
+            out[size] = (
+                packed(x, np.int32), packed(y, np.int32),
+                packed(mode, np.int32), packed(cmode, np.int32),
+                packed(qp, np.int32),
+                packed(self._cqp_cb[qp], np.int32),
+                packed(self._cqp_cr[qp], np.int32),
+                packed(al.astype(np.int64), np.uint32),
+                packed(ac, np.uint32), packed(at.astype(np.int64),
+                                              np.uint32),
+                packed(np.ones(len(x), bool), bool))
+        return out, n_levels
+
+    def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,
+                   qp_map8, qp_cb_off, qp_cr_off, sps):
+        """Run the full device pass. Returns numpy (recon y/cb/cr,
+        coeff y/cb/cr) planes (padded sizes)."""
+        # chroma qp lookup tables for this frame's offsets
+        self._cqp_cb = np.array(
+            [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)], np.int32)
+        self._cqp_cr = np.array(
+            [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)], np.int32)
+        sched = self.build_schedule(log2map8, sps.width, sps.height,
+                                    sps.log2_ctb, sps.log2_min_cb)
+        packed, n_levels = self.pack(sched, modes8, cmodes8, qp_map8,
+                                     sps.height, sps.width)
+        args = []
+        for size in (8, 16, 32):
+            pk = packed[size]
+            args.append(None if pk is None
+                        else tuple(jnp.asarray(a) for a in pk))
+        out = _code_intra_frame(
+            jnp.asarray(src_y, jnp.int32), jnp.asarray(src_cb, jnp.int32),
+            jnp.asarray(src_cr, jnp.int32), args[0], args[1], args[2],
+            jnp.int32(n_levels), bool(sps.strong_intra_smoothing))
+        return tuple(np.asarray(o) for o in out)

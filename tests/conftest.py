@@ -5,15 +5,20 @@ are the conformance oracle — SURVEY.md section 4)."""
 
 import os
 
-# Must be set before jax import (any test module importing jax goes through here).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS must be in the env before backend init; the platform choice and
+# cache dir must go through jax.config (this jax build IGNORES the
+# JAX_PLATFORMS / JAX_COMPILATION_CACHE_DIR env vars — the axon TPU-tunnel
+# plugin would otherwise claim every test process).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import hashlib
 import shutil
