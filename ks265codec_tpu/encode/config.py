@@ -65,6 +65,11 @@ class EncoderConfig:
     wpp: bool = True
     fpp: bool = True
     threads: int = 0
+    # tune-resolved knobs (fillCfgsSCC / tune analog)
+    lambda_scale: float = 1.0        # mode/split decision lambda multiplier
+    deblock_beta: int = 0            # slice beta_offset_div2
+    deblock_tc: int = 0              # slice tc_offset_div2
+    chroma_qp_offset: int = 0        # PPS cb/cr qp offset
     # diagnostics
     psnr: int = 0
     ssim: int = 0
@@ -82,33 +87,59 @@ class EncoderConfig:
 # partitions, sao tier, rdoq)
 _LADDER = {
     "ultrafast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=1, rdoq=False),
+                      sao=1, rdoq=False, sign_bit_hiding=False),
     "superfast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=1, rdoq=False),
+                      sao=1, rdoq=False, sign_bit_hiding=False),
     "veryfast":  dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=3, rdoq=False),
+                      sao=3, rdoq=False, sign_bit_hiding=True),
     "fast":      dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=3, rdoq=True),
+                      sao=3, rdoq=True, sign_bit_hiding=True),
     "medium":    dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=4, rdoq=True),
+                      sao=4, rdoq=True, sign_bit_hiding=True),
     "slow":      dict(me=2, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=4, rdoq=True),
+                      sao=4, rdoq=True, sign_bit_hiding=True),
     "slower":    dict(me=2, subme=1, refs=2, inter_tu_depth=1, partitions=1,
-                      sao=4, rdoq=True),
+                      sao=4, rdoq=True, sign_bit_hiding=True),
     "veryslow":  dict(me=2, subme=2, refs=4, inter_tu_depth=1, partitions=1,
-                      sao=4, rdoq=True),
+                      sao=4, rdoq=True, sign_bit_hiding=True),
     "placebo":   dict(me=2, subme=2, refs=5, inter_tu_depth=2, partitions=2,
-                      sao=4, rdoq=True),
+                      sao=4, rdoq=True, sign_bit_hiding=True),
+}
+
+
+# tune -> parameter deltas (qy265enc.h:23-29 tunes; the reference's
+# fillCfgsSCC/tune tables are not recoverable from the binaries, so these
+# are our own mappings with the same INTENT per tune name)
+_TUNE = {
+    "default": {},
+    # static talking-head content: softer deblock, spend bits on chroma
+    "selfshow": dict(deblock_beta=1, deblock_tc=1, chroma_qp_offset=-1),
+    # game renders: sharp edges — keep detail, weaker deblock, no strong
+    # reference smoothing
+    "game": dict(deblock_beta=-2, deblock_tc=-2,
+                 strong_intra_smoothing=False, lambda_scale=0.9),
+    # film: favor smoothness, slightly coarser mode decision
+    "movie": dict(deblock_beta=1, deblock_tc=0, lambda_scale=1.1),
+    # screen content: hard edges + flat areas; no reference smoothing,
+    # no deblock blur, sharper decisions
+    "screen": dict(strong_intra_smoothing=False, deblock_beta=-2,
+                   deblock_tc=-2, lambda_scale=0.8, sao=4),
 }
 
 
 def resolve_preset(cfg: EncoderConfig) -> EncoderConfig:
-    """Apply preset ladder then latency policy (fillCfgs<Preset> +
-    fillCfgByLatency analog). Explicitly-set fields win over the ladder
-    (reference semantics: CLI flags override the preset defaults) —
-    detected by comparison with the dataclass defaults."""
+    """Apply preset ladder, tune deltas, then latency policy
+    (fillCfgs<Preset> + fillCfgsSCC/tune + fillCfgByLatency analog).
+    Explicitly-set fields win over the ladder (reference semantics: CLI
+    flags override the preset defaults) — detected by comparison with the
+    dataclass defaults."""
+    if cfg.tune not in _TUNE:
+        raise ValueError(f"BAD_VALUE: tune={cfg.tune}")
     ref = EncoderConfig(width=cfg.width or 16, height=cfg.height or 16)
     for k, v in _LADDER[cfg.preset].items():
+        if getattr(cfg, k) == getattr(ref, k):
+            setattr(cfg, k, v)
+    for k, v in _TUNE[cfg.tune].items():
         if getattr(cfg, k) == getattr(ref, k):
             setattr(cfg, k, v)
     if cfg.latency == "zerolatency":

@@ -61,6 +61,8 @@ class HevcEncoder:
         self.queue: list[tuple[int, YUVFrame]] = []
         from .rc import RateControl, TwoPassStats
         self.rc = RateControl(cfg)
+        self._intra_cache = {}      # display_idx -> batched compute result
+        self._wf_coder = None
         self.stats = None
         self.pass2_dqp = {}
         if cfg.pass_num == 1:
@@ -90,7 +92,8 @@ class HevcEncoder:
         if cfg.latency == "zerolatency" or cfg.bframes == 0 \
                 or cfg.intra_period == 1:
             return 2, 0
-        return 6, 4         # hierarchical GOP-8
+        from .gop import gop_plan, reorder_depth
+        return 6, reorder_depth(gop_plan(cfg.latency, cfg.bframes))
 
     def _make_vps(self, cfg: EncoderConfig) -> VPS:
         v = VPS()
@@ -148,7 +151,7 @@ class HevcEncoder:
         p = PPS()
         p.pps_id = 0
         p.sps_id = 0
-        p.sign_data_hiding_enabled = 0
+        p.sign_data_hiding_enabled = 1 if cfg.sign_bit_hiding else 0
         p.cabac_init_present = 0
         p.num_ref_idx_l0_default = 1
         p.num_ref_idx_l1_default = 1
@@ -156,8 +159,8 @@ class HevcEncoder:
         p.constrained_intra_pred = 0
         p.transform_skip_enabled = 0
         p.cu_qp_delta_enabled = 0
-        p.cb_qp_offset = 0
-        p.cr_qp_offset = 0
+        p.cb_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
+        p.cr_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
         p.weighted_pred = 0
         p.weighted_bipred = 0
         p.transquant_bypass_enabled = 0
@@ -167,8 +170,8 @@ class HevcEncoder:
         p.deblocking_filter_control_present = 1
         p.deblocking_filter_override_enabled = 0
         p.deblocking_filter_disabled = 0 if cfg.deblock else 1
-        p.beta_offset_div2 = 0
-        p.tc_offset_div2 = 0
+        p.beta_offset_div2 = int(np.clip(cfg.deblock_beta, -6, 6))
+        p.tc_offset_div2 = int(np.clip(cfg.deblock_tc, -6, 6))
         p.scaling_list_data_present = 0
         p.lists_modification_present = 0
         p.log2_parallel_merge_level = 2
@@ -241,6 +244,21 @@ class HevcEncoder:
                                                 is_idr=True))
                 continue
             if idx0 == 0 or (iper > 0 and idx0 % iper == 0):
+                if iper == 1 and cfg.latency == "offline" and cfg.fpp:
+                    # all-intra: batch frames through ONE device wavefront
+                    # dispatch (FPP analog) — frames are independent
+                    if not flushing and len(self.queue) < 8:
+                        break       # wait for a full batch (async contract)
+                    n = next(b for b in (8, 4, 2, 1)
+                             if len(self.queue) >= b)
+                    items = self.queue[:n]
+                    self.queue = self.queue[n:]
+                    if n > 1:
+                        self._prepare_intra_batch(items)
+                    for di, f in items:
+                        out.append(self._encode_picture(f, di, None,
+                                                        is_idr=True))
+                    continue
                 di, frame = self.queue.pop(0)
                 out.append(self._encode_picture(frame, di, None,
                                                 is_idr=True))
@@ -270,6 +288,71 @@ class HevcEncoder:
             break
         return out
 
+    def _intra_frame_qp(self, display_idx: int) -> int:
+        from .config import RC_FIXQP
+        cfg = self.cfg
+        if cfg.rc == RC_FIXQP:
+            qp = int(np.clip(cfg.qp, 0, 51))
+        else:
+            qp = self.rc.frame_qp("I", 0, None)
+        if self.pass2_dqp:
+            qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
+                             cfg.qp_min, cfg.qp_max))
+        return qp
+
+    def _prepare_intra_batch(self, items) -> None:
+        """Run decisions + the batched device wavefront for several intra
+        frames at once; results land in _intra_cache for _encode_picture.
+        RC-driven QPs use the current (bounded-stale) RC state, the
+        CEncRcAbrSync analog for frame-parallel encoding."""
+        import os
+        if os.environ.get("KS265_SEQ_COMPUTE"):
+            return
+        if self._wf_coder is None:
+            from ..ops.wavefront import WavefrontIntraCoder
+            self._wf_coder = WavefrontIntraCoder()
+        if not self._wf_coder.available:
+            return
+        from ..ops.decide import decide_frames
+        from .intra_frame import IntraFrameEncoder, decision_maps8
+        sps, cfg = self.sps, self.cfg
+        ph = sps.pic_height_in_ctbs * sps.ctb_size
+        pw = sps.pic_width_in_ctbs * sps.ctb_size
+        batch, metas = [], []
+        try:
+            qps = [self._intra_frame_qp(di) for di, _ in items]
+            srcs_y = np.stack([
+                IntraFrameEncoder._pad(f.y.astype(np.int32), ph, pw)
+                for _, f in items])
+            decisions = decide_frames(srcs_y, qps, cfg.lambda_scale)
+            for (di, frame), qp, dec, src_y in zip(items, qps, decisions,
+                                                   srcs_y):
+                (s32, m16, m32, cplx, s16, m8) = dec
+                src_cb = IntraFrameEncoder._pad(frame.u.astype(np.int32),
+                                                ph // 2, pw // 2)
+                src_cr = IntraFrameEncoder._pad(frame.v.astype(np.int32),
+                                                ph // 2, pw // 2)
+                log2m, modes8, cmodes8 = decision_maps8(
+                    s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3)
+                qp_map8 = np.full(log2m.shape, qp, np.uint8)
+                batch.append(dict(src_y=src_y, src_cb=src_cb, src_cr=src_cr,
+                                  log2m=log2m, modes8=modes8,
+                                  cmodes8=cmodes8, qp_map8=qp_map8))
+                metas.append((di, qp, cplx))
+            results = self._wf_coder.code_frames(
+                batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
+                sbh=bool(self.pps.sign_data_hiding_enabled))
+        except Exception as ex:
+            from ..utils.log import log
+            log(2, "batched wavefront failed (%s: %s); per-frame path"
+                % (type(ex).__name__, ex))
+            return
+        for (di, qp, cplx), it, res in zip(metas, batch, results):
+            self._intra_cache[di] = dict(
+                qp=qp, frame_cplx=float(cplx), log2m=it["log2m"],
+                modes8=it["modes8"], cmodes8=it["cmodes8"],
+                qp_map8=it["qp_map8"], planes=res)
+
     def _encode_picture(self, frame: YUVFrame, display_idx: int,
                         plan, is_idr: bool = False) -> EncodedFrame:
         cfg = self.cfg
@@ -287,12 +370,17 @@ class HevcEncoder:
             slice_type = P_SLICE if plan.slice_type == "P" else B_SLICE
             tid = plan.tid
             ftype = plan.slice_type
-        if cfg.rc == RC_FIXQP:
+        cached = self._intra_cache.pop(display_idx, None) if is_idr else None
+        if cached is not None:
+            # FPP semantics: the batched pass fixed this frame's QP from the
+            # (bounded-stale) RC state at batch time — CEncRcAbrSync analog
+            qp = cached["qp"]
+        elif cfg.rc == RC_FIXQP:
             qp = int(np.clip(cfg.qp + (0 if is_idr else plan.qp_offset),
                              0, 51))
         else:
             qp = self.rc.frame_qp(ftype, tid, None)
-        if self.pass2_dqp:
+        if cached is None and self.pass2_dqp:
             qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
                              cfg.qp_min, cfg.qp_max))
         hdr = SliceHeader(
@@ -335,22 +423,29 @@ class HevcEncoder:
                                len(l1) if slice_type == B_SLICE else 0]
 
         def make_enc(fstate):
-            if is_idr:
-                return IntraFrameEncoder(
-                    fstate, self.sps, self.pps, hdr,
-                    frame.y.astype(np.int32), frame.u.astype(np.int32),
-                    frame.v.astype(np.int32), qp)
             args = (fstate, self.sps, self.pps, hdr,
                     frame.y.astype(np.int32), frame.u.astype(np.int32),
                     frame.v.astype(np.int32), qp)
-            if hdr.slice_type == B_SLICE:
-                return BFrameEncoder(*args, [l0, l1], subme=cfg.subme)
-            return PFrameEncoder(*args, [l0, []], subme=cfg.subme)
+            if is_idr:
+                e = IntraFrameEncoder(*args)
+            elif hdr.slice_type == B_SLICE:
+                e = BFrameEncoder(*args, [l0, l1], subme=cfg.subme)
+            else:
+                e = PFrameEncoder(*args, [l0, []], subme=cfg.subme)
+            e.lam_scale = cfg.lambda_scale
+            return e
 
         fs = FrameState(self.sps)
         fs.poc = poc
         enc = make_enc(fs)
-        enc.compute()       # stage 1: decisions + recon + maps + coeffs
+        if cached is not None:
+            # stage 1 already ran in the batched device pass
+            enc.frame_cplx = cached["frame_cplx"]
+            enc.apply_coded_planes(cached["log2m"], cached["modes8"],
+                                   cached["cmodes8"], cached["qp_map8"],
+                                   *cached["planes"])
+        else:
+            enc.compute()   # stage 1: decisions + recon + maps + coeffs
         # normative deblock on the reconstruction (refs are filtered pics);
         # SAO decision runs on the deblocked picture, single coding pass
         deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,

@@ -43,12 +43,49 @@ LDP: list[PicPlan] = [
     PicPlan(1, "P", 0, 1, [-1], [1], [-1], []),
 ]
 
+# mini-GOP shapes for -bframes < 7 (the reference's fillRpsByPrediction
+# produces equivalent pyramids; livestreaming resolves bframes=3 -> GOP4,
+# cutting reorder latency from 4 to 2 — qy265enc.h latency axis)
+GOP4: list[PicPlan] = [
+    PicPlan(4, "P", 0, 1, [-4], [1], [-4], []),
+    PicPlan(2, "B", 1, 2, [-2, 2], [1, 1], [-2], [2]),
+    PicPlan(1, "B", 2, 4, [-1, 1, 3], [1, 1, 0], [-1], [1]),
+    PicPlan(3, "B", 2, 4, [-1, -3, 1], [1, 0, 1], [-1], [1]),
+]
+
+GOP3: list[PicPlan] = [
+    PicPlan(3, "P", 0, 1, [-3], [1], [-3], []),
+    PicPlan(1, "B", 1, 3, [-1, 2], [1, 1], [-1], [2]),
+    PicPlan(2, "B", 2, 4, [-1, -2, 1], [1, 0, 1], [-1], [1]),
+]
+
+GOP2: list[PicPlan] = [
+    PicPlan(2, "P", 0, 1, [-2], [1], [-2], []),
+    PicPlan(1, "B", 1, 3, [-1, 1], [1, 1], [-1], [1]),
+]
+
 
 def gop_plan(latency: str, bframes: int) -> list[PicPlan]:
     if latency == "zerolatency" or bframes == 0:
         return LDP
+    if bframes == 1:
+        return GOP2
+    if bframes == 2:
+        return GOP3
+    if bframes < 7:
+        return GOP4
     return GOP8
 
 
 def gop_size(latency: str, bframes: int) -> int:
-    return 1 if (latency == "zerolatency" or bframes == 0) else 8
+    return len(gop_plan(latency, bframes))
+
+
+def reorder_depth(plans: list[PicPlan]) -> int:
+    """num_reorder_pics for a GOP shape: max count of earlier-decoded
+    pictures that display later than a given picture."""
+    depth = 0
+    for i, p in enumerate(plans):
+        depth = max(depth, sum(1 for q in plans[:i]
+                               if q.poc_in_gop > p.poc_in_gop))
+    return depth

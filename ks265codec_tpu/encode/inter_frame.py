@@ -37,8 +37,14 @@ class PFrameEncoder(IntraFrameEncoder):
         self.lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         self.lam_satd = float(np.sqrt(self.lam))
 
+    def _apply_lam_scale(self):
+        sc = getattr(self, "lam_scale", 1.0)
+        self.lam = 0.85 * sc * 2.0 ** ((self.qp - 12) / 3.0)
+        self.lam_satd = float(np.sqrt(self.lam))
+
     def _pre_analyze(self) -> None:
         from .intra_frame import decide_frame
+        self._apply_lam_scale()
         # device passes: intra analysis + dense ME against ref 0
         _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
         ref_y = np.asarray(self.ref_lists[0][0].fs.y)
@@ -214,18 +220,32 @@ class PFrameEncoder(IntraFrameEncoder):
             g[y4:y4 + b4, x4] = True
         for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
             g[y4, x4:x4 + b4] = True
-        used = [l for l in range(2) if mi.ref_idx[l] >= 0]
-        # merge candidates (decoder-identical derivation)
+        src = self.src_y[y0:y0 + size, x0:x0 + size]
+        # merge candidates (decoder-identical derivation); evaluate each
+        # unique candidate's luma prediction cost with its index bits —
+        # the reference's checkPuMerge/skipFastDecision analog. Merge wins
+        # convert most static area to 2-bit SKIP CUs.
         cands = self.md.merge_candidates(x0, y0, size, x0, y0, size, size,
                                          0, 0)
-        merge_idx = -1
+        best_merge, merge_cost = -1, float("inf")
+        seen = set()
         for i, c in enumerate(cands):
-            if c.ref_idx == mi.ref_idx and \
-                    all(c.mv[l] == mi.mv[l] for l in used):
-                merge_idx = i
-                break
-        # AMVP predictors + mvd per used list
+            key = tuple((l, c.ref_idx[l], tuple(c.mv[l]))
+                        for l in range(2) if c.ref_idx[l] >= 0)
+            if not key or key in seen:
+                continue
+            seen.add(key)
+            motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size,
+                              size, c)
+            sad = int(np.abs(src - fs.y[y0:y0 + size,
+                                        x0:x0 + size]).sum())
+            cost = sad + self.lam_satd * (2.0 + i)
+            if cost < merge_cost:
+                best_merge, merge_cost = i, cost
+        # ME/AMVP candidate: true mvd against the derived predictors
+        used = [l for l in range(2) if mi.ref_idx[l] >= 0]
         mvds, mvp_flags = {}, {}
+        me_bits = 3.0
         for l in used:
             amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size,
                                            0, l, 0)
@@ -235,14 +255,29 @@ class PFrameEncoder(IntraFrameEncoder):
                       <= abs(d1[0]) + abs(d1[1])) else 1
             mvp_flags[l] = f
             mvds[l] = d0 if f == 0 else d1
-        # intra-vs-inter: inter includes mv rate; intra pays header + modes
-        use_intra = (intra_mode is not None and
-                     inter_sad > self._intra_sad_estimate(
-                         x0, y0, size, intra_mode) * 1.15)
-        if use_intra:
+            me_bits += (2.0 + 2.0 * np.log2(1.0 + abs(mvds[l][0]))
+                        + 2.0 * np.log2(1.0 + abs(mvds[l][1])))
+        me_cost = inter_sad + self.lam_satd * me_bits
+        intra_cost = float("inf")
+        if intra_mode is not None:
+            intra_cost = (self._intra_sad_estimate(x0, y0, size, intra_mode)
+                          + self.lam_satd * 26.0)
+        if intra_cost < min(merge_cost, me_cost):
             fs.skip[y4:y4 + b4, x4:x4 + b4] = False
             self._code_cu(x0, y0, log2, depth, intra_mode)
             return
+        merge_idx = -1
+        if merge_cost <= me_cost:
+            merge_idx = best_merge
+            mi = cands[best_merge]
+            used = [l for l in range(2) if mi.ref_idx[l] >= 0]
+        else:
+            # the ME motion may still coincide with a merge candidate
+            for i, c in enumerate(cands):
+                if c.ref_idx == mi.ref_idx and \
+                        all(c.mv[l] == mi.mv[l] for l in used):
+                    merge_idx = i
+                    break
         syn = self.syn
         # --- inter: predict via MC, residual decision
         self._store_motion(x0, y0, size, mi)
@@ -250,6 +285,26 @@ class PFrameEncoder(IntraFrameEncoder):
                           mi)
         coeff_y, coeff_cb, coeff_cr = self._inter_residuals(x0, y0, log2)
         cbf_any = bool(coeff_y.any() or coeff_cb.any() or coeff_cr.any())
+        if cbf_any:
+            # zero-forcing: drop the residual when its distortion gain is
+            # not worth its (estimated) rate — legal for merge (-> SKIP)
+            # and for AMVP (-> rqt_root_cbf 0); tuDecisionSkipMerge analog
+            ry = self._recon_residual(coeff_y, log2, self.qp) \
+                if coeff_y.any() else 0
+            rec = np.clip(fs.y[y0:y0 + size, x0:x0 + size] + ry, 0, 255)
+            d_coded = float(np.sum((src - rec).astype(np.int64) ** 2))
+            d_skip = float(np.sum(
+                (src - fs.y[y0:y0 + size, x0:x0 + size])
+                .astype(np.int64) ** 2))
+            nnz = (int(np.count_nonzero(coeff_y))
+                   + int(np.count_nonzero(coeff_cb))
+                   + int(np.count_nonzero(coeff_cr)))
+            bits_est = 14.0 + 5.5 * nnz
+            if d_skip - d_coded <= self.lam * bits_est:
+                coeff_y = np.zeros_like(coeff_y)
+                coeff_cb = np.zeros_like(coeff_cb)
+                coeff_cr = np.zeros_like(coeff_cr)
+                cbf_any = False
         if merge_idx >= 0 and not cbf_any:
             # SKIP CU
             fs.skip[y4:y4 + b4, x4:x4 + b4] = True
@@ -362,7 +417,11 @@ class PFrameEncoder(IntraFrameEncoder):
         rnd = 85 << (qbits - 9)      # inter rounding
         a = np.abs(c).astype(np.int64)
         q = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
-        return np.where(c < 0, -q, q).astype(np.int32)
+        out = np.where(c < 0, -q, q).astype(np.int32)
+        if self.pps.sign_data_hiding_enabled:
+            from .sbh import apply_sbh_np
+            out = apply_sbh_np(out, 0)     # inter TUs always diag scan
+        return out
 
     def _clip_recon(self, x0, y0, size):
         """MC output is already clipped; nothing to do (kept for clarity)."""
@@ -395,6 +454,7 @@ class BFrameEncoder(PFrameEncoder):
         from ..ops import me as jme
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
+        self._apply_lam_scale()
         _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)
         ref1 = np.asarray(self.ref_lists[1][0].fs.y)

@@ -49,6 +49,29 @@ def _cbf_cells8(coeff, log2m, chroma: bool):
     return np.where(log2m == 5, a32, np.where(log2m == 4, a16, a8))
 
 
+def decision_maps8(split32, split16, mode8, mode16, mode32, sps,
+                   h8: int, w8: int):
+    """Per-8x8-cell (log2 size, luma mode, chroma mode) maps from the
+    batched decision pass, mirroring _code_cq's split inference."""
+    log2m = np.full((h8, w8), 3, np.uint8)
+    modes = mode8.astype(np.uint8).copy()
+    # 16-blocks are always fully inside (dims are multiples of 16)
+    m16 = np.repeat(np.repeat(~split16, 2, 0), 2, 1)[:h8, :w8]
+    log2m[m16] = 4
+    mode16e = np.repeat(np.repeat(mode16, 2, 0), 2, 1)[:h8, :w8]
+    modes[m16] = mode16e[m16].astype(np.uint8)
+    # 32-blocks: only where fully inside the picture
+    nby32, nbx32 = split32.shape
+    full_y = (np.arange(nby32) + 1) * 32 <= sps.height
+    full_x = (np.arange(nbx32) + 1) * 32 <= sps.width
+    pick32 = (~split32) & (full_y[:, None] & full_x[None, :])
+    m32 = np.repeat(np.repeat(pick32, 4, 0), 4, 1)[:h8, :w8]
+    log2m[m32] = 5
+    mode32e = np.repeat(np.repeat(mode32, 4, 0), 4, 1)[:h8, :w8]
+    modes[m32] = mode32e[m32].astype(np.uint8)
+    return log2m, modes, modes.copy()      # chroma = DM
+
+
 def fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
                     cy, ccb, ccr) -> None:
     """Vectorized FrameState/EncSyntax fill for a whole intra frame (the
@@ -90,40 +113,36 @@ def _build_source_refs(plane: np.ndarray, n: int, bd: int = 8):
     inside the picture). Returns (nby, nbx, 4n+1) int32."""
     h, w = plane.shape
     nby, nbx = h // n, w // n
-    L = 4 * n + 1
-    refs = np.empty((nby, nbx, L), np.int32)
+    n2 = 2 * n
     mid = 1 << (bd - 1)
     p = plane.astype(np.int32)
-    for by in range(nby):
-        y0 = by * n
-        for bx in range(nbx):
-            x0 = bx * n
-            # left column (top->bottom, 2n entries, clamped at bottom)
-            if x0 > 0:
-                ys = np.minimum(np.arange(y0, y0 + 2 * n), h - 1)
-                left = p[ys, x0 - 1]
-                corner = p[y0 - 1, x0 - 1] if y0 > 0 else left[0]
-            else:
-                left = None
-            if y0 > 0:
-                xs = np.minimum(np.arange(x0, x0 + 2 * n), w - 1)
-                top = p[y0 - 1, xs]
-                if x0 == 0:
-                    corner = top[0]
-            else:
-                top = None
-            if left is None and top is None:
-                refs[by, bx] = mid
-                continue
-            if left is None:
-                left = np.full(2 * n, top[0], np.int32)
-                corner = top[0]
-            if top is None:
-                top = np.full(2 * n, left[0], np.int32)
-                corner = left[0]
-            refs[by, bx, :2 * n] = left
-            refs[by, bx, 2 * n] = corner
-            refs[by, bx, 2 * n + 1:] = top
+    # raw left columns: left[by, bx, i] = p[min(by*n+i, h-1), bx*n-1]
+    rows = np.minimum(np.arange(nby)[:, None] * n + np.arange(n2)[None, :],
+                      h - 1)                                   # (nby, 2n)
+    lcols = np.concatenate([np.zeros(1, np.intp),
+                            np.arange(1, nbx) * n - 1])        # bx=0 unused
+    left = p[rows][:, :, lcols].transpose(0, 2, 1)             # (nby,nbx,2n)
+    # raw top rows: top[by, bx, i] = p[by*n-1, min(bx*n+i, w-1)]
+    cols = np.minimum(np.arange(nbx)[:, None] * n + np.arange(n2)[None, :],
+                      w - 1)                                   # (nbx, 2n)
+    trows = np.concatenate([np.zeros(1, np.intp),
+                            np.arange(1, nby) * n - 1])        # by=0 unused
+    top = p[trows][:, cols]                                    # (nby,nbx,2n)
+    corner = p[trows][:, lcols]                                # (nby, nbx)
+    has_l = np.zeros((nby, nbx), bool)
+    has_l[:, 1:] = True
+    has_t = np.zeros((nby, nbx), bool)
+    has_t[1:, :] = True
+    # availability substitution, mirroring the scalar rules
+    l0 = left[:, :, :1]
+    t0 = top[:, :, :1]
+    left = np.where(has_l[:, :, None], left, t0)
+    top = np.where(has_t[:, :, None], top, l0)
+    corner = np.where(has_l & has_t, corner,
+                      np.where(has_t, t0[:, :, 0],
+                               np.where(has_l, l0[:, :, 0], 0)))
+    refs = np.concatenate([left, corner[:, :, None], top], axis=2)
+    refs[~(has_l | has_t)] = mid
     return refs
 
 
@@ -155,10 +174,10 @@ def _mode_costs(refs_u, refs_f, src_blocks, n, lam_bits):
     return best, jnp.min(costs, axis=1) + lam_bits
 
 
-def decide_frame(src_y: np.ndarray, qp: int):
+def decide_frame(src_y: np.ndarray, qp: int, lam_scale: float = 1.0):
     """Batched decision: per-32x32 block, split into 16s or not; modes for
     both options. Returns (split32 (nby32,nbx32) bool, mode16, mode32)."""
-    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    lam = 0.85 * lam_scale * 2.0 ** ((qp - 12) / 3.0)
     lam_satd = float(np.sqrt(lam))
     out = {}
     for n in (8, 16, 32):
@@ -221,7 +240,8 @@ class IntraFrameEncoder:
 
     def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
-         self.split16, self.mode8) = decide_frame(self.src_y, self.qp)
+         self.split16, self.mode8) = decide_frame(
+             self.src_y, self.qp, getattr(self, "lam_scale", 1.0))
 
     def _code_ctu(self, x0: int, y0: int) -> None:
         self._code_cq(x0, y0, self.sps.log2_ctb, 0)
@@ -239,8 +259,13 @@ class IntraFrameEncoder:
             from ..ops.wavefront import WavefrontIntraCoder
             coder = WavefrontIntraCoder()
             if coder.available:
-                self.compute_wavefront(coder)
-                return
+                try:
+                    self.compute_wavefront(coder)
+                    return
+                except Exception as ex:
+                    from ..utils.log import log
+                    log(2, "wavefront compute failed (%s: %s); sequential "
+                        "fallback" % (type(ex).__name__, ex))
         self.compute_sequential()
 
     def compute_sequential(self):
@@ -256,33 +281,24 @@ class IntraFrameEncoder:
 
     # ------------------------------------------- wavefront (device) compute
     def _decision_maps8(self):
-        """Per-8x8-cell (log2 size, luma mode, chroma mode) maps from the
-        batched decision pass, mirroring _code_cq's split inference."""
-        sps = self.sps
-        h8, w8 = self.fs.ph >> 3, self.fs.pw >> 3
-        log2m = np.full((h8, w8), 3, np.uint8)
-        modes = np.repeat(np.repeat(self.mode8, 1, 0), 1, 1).astype(np.uint8)
-        # 16-blocks are always fully inside (dims are multiples of 16)
-        pick16 = ~self.split16
-        m16 = np.repeat(np.repeat(pick16, 2, 0), 2, 1)[:h8, :w8]
-        log2m[m16] = 4
-        mode16e = np.repeat(np.repeat(self.mode16, 2, 0), 2, 1)[:h8, :w8]
-        modes[m16] = mode16e[m16].astype(np.uint8)
-        # 32-blocks: only where fully inside the picture
-        nby32, nbx32 = self.split32.shape
-        inside32 = np.zeros_like(self.split32)
-        full_y = (np.arange(nby32) + 1) * 32 <= sps.height
-        full_x = (np.arange(nbx32) + 1) * 32 <= sps.width
-        inside32[:] = full_y[:, None] & full_x[None, :]
-        pick32 = (~self.split32) & inside32
-        m32 = np.repeat(np.repeat(pick32, 4, 0), 4, 1)[:h8, :w8]
-        log2m[m32] = 5
-        mode32e = np.repeat(np.repeat(self.mode32, 4, 0), 4, 1)[:h8, :w8]
-        modes[m32] = mode32e[m32].astype(np.uint8)
-        return log2m, modes, modes.copy()      # chroma = DM
+        return decision_maps8(self.split32, self.split16, self.mode8,
+                              self.mode16, self.mode32, self.sps,
+                              self.fs.ph >> 3, self.fs.pw >> 3)
+
+    def apply_coded_planes(self, log2m, modes8, cmodes8, qp_map8,
+                           ry, rcb, rcr, cy, ccb, ccr):
+        """Install a (possibly externally batch-computed) device-pass result
+        into the FrameState + syntax maps."""
+        fs, syn = self.fs, self.syn
+        fs.y[:], fs.cb[:], fs.cr[:] = ry, rcb, rcr
+        syn.cy[:] = cy
+        syn.ccb[:] = ccb
+        syn.ccr[:] = ccr
+        fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
+                        cy, ccb, ccr)
 
     def compute_wavefront(self, coder):
-        fs, sps, syn = self.fs, self.sps, self.syn
+        sps = self.sps
         if not self._skip_pre:
             self._pre_analyze()
         log2m, modes8, cmodes8 = self._decision_maps8()
@@ -290,13 +306,10 @@ class IntraFrameEncoder:
         ry, rcb, rcr, cy, ccb, ccr = coder.code_frame(
             self.src_y, self.src_cb, self.src_cr, log2m, modes8, cmodes8,
             qp_map8, self.pps.cb_qp_offset + self.hdr.cb_qp_offset,
-            self.pps.cr_qp_offset + self.hdr.cr_qp_offset, sps)
-        fs.y[:], fs.cb[:], fs.cr[:] = ry, rcb, rcr
-        syn.cy[:] = cy
-        syn.ccb[:] = ccb
-        syn.ccr[:] = ccr
-        fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
-                        cy, ccb, ccr)
+            self.pps.cr_qp_offset + self.hdr.cr_qp_offset, sps,
+            sbh=bool(self.pps.sign_data_hiding_enabled))
+        self.apply_coded_planes(log2m, modes8, cmodes8, qp_map8,
+                                ry, rcb, rcr, cy, ccb, ccr)
 
     # ------------------------------------------------------------ quadtree
     def _code_cq(self, x0, y0, log2, depth):
@@ -350,9 +363,11 @@ class IntraFrameEncoder:
         fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
         syn.chroma_mode[y4:y4 + b4, x4:x4 + b4] = mode     # DM
         # --- luma TU (same size as CU; max_transform_hierarchy_depth=0)
+        from .sbh import scan_for
         pred = self._predict(0, x0, y0, size, mode)
         src = self.src_y[y0:y0 + size, x0:x0 + size]
-        coeff_y = self._transform_quant(src - pred, log2, self.qp)
+        coeff_y = self._transform_quant(src - pred, log2, self.qp,
+                                        scan_for(log2, 0, mode))
         cbf_y = int(coeff_y.any())
         # --- chroma TUs
         c_log2 = log2 - 1
@@ -362,8 +377,10 @@ class IntraFrameEncoder:
         pred_cr = self._predict(2, cx0, cy0, csz, mode)
         res_cb = self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz] - pred_cb
         res_cr = self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz] - pred_cr
-        coeff_cb = self._transform_quant(res_cb, c_log2, self.qp_cb)
-        coeff_cr = self._transform_quant(res_cr, c_log2, self.qp_cr)
+        coeff_cb = self._transform_quant(res_cb, c_log2, self.qp_cb,
+                                         scan_for(c_log2, 1, mode))
+        coeff_cr = self._transform_quant(res_cr, c_log2, self.qp_cr,
+                                         scan_for(c_log2, 2, mode))
         cbf_cb, cbf_cr = int(coeff_cb.any()), int(coeff_cr.any())
         syn.cy[y0:y0 + size, x0:x0 + size] = coeff_y
         syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cb
@@ -405,7 +422,7 @@ class IntraFrameEncoder:
     # NumPy path for the sequential coding loop (per-CU jit dispatch would
     # dominate host time; the batched jnp versions in ops/ are used by the
     # wavefront-batched pipeline and bit-identical by property test)
-    def _transform_quant(self, resi, log2, qp):
+    def _transform_quant(self, resi, log2, qp, scan_idx=0):
         from ..decode.recon import forward_transform as fwd
         from ..hevc.tables import QUANT_SCALE
         c = fwd(np.asarray(resi, np.int32), log2, False)
@@ -413,7 +430,11 @@ class IntraFrameEncoder:
         rnd = 171 << (qbits - 9)
         a = np.abs(c).astype(np.int64)
         q = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
-        return np.where(c < 0, -q, q).astype(np.int32)
+        out = np.where(c < 0, -q, q).astype(np.int32)
+        if self.pps.sign_data_hiding_enabled:
+            from .sbh import apply_sbh_np
+            out = apply_sbh_np(out, scan_idx)
+        return out
 
     def _recon_residual(self, levels, log2, qp):
         from ..decode.recon import dequant, inverse_transform

@@ -341,7 +341,8 @@ class CtuSyntaxWriter:
         if _native is not None and _native.HAVE_NATIVE:
             try:
                 _native.write_residual(enc, coeffs, log2, c_idx, scan_idx,
-                                       wtz)
+                                       wtz,
+                                       int(self.pps.sign_data_hiding_enabled))
                 return
             except OverflowError:
                 pass    # engine state restored; use the Python writer

@@ -94,7 +94,7 @@ def parse_residual(dec, log2: int, c_idx: int, scan_idx: int, sbh: int,
 
 
 def write_residual(enc, coeffs: np.ndarray, log2: int, c_idx: int,
-                   scan_idx: int, write_ts_zero: int) -> None:
+                   scan_idx: int, write_ts_zero: int, sbh: int = 0) -> None:
     """Native residual_coding write, advancing the CabacEnc in place."""
     global _BASES
     if _BASES is None:
@@ -114,7 +114,7 @@ def write_residual(enc, coeffs: np.ndarray, log2: int, c_idx: int,
         ctx, ctypes.byref(low), ctypes.byref(rng), ctypes.byref(bl),
         ctypes.byref(nb), ctypes.byref(bb), scratch, cap,
         c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        log2, c_idx, scan_idx, write_ts_zero, _BASES)
+        log2, c_idx, scan_idx, write_ts_zero, _BASES, sbh)
     if ret == -2:                   # scratch overflow: restore + Python path
         enc.ctx[:] = ctx_snapshot
         raise OverflowError("native residual writer scratch overflow")

@@ -362,7 +362,7 @@ long ks_write_residual(uint8_t *ctx, uint32_t *low, int *range,
                        uint8_t *out, long out_cap,
                        const int32_t *coeffs, int log2, int c_idx,
                        int scan_idx, int write_ts_zero,
-                       const int *ctx_bases) {
+                       const int *ctx_bases, int sbh) {
     tables_init(); scans_init();
     Enc e = {*low, *range, *bits_left, *num_buffered, *buffered_byte,
              out, 0, out_cap, ctx, 0};
@@ -485,7 +485,11 @@ long ks_write_residual(uint8_t *ctx, uint32_t *low, int *range,
         }
         if (first_c2 != -1)
             e_bin(&e, levels[first_c2] > 2, abs_base + ctx_set);
-        for (int k = 0; k < num_sig; k++) {
+        /* sign hiding: parity of the level sum encodes the sign of the
+         * first-in-scan-order coefficient (the compute stage forced it) */
+        int hidden = sbh && (sig_ns[0] - sig_ns[num_sig - 1] > 3);
+        int nsigns = num_sig - (hidden ? 1 : 0);
+        for (int k = 0; k < nsigns; k++) {
             int nn = sig_ns[k];
             int xp = in_scan[nn] & 15, yp = in_scan[nn] >> 4;
             e_bypass(&e, blk[((ys << 2) + yp) * n + (xs << 2) + xp] < 0);
@@ -598,7 +602,8 @@ static void sw_residual(SW *sw, const int16_t *plane, int stride,
     long r = ks_write_residual(e->ctx, &low, &range, &bits_left,
                                &num_buffered, &buffered_byte,
                                e->out + e->out_len, e->out_cap - e->out_len,
-                               blk, log2, c_idx, scan_idx, wtz, sw->bases);
+                               blk, log2, c_idx, scan_idx, wtz, sw->bases,
+                               sw->p[P_SBH]);
     if (r < 0) { sw->err = (int)r; return; }
     e->low = low; e->range = range; e->bits_left = bits_left;
     e->num_buffered = num_buffered; e->buffered_byte = buffered_byte;

@@ -241,7 +241,16 @@ def _scatter_block(plane, xs, ys, vals, valid, n: int):
     return plane.at[rows, cols].set(vals.astype(plane.dtype), mode="drop")
 
 
-def _process_class(carry, fields, srcs, n: int, strong: bool):
+def _scan_sel(modes, log2: int, c_idx: int):
+    """Mode-dependent scan for small TUs (mirror of sbh.scan_for)."""
+    if not (log2 == 2 or (log2 == 3 and c_idx == 0)):
+        return jnp.zeros_like(modes)
+    return jnp.where((modes >= 6) & (modes <= 14), 2,
+                     jnp.where((modes >= 22) & (modes <= 30), 1, 0))
+
+
+def _process_class(carry, fields, srcs, n: int, strong: bool, sbh: bool):
+    from ..encode.sbh import apply_sbh_jnp
     (ry, rcb, rcr, cy, ccb, ccr) = carry
     (src_y, src_cb, src_cr) = srcs
     xs, ys, mode, cmode, qpy, qpc_b, qpc_r, al, ac, at, valid = fields
@@ -252,6 +261,8 @@ def _process_class(carry, fields, srcs, n: int, strong: bool):
     pred = _predict_dyn(refs_u, refs_f, mode, n, True)
     resi = _gather_block(src_y, xs, ys, n) - pred
     lev = _fwd_quant(resi, qpy, n, log2)
+    if sbh:
+        lev = apply_sbh_jnp(lev, _scan_sel(mode, log2, 0), n)
     rec = jnp.clip(pred + _dequant_itx(lev, qpy, n, log2), 0, 255)
     ry = _scatter_block(ry, xs, ys, rec, valid, n)
     cy = _scatter_block(cy, xs, ys, lev, valid, n)
@@ -266,6 +277,9 @@ def _process_class(carry, fields, srcs, n: int, strong: bool):
         cpred = _predict_dyn(cref_u, cref_u, cmode, nc, False)
         cresi = _gather_block(srcp, cxs, cys, nc) - cpred
         clev = _fwd_quant(cresi, qpc, nc, clog2)
+        if sbh:
+            clev = apply_sbh_jnp(clev, _scan_sel(cmode, clog2, which + 1),
+                                 nc)
         crec = jnp.clip(cpred + _dequant_itx(clev, qpc, nc, clog2), 0, 255)
         plane = _scatter_block(plane, cxs, cys, crec, valid, nc)
         cplane = _scatter_block(cplane, cxs, cys, clev, valid, nc)
@@ -276,9 +290,12 @@ def _process_class(carry, fields, srcs, n: int, strong: bool):
     return (ry, rcb, rcr, cy, ccb, ccr)
 
 
-@partial(jax.jit, static_argnames=("strong",), donate_argnums=())
-def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
-                      n_levels, strong: bool):
+def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
+                           n_levels, strong: bool, sbh: bool = False):
+    # sources may arrive as uint8 (cheap transfer); compute in int32
+    src_y = src_y.astype(jnp.int32)
+    src_cb = src_cb.astype(jnp.int32)
+    src_cr = src_cr.astype(jnp.int32)
     ph, pw = src_y.shape
     ry = jnp.zeros((ph, pw), jnp.int32)
     rcb = jnp.zeros((ph // 2, pw // 2), jnp.int32)
@@ -294,10 +311,35 @@ def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
             if sched is None:
                 continue
             fields = tuple(a[t] for a in sched)
-            carry = _process_class(carry, fields, srcs, n, strong)
+            carry = _process_class(carry, fields, srcs, n, strong, sbh)
         return carry
 
-    return jax.lax.fori_loop(0, n_levels, body, carry0)
+    out = jax.lax.fori_loop(0, n_levels, body, carry0)
+    # compact dtypes for the device->host hop (recon is 8-bit, levels 16)
+    return (out[0].astype(jnp.uint8), out[1].astype(jnp.uint8),
+            out[2].astype(jnp.uint8), out[3].astype(jnp.int16),
+            out[4].astype(jnp.int16), out[5].astype(jnp.int16))
+
+
+@partial(jax.jit, static_argnames=("strong", "sbh"))
+def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
+                      n_levels, strong: bool, sbh: bool = False):
+    return _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16,
+                                  sched32, n_levels, strong, sbh)
+
+
+@partial(jax.jit, static_argnames=("strong", "sbh"))
+def _code_intra_frames_batch(src_y, src_cb, src_cr, sched8, sched16,
+                             sched32, n_levels, strong: bool,
+                             sbh: bool = False):
+    """FPP analog (SURVEY.md 7.3#2): vmap the wavefront over F independent
+    intra frames so each level-step batches F frames' CUs — the step
+    dispatch overhead amortizes, which is what makes the fine-grained
+    wavefront fast on TPU."""
+    return jax.vmap(
+        lambda a, b, c, s8, s16, s32: _code_intra_frame_core(
+            a, b, c, s8, s16, s32, n_levels, strong, sbh)
+    )(src_y, src_cb, src_cr, sched8, sched16, sched32)
 
 
 class WavefrontIntraCoder:
@@ -347,16 +389,32 @@ class WavefrontIntraCoder:
         return (ox[:count], oy[:count], osz[:count], olv[:count],
                 oal[:count], oac[:count], oat[:count])
 
-    def pack(self, sched, modes8, cmodes8, qp_map8, height, width):
-        """Group CU records by level into padded [L, K] arrays/class."""
+    def pack(self, sched, modes8, cmodes8, qp_map8, h8, w8):
+        """Group CU records by level into padded [L, K] arrays per class.
+
+        Shapes are RESOLUTION-deterministic (not content-dependent): K is
+        capped by the row count of each size class (same-row CUs chain
+        through their left reference, so an antichain holds at most one CU
+        per row), L by the longest monotone cell path. One XLA compile per
+        resolution instead of one per frame."""
         ox, oy, osz, olv, oal, oac, oat = sched
         n_levels = int(olv.max()) + 1 if len(olv) else 0
-        lpad = _round_up(max(n_levels, 1), _LEVEL_PAD)
+        # bucket the level-axis length so at most a couple of kernel
+        # variants exist per resolution regardless of content
+        lpad = _round_up(max(n_levels, 1), 256)
+        kcap = {8: _round_up(h8, 8), 16: _round_up((h8 + 1) // 2, 8),
+                32: _round_up((h8 + 3) // 4, 8)}
         out = {}
         for size in (8, 16, 32):
             sel = osz == size
             if not sel.any():
-                out[size] = None
+                # keep the pytree structure frame-invariant: all-invalid
+                shape = (lpad, kcap[size])
+                z = lambda dt: np.zeros(shape, dt)
+                out[size] = (z(np.int32), z(np.int32), z(np.int32),
+                             z(np.int32), z(np.int32), z(np.int32),
+                             z(np.int32), z(np.uint32), z(np.uint32),
+                             z(np.uint32), z(bool))
                 continue
             x, y, lv = ox[sel], oy[sel], olv[sel]
             al, ac, at = oal[sel], oac[sel], oat[sel]
@@ -368,7 +426,8 @@ class WavefrontIntraCoder:
             lv_s = lv[order]
             slot = np.arange(len(lv_s)) - np.searchsorted(lv_s, lv_s)
             kmax = int(slot.max()) + 1
-            kpad = _round_up(kmax, 8)
+            kpad = kcap[size]
+            assert kmax <= kpad, (size, kmax, kpad)
             shape = (lpad, kpad)
 
             def packed(vals, dtype, fill=0):
@@ -388,8 +447,56 @@ class WavefrontIntraCoder:
                 packed(np.ones(len(x), bool), bool))
         return out, n_levels
 
+    def code_frames(self, items, qp_cb_off, qp_cr_off, sps,
+                    sbh: bool = False):
+        """Batched multi-frame pass. items: list of dicts with keys
+        src_y/src_cb/src_cr/log2m/modes8/cmodes8/qp_map8. Returns a list of
+        (ry, rcb, rcr, cy, ccb, ccr) numpy tuples, one per frame."""
+        self._cqp_cb = np.array(
+            [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)], np.int32)
+        self._cqp_cr = np.array(
+            [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)], np.int32)
+        packs = []
+        n_levels = 0
+        for it in items:
+            h8, w8 = it["log2m"].shape
+            sched = self.build_schedule(it["log2m"], sps.width, sps.height,
+                                        sps.log2_ctb, sps.log2_min_cb)
+            pk, nl = self.pack(sched, it["modes8"], it["cmodes8"],
+                               it["qp_map8"], h8, w8)
+            packs.append(pk)
+            n_levels = max(n_levels, nl)
+        # common level-axis bucket across the batch
+        lpad = max(p[8][0].shape[0] if p[8] is not None else 0
+                   for p in packs)
+        for p in packs:
+            for size in (8, 16, 32):
+                if p[size] is not None and p[size][0].shape[0] < lpad:
+                    p[size] = tuple(
+                        np.concatenate(
+                            [a, np.zeros((lpad - a.shape[0],) + a.shape[1:],
+                                         a.dtype)], axis=0)
+                        for a in p[size])
+        args = []
+        for size in (8, 16, 32):
+            stacked = tuple(
+                jnp.asarray(np.stack([p[size][fi] for p in packs]))
+                for fi in range(11))
+            args.append(stacked)
+        sy = jnp.asarray(np.stack([it["src_y"] for it in items])
+                         .astype(np.uint8))
+        scb = jnp.asarray(np.stack([it["src_cb"] for it in items])
+                          .astype(np.uint8))
+        scr = jnp.asarray(np.stack([it["src_cr"] for it in items])
+                          .astype(np.uint8))
+        out = _code_intra_frames_batch(
+            sy, scb, scr, args[0], args[1], args[2], jnp.int32(n_levels),
+            bool(sps.strong_intra_smoothing), bool(sbh))
+        outs = tuple(np.asarray(o) for o in out)
+        return [tuple(o[f] for o in outs) for f in range(len(items))]
+
     def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,
-                   qp_map8, qp_cb_off, qp_cr_off, sps):
+                   qp_map8, qp_cb_off, qp_cr_off, sps, sbh: bool = False):
         """Run the full device pass. Returns numpy (recon y/cb/cr,
         coeff y/cb/cr) planes (padded sizes)."""
         # chroma qp lookup tables for this frame's offsets
@@ -399,8 +506,9 @@ class WavefrontIntraCoder:
             [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)], np.int32)
         sched = self.build_schedule(log2map8, sps.width, sps.height,
                                     sps.log2_ctb, sps.log2_min_cb)
+        h8, w8 = log2map8.shape
         packed, n_levels = self.pack(sched, modes8, cmodes8, qp_map8,
-                                     sps.height, sps.width)
+                                     h8, w8)
         args = []
         for size in (8, 16, 32):
             pk = packed[size]
@@ -409,5 +517,6 @@ class WavefrontIntraCoder:
         out = _code_intra_frame(
             jnp.asarray(src_y, jnp.int32), jnp.asarray(src_cb, jnp.int32),
             jnp.asarray(src_cr, jnp.int32), args[0], args[1], args[2],
-            jnp.int32(n_levels), bool(sps.strong_intra_smoothing))
+            jnp.int32(n_levels), bool(sps.strong_intra_smoothing),
+            bool(sbh))
         return tuple(np.asarray(o) for o in out)

@@ -87,7 +87,8 @@ def test_quality_sane():
     cfg = EncoderConfig(width=W, height=H, sao=0, preset="ultrafast", qp=27,
                         intra_period=1, psnr=1)
     enc = HevcEncoder(cfg)
-    ef = enc.encode_frame(frames[0])[0]
+    # all-intra offline batches frames (FPP analog): drain via flush
+    ef = (enc.encode_frame(frames[0]) + enc.flush())[0]
     assert ef.psnr[0] > 33, f"PSNR too low: {ef.psnr[0]}"
     assert ef.bits < W * H * 8, "bitstream larger than raw"
 
@@ -257,3 +258,42 @@ def test_sao_reference_decoder(tmp_path):
                         str(outf), "-threads", "1"], capture_output=True)
     assert r.returncode == 0
     assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+@pytest.mark.skipif(not have_reference(), reason="no reference binaries")
+def test_reference_decoder_accepts_sbh_and_gop_shapes(tmp_path):
+    """SBH streams (medium preset) and the bframes-resolved mini-GOP shapes
+    (GOP2/GOP3/GOP4) must decode bit-exactly under the shipped appdecoder."""
+    from conftest import _ref_bin
+    frames = _frames(9)
+    cases = (
+        ("sbh_ai", dict(preset="medium", qp=30, intra_period=1)),
+        ("sbh_gop8", dict(preset="medium", qp=30, intra_period=0)),
+        ("gop4", dict(preset="medium", qp=32, intra_period=0, bframes=3)),
+        ("gop3", dict(preset="medium", qp=32, intra_period=0, bframes=2)),
+        ("gop2", dict(preset="medium", qp=32, intra_period=0, bframes=1)),
+    )
+    for name, kw in cases:
+        cfg = EncoderConfig(width=W, height=H, sao=0, **kw)
+        bs, recons = encode_sequence(frames, cfg)
+        bsf = tmp_path / f"{name}.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / f"{name}_dec.yuv"
+        r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf),
+                            "-o", str(outf), "-threads", "1"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, f"appdecoder failed on {name}: {r.stdout}"
+        want = b"".join(rc.tobytes() for rc in recons)
+        assert outf.read_bytes() == want, f"{name}: reference decode differs"
+
+
+def test_gop_shapes_reorder_latency():
+    """bframes resolves to the right mini-GOP and reorder depth
+    (VERDICT weak #4: livestreaming bframes=3 must not code GOP-8)."""
+    from ks265codec_tpu.encode.gop import gop_plan, gop_size, reorder_depth
+    assert gop_size("livestreaming", 3) == 4
+    assert reorder_depth(gop_plan("livestreaming", 3)) <= 2
+    assert gop_size("offline", 1) == 2
+    assert gop_size("offline", 2) == 3
+    assert gop_size("offline", 7) == 8
+    assert gop_size("zerolatency", 3) == 1

@@ -154,3 +154,62 @@ def test_entry_point_epb_mapping():
         sd.hdr.entry_points = entries
         for k, b in enumerate(bounds):
             assert sd._entry_byte_offset(k) == b, (k, b, entries, ins, pos)
+
+
+# ----------------------------------------------- batched multi-frame (FPP)
+
+def test_device_decide_matches_host():
+    """ops/decide.decide_frames (one batched device dispatch) must agree
+    with encode/intra_frame.decide_frame (host+device hybrid) exactly."""
+    from ks265codec_tpu.encode.intra_frame import decide_frame
+    from ks265codec_tpu.ops.decide import decide_frames
+
+    rng = np.random.RandomState(11)
+    W, H = 128, 64
+    planes, qps = [], []
+    for t, qp in enumerate((22, 30, 37)):
+        y = np.clip(rng.randint(0, 255, (H, W)) * 0.4 + 60 + 2 * t
+                    + np.arange(W)[None, :] * 0.3, 0, 255).astype(np.uint8)
+        planes.append(y)
+        qps.append(qp)
+    batched = decide_frames(np.stack(planes), qps)
+    for plane, qp, dec in zip(planes, qps, batched):
+        s32, m16, m32, cplx, s16, m8 = decide_frame(
+            plane.astype(np.int32), qp)
+        b32, b16m, b32m, bcplx, b16, b8m = dec
+        assert np.array_equal(s32, b32)
+        assert np.array_equal(s16, b16)
+        assert np.array_equal(m8, b8m)
+        assert np.array_equal(m16, b16m)
+        assert np.array_equal(m32, b32m)
+        assert abs(cplx - bcplx) < 1e-3 * max(abs(cplx), 1.0)
+
+
+def test_fpp_batch_matches_per_frame():
+    """All-intra FPP batching (8 frames through one vmapped wavefront
+    dispatch) must produce the identical bitstream to the per-frame path."""
+    from ks265codec_tpu.encode.encoder import encode_sequence
+    from ks265codec_tpu.utils.yuv import YUVFrame
+
+    rng = np.random.RandomState(4)
+    W, H = 96, 64
+    frames = []
+    for t in range(8):
+        y = np.clip(rng.randint(0, 255, (H, W)) * 0.35 + 90 + 3 * t,
+                    0, 255).astype(np.uint8)
+        u = np.clip(128 + rng.randn(H // 2, W // 2) * 20,
+                    0, 255).astype(np.uint8)
+        v = np.clip(128 + rng.randn(H // 2, W // 2) * 20,
+                    0, 255).astype(np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+
+    def run(fpp):
+        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=30,
+                            intra_period=1, fpp=fpp)
+        return encode_sequence(frames, cfg)
+
+    bs_seq, rec_seq = run(False)
+    bs_fpp, rec_fpp = run(True)
+    assert bs_fpp == bs_seq
+    for a, b in zip(rec_seq, rec_fpp):
+        assert a.tobytes() == b.tobytes()
