@@ -42,15 +42,19 @@ def bench_ours(frames):
     from ks265codec_tpu.utils.yuv import YUVFrame
 
     yuv = [YUVFrame(y, u, v, poc=i) for i, (y, u, v) in enumerate(frames)]
-    enc = HevcEncoder(EncoderConfig(width=W, height=H, preset="ultrafast",
-                                    qp=27, intra_period=1))
-    enc.encode_frame(yuv[0])       # warm-up: jit compiles
-    enc.flush()
+    def run():
+        enc = HevcEncoder(EncoderConfig(width=W, height=H,
+                                        preset="ultrafast",
+                                        qp=27, intra_period=1))
+        nbits = 0
+        for f in yuv:
+            nbits += sum(ef.bits for ef in enc.encode_frame(f))
+        nbits += sum(ef.bits for ef in enc.flush())
+        return nbits
+
+    run()                          # warm-up: jit compiles (all batch sizes)
     t0 = time.time()
-    nbits = 0
-    for f in yuv:
-        nbits += sum(ef.bits for ef in enc.encode_frame(f))
-    nbits += sum(ef.bits for ef in enc.flush())
+    nbits = run()
     dt = time.time() - t0
     return len(yuv) / dt, nbits
 

@@ -99,27 +99,36 @@ def _predict_dyn(refs_u, refs_f, modes, n: int, is_luma: bool):
     return pred.astype(jnp.int32)
 
 
-def _build_refs_dyn(plane, xs, ys, avail_l, avail_c, avail_t, n: int,
-                    expand: int, strong: bool, is_luma: bool):
-    """Batched reference construction + substitution + filtering.
+def _refs_from_borders(bot, rgt, cor, r, c, avail_l, avail_c, avail_t,
+                       n8: int, t: int, expand: int, strong: bool,
+                       is_luma: bool, h8: int, w8: int):
+    """Batched reference construction + substitution + filtering, reading
+    from BORDER arrays instead of full planes.
 
-    plane (H, W) int32; xs/ys (K,) block origins in this plane's coords;
-    avail masks at 4-luma-sample-group granularity (expand=1 luma,
-    expand=2 chroma: each mask bit covers 2 contour samples).
+    bot/rgt (h8*w8, t): per-cell bottom pixel row / right pixel column of
+    the reconstruction so far (the only recon pixels intra prediction can
+    ever reference). r/c (K,) cell coords of the block origin; the block is
+    n8 x n8 cells of t x t pixels (n = n8*t). avail masks at 4-luma-sample-
+    group granularity (expand=1 luma, expand=2 chroma).
     Returns (refs_u, refs_f) each (K, 4n+1)."""
-    H, W = plane.shape
-    K = xs.shape[0]
+    n = n8 * t
+    K = r.shape[0]
     n2 = 2 * n
     L = 4 * n + 1
+    m8 = 2 * n8
+    # left contour samples: right columns of cells (r+i, c-1), top->bottom
+    rr = jnp.clip(r[:, None] + jnp.arange(m8)[None, :], 0, h8 - 1)
+    cl = jnp.clip(c - 1, 0, w8 - 1)
+    left_tb = rgt[rr * w8 + cl[:, None]].reshape(K, n2)
+    # top contour samples: bottom rows of cells (r-1, c+j), left->right
+    cc = jnp.clip(c[:, None] + jnp.arange(m8)[None, :], 0, w8 - 1)
+    rt = jnp.clip(r - 1, 0, h8 - 1)
+    top_lr = bot[rt[:, None] * w8 + cc].reshape(K, n2)
+    corner = cor[rt * w8 + cl]
     # contour order: bottom-left upward, corner, top left-to-right
     i = jnp.arange(L)
-    # sample coords per contour index
-    py = jnp.where(i < n2, ys[:, None] + (n2 - 1 - i)[None, :],
-                   ys[:, None] - 1)
-    px = jnp.where(i < n2, xs[:, None] - 1,
-                   jnp.where(i == n2, xs[:, None] - 1,
-                             xs[:, None] + (i - n2 - 1)[None, :]))
-    vals = plane[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
+    vals = jnp.concatenate([left_tb[:, ::-1], corner[:, None], top_lr],
+                           axis=1)
     # availability per contour position from the group masks
     goff = jnp.where(i < n2, (n2 - 1 - i) * expand // 4, 0)
     toff = jnp.where(i > n2, (i - n2 - 1) * expand // 4, 0)
@@ -226,19 +235,55 @@ def _dequant_itx(levels, qp, n: int, log2: int):
 
 # ------------------------------------------------------------- step kernels
 
-def _gather_block(plane, xs, ys, n: int):
-    rows = ys[:, None, None] + jnp.arange(n)[None, :, None]
-    cols = xs[:, None, None] + jnp.arange(n)[None, None, :]
-    return plane[rows, cols]
+def _tile(plane, t: int):
+    """(H, W) -> (H//t * W//t, t, t) leading-axis tile layout."""
+    H, W = plane.shape
+    return plane.reshape(H // t, t, W // t, t).transpose(0, 2, 1, 3) \
+                .reshape(-1, t, t)
 
 
-def _scatter_block(plane, xs, ys, vals, valid, n: int):
-    """Masked scatter of (K, n, n) blocks; invalid CUs dropped via OOB."""
-    H = plane.shape[0]
-    ys = jnp.where(valid, ys, H + 1)
-    rows = ys[:, None, None] + jnp.arange(n)[None, :, None]
-    cols = xs[:, None, None] + jnp.arange(n)[None, None, :]
-    return plane.at[rows, cols].set(vals.astype(plane.dtype), mode="drop")
+def _untile(tiles, h_t: int, w_t: int):
+    """Inverse of _tile: (h_t*w_t, t, t) -> (h_t*t, w_t*t)."""
+    t = tiles.shape[-1]
+    return tiles.reshape(h_t, w_t, t, t).transpose(0, 2, 1, 3) \
+                .reshape(h_t * t, w_t * t)
+
+
+def _take_tiles(tiles, r, c, n8: int, t: int, w8: int):
+    """Assemble (K, n8*t, n8*t) blocks from leading-axis tiles."""
+    K = r.shape[0]
+    dy = jnp.arange(n8)
+    idx = ((r[:, None, None] + dy[None, :, None]) * w8
+           + c[:, None, None] + dy[None, None, :])          # (K, n8, n8)
+    g = tiles[idx]                                          # (K,n8,n8,t,t)
+    return g.transpose(0, 1, 3, 2, 4).reshape(K, n8 * t, n8 * t)
+
+
+def _update_bottom(bot, cor, rec, r, c, n8: int, t: int, valid, w8: int):
+    """Write the block's bottom pixel row into its bottom cells' rows, and
+    those cells' bottom-right pixels into the corner array."""
+    N = bot.shape[0]
+    K = r.shape[0]
+    rows = rec[:, -1, :].reshape(K, n8, t)
+    idx = ((r + n8 - 1) * w8 + c)[:, None] + jnp.arange(n8)[None, :]
+    idx = jnp.where(valid[:, None], idx, N).reshape(-1)
+    return (bot.at[idx].set(rows.reshape(-1, t), mode="drop"),
+            cor.at[idx].set(rows[:, :, t - 1].reshape(-1), mode="drop"))
+
+
+def _update_right(rgt, cor, rec, r, c, n8: int, t: int, valid, w8: int):
+    """Write the block's right pixel column into its right cells' cols,
+    and those cells' bottom-right pixels into the corner array. A cell
+    queried as a corner reference is always a bottom- or right-edge cell
+    of its CU, so maintaining the corner array from both edge updates
+    covers every legal corner read."""
+    N = rgt.shape[0]
+    K = r.shape[0]
+    cols = rec[:, :, -1].reshape(K, n8, t)
+    idx = (r[:, None] + jnp.arange(n8)[None, :]) * w8 + (c + n8 - 1)[:, None]
+    idx = jnp.where(valid[:, None], idx, N).reshape(-1)
+    return (rgt.at[idx].set(cols.reshape(-1, t), mode="drop"),
+            cor.at[idx].set(cols[:, :, t - 1].reshape(-1), mode="drop"))
 
 
 def _scan_sel(modes, log2: int, c_idx: int):
@@ -249,96 +294,128 @@ def _scan_sel(modes, log2: int, c_idx: int):
                      jnp.where((modes >= 22) & (modes <= 30), 1, 0))
 
 
-def _process_class(carry, fields, srcs, n: int, strong: bool, sbh: bool):
+def _process_class(carry, fields, src_tiles, n: int, strong: bool,
+                   sbh: bool, h8: int, w8: int):
+    """One size class of one wavefront level. carry = 6 border arrays; the
+    heavy recon/coeff tiles are RETURNED (stacked by lax.scan) rather than
+    scattered into planes — keeping the loop-carried state tiny is what
+    makes the wavefront fast on TPU (full-plane scatters were ~100x)."""
     from ..encode.sbh import apply_sbh_jnp
-    (ry, rcb, rcr, cy, ccb, ccr) = carry
-    (src_y, src_cb, src_cr) = srcs
+    (bY, rY, kY, bCb, rCb, kCb, bCr, rCr, kCr) = carry
+    (sty, stcb, stcr) = src_tiles
     xs, ys, mode, cmode, qpy, qpc_b, qpc_r, al, ac, at, valid = fields
     log2 = n.bit_length() - 1
+    n8 = n // 8
+    r = ys >> 3
+    c = xs >> 3
     # ---- luma
-    refs_u, refs_f = _build_refs_dyn(ry, xs, ys, al, ac, at, n, 1,
-                                     strong, True)
+    refs_u, refs_f = _refs_from_borders(bY, rY, kY, r, c, al, ac, at,
+                                        n8, 8, 1, strong, True, h8, w8)
     pred = _predict_dyn(refs_u, refs_f, mode, n, True)
-    resi = _gather_block(src_y, xs, ys, n) - pred
+    resi = _take_tiles(sty, r, c, n8, 8, w8) - pred
     lev = _fwd_quant(resi, qpy, n, log2)
     if sbh:
         lev = apply_sbh_jnp(lev, _scan_sel(mode, log2, 0), n)
     rec = jnp.clip(pred + _dequant_itx(lev, qpy, n, log2), 0, 255)
-    ry = _scatter_block(ry, xs, ys, rec, valid, n)
-    cy = _scatter_block(cy, xs, ys, lev, valid, n)
-    # ---- chroma (half coords, mask bits cover 2 samples)
+    bY, kY = _update_bottom(bY, kY, rec, r, c, n8, 8, valid, w8)
+    rY, kY = _update_right(rY, kY, rec, r, c, n8, 8, valid, w8)
+    outs = [rec.astype(jnp.uint8), lev.astype(jnp.int16)]
+    # ---- chroma (same cell grid, 4x4-pixel tiles, masks cover 2 samples)
     nc = n // 2
     clog2 = log2 - 1
-    cxs, cys = xs >> 1, ys >> 1
-    for (plane, cplane, srcp, qpc, which) in (
-            (rcb, ccb, src_cb, qpc_b, 0), (rcr, ccr, src_cr, qpc_r, 1)):
-        cref_u, _ = _build_refs_dyn(plane, cxs, cys, al, ac, at, nc, 2,
-                                    False, False)
+    for (bC, rC, kC, st, qpc, which) in (
+            (bCb, rCb, kCb, stcb, qpc_b, 0),
+            (bCr, rCr, kCr, stcr, qpc_r, 1)):
+        cref_u, _ = _refs_from_borders(bC, rC, kC, r, c, al, ac, at,
+                                       n8, 4, 2, False, False, h8, w8)
         cpred = _predict_dyn(cref_u, cref_u, cmode, nc, False)
-        cresi = _gather_block(srcp, cxs, cys, nc) - cpred
+        cresi = _take_tiles(st, r, c, n8, 4, w8) - cpred
         clev = _fwd_quant(cresi, qpc, nc, clog2)
         if sbh:
             clev = apply_sbh_jnp(clev, _scan_sel(cmode, clog2, which + 1),
                                  nc)
         crec = jnp.clip(cpred + _dequant_itx(clev, qpc, nc, clog2), 0, 255)
-        plane = _scatter_block(plane, cxs, cys, crec, valid, nc)
-        cplane = _scatter_block(cplane, cxs, cys, clev, valid, nc)
+        nb, nk = _update_bottom(bC, kC, crec, r, c, n8, 4, valid, w8)
+        nr, nk = _update_right(rC, nk, crec, r, c, n8, 4, valid, w8)
         if which == 0:
-            rcb, ccb = plane, cplane
+            bCb, rCb, kCb = nb, nr, nk
         else:
-            rcr, ccr = plane, cplane
-    return (ry, rcb, rcr, cy, ccb, ccr)
+            bCr, rCr, kCr = nb, nr, nk
+        outs += [crec.astype(jnp.uint8), clev.astype(jnp.int16)]
+    return (bY, rY, kY, bCb, rCb, kCb, bCr, rCr, kCr), tuple(outs)
+
+
+def _assemble(tiles, recs, xs, ys, valid, n8: int, t: int, w8: int):
+    """Scatter stacked (L, K, n, n) class results into the leading-axis
+    tiled plane (one batched scatter per class, outside the loop)."""
+    N = tiles.shape[0]
+    L, K = xs.shape
+    r = ys >> 3
+    c = xs >> 3
+    dy = jnp.arange(n8)
+    idx = ((r[:, :, None, None] + dy[None, None, :, None]) * w8
+           + c[:, :, None, None] + dy[None, None, None, :])  # (L,K,n8,n8)
+    idx = jnp.where(valid[:, :, None, None], idx, N)
+    v = recs.reshape(L, K, n8, t, n8, t).transpose(0, 1, 2, 4, 3, 5) \
+            .reshape(-1, t, t)
+    return tiles.at[idx.reshape(-1)].set(v.astype(tiles.dtype), mode="drop")
 
 
 def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
-                           n_levels, strong: bool, sbh: bool = False):
+                           strong: bool, sbh: bool = False):
     # sources may arrive as uint8 (cheap transfer); compute in int32
-    src_y = src_y.astype(jnp.int32)
-    src_cb = src_cb.astype(jnp.int32)
-    src_cr = src_cr.astype(jnp.int32)
     ph, pw = src_y.shape
-    ry = jnp.zeros((ph, pw), jnp.int32)
-    rcb = jnp.zeros((ph // 2, pw // 2), jnp.int32)
-    rcr = jnp.zeros((ph // 2, pw // 2), jnp.int32)
-    cy = jnp.zeros((ph, pw), jnp.int32)
-    ccb = jnp.zeros((ph // 2, pw // 2), jnp.int32)
-    ccr = jnp.zeros((ph // 2, pw // 2), jnp.int32)
-    carry0 = (ry, rcb, rcr, cy, ccb, ccr)
-    srcs = (src_y, src_cb, src_cr)
+    h8, w8 = ph >> 3, pw >> 3
+    N = h8 * w8
+    sty = _tile(src_y.astype(jnp.int32), 8)
+    stcb = _tile(src_cb.astype(jnp.int32), 4)
+    stcr = _tile(src_cr.astype(jnp.int32), 4)
+    carry0 = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
+              jnp.zeros((N,), jnp.int32),
+              jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+              jnp.zeros((N,), jnp.int32),
+              jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+              jnp.zeros((N,), jnp.int32))
 
-    def body(t, carry):
-        for sched, n in ((sched8, 8), (sched16, 16), (sched32, 32)):
-            if sched is None:
-                continue
-            fields = tuple(a[t] for a in sched)
-            carry = _process_class(carry, fields, srcs, n, strong, sbh)
-        return carry
+    def body(carry, level_fields):
+        outs = []
+        for fields, n in zip(level_fields, (8, 16, 32)):
+            carry, o = _process_class(carry, fields, (sty, stcb, stcr), n,
+                                      strong, sbh, h8, w8)
+            outs.append(o)
+        return carry, tuple(outs)
 
-    out = jax.lax.fori_loop(0, n_levels, body, carry0)
-    # compact dtypes for the device->host hop (recon is 8-bit, levels 16)
-    return (out[0].astype(jnp.uint8), out[1].astype(jnp.uint8),
-            out[2].astype(jnp.uint8), out[3].astype(jnp.int16),
-            out[4].astype(jnp.int16), out[5].astype(jnp.int16))
+    _, ys = jax.lax.scan(body, carry0, (sched8, sched16, sched32))
+    planes = []
+    for (pi, t_l, t_c, dt) in ((0, 8, 4, jnp.uint8),    # recon
+                               (1, 8, 4, jnp.int16)):   # coeff levels
+        for ci, t in ((0, t_l), (2, t_c), (4, t_c)):    # Y, Cb, Cr slots
+            tiles = jnp.zeros((N, t, t), dt)
+            for k, (sched, n) in enumerate(
+                    ((sched8, 8), (sched16, 16), (sched32, 32))):
+                tiles = _assemble(tiles, ys[k][ci + pi], sched[0], sched[1],
+                                  sched[10], n // 8, t, w8)
+            planes.append(_untile(tiles, h8, w8))
+    # order: recon Y/Cb/Cr then coeff Y/Cb/Cr (the existing API contract)
+    return tuple(planes)
 
 
 @partial(jax.jit, static_argnames=("strong", "sbh"))
 def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
-                      n_levels, strong: bool, sbh: bool = False):
+                      strong: bool, sbh: bool = False):
     return _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16,
-                                  sched32, n_levels, strong, sbh)
+                                  sched32, strong, sbh)
 
 
 @partial(jax.jit, static_argnames=("strong", "sbh"))
 def _code_intra_frames_batch(src_y, src_cb, src_cr, sched8, sched16,
-                             sched32, n_levels, strong: bool,
-                             sbh: bool = False):
+                             sched32, strong: bool, sbh: bool = False):
     """FPP analog (SURVEY.md 7.3#2): vmap the wavefront over F independent
     intra frames so each level-step batches F frames' CUs — the step
-    dispatch overhead amortizes, which is what makes the fine-grained
-    wavefront fast on TPU."""
+    work amortizes across frames at identical sequential depth."""
     return jax.vmap(
         lambda a, b, c, s8, s16, s32: _code_intra_frame_core(
-            a, b, c, s8, s16, s32, n_levels, strong, sbh)
+            a, b, c, s8, s16, s32, strong, sbh)
     )(src_y, src_cb, src_cr, sched8, sched16, sched32)
 
 
@@ -399,9 +476,10 @@ class WavefrontIntraCoder:
         resolution instead of one per frame."""
         ox, oy, osz, olv, oal, oac, oat = sched
         n_levels = int(olv.max()) + 1 if len(olv) else 0
-        # bucket the level-axis length so at most a couple of kernel
-        # variants exist per resolution regardless of content
-        lpad = _round_up(max(n_levels, 1), 256)
+        # bucket the level-axis length so few kernel variants exist per
+        # resolution regardless of content (scan length is static; padded
+        # levels are all-invalid no-ops that still cost compute)
+        lpad = _round_up(max(n_levels, 1), 64)
         kcap = {8: _round_up(h8, 8), 16: _round_up((h8 + 1) // 2, 8),
                 32: _round_up((h8 + 3) // 4, 8)}
         out = {}
@@ -490,7 +568,7 @@ class WavefrontIntraCoder:
         scr = jnp.asarray(np.stack([it["src_cr"] for it in items])
                           .astype(np.uint8))
         out = _code_intra_frames_batch(
-            sy, scb, scr, args[0], args[1], args[2], jnp.int32(n_levels),
+            sy, scb, scr, args[0], args[1], args[2],
             bool(sps.strong_intra_smoothing), bool(sbh))
         outs = tuple(np.asarray(o) for o in out)
         return [tuple(o[f] for o in outs) for f in range(len(items))]
@@ -509,14 +587,12 @@ class WavefrontIntraCoder:
         h8, w8 = log2map8.shape
         packed, n_levels = self.pack(sched, modes8, cmodes8, qp_map8,
                                      h8, w8)
-        args = []
-        for size in (8, 16, 32):
-            pk = packed[size]
-            args.append(None if pk is None
-                        else tuple(jnp.asarray(a) for a in pk))
+        args = [tuple(jnp.asarray(a) for a in packed[size])
+                for size in (8, 16, 32)]
         out = _code_intra_frame(
-            jnp.asarray(src_y, jnp.int32), jnp.asarray(src_cb, jnp.int32),
-            jnp.asarray(src_cr, jnp.int32), args[0], args[1], args[2],
-            jnp.int32(n_levels), bool(sps.strong_intra_smoothing),
-            bool(sbh))
+            jnp.asarray(np.asarray(src_y, np.uint8)),
+            jnp.asarray(np.asarray(src_cb, np.uint8)),
+            jnp.asarray(np.asarray(src_cr, np.uint8)),
+            args[0], args[1], args[2],
+            bool(sps.strong_intra_smoothing), bool(sbh))
         return tuple(np.asarray(o) for o in out)
