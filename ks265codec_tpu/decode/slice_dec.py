@@ -107,7 +107,21 @@ class SliceDecoder:
         self.sps = sps
         self.pps = pps
         self.hdr = hdr
-        self.slice_idx = slice_idx
+        # availability region id: (slice index, tile id) packed so every
+        # equality check (MPM/skip ctx/SAO merge/MotionDeriver) enforces
+        # the spec 6.4.1 same-slice AND same-tile rule unchanged
+        self.base_slice_idx = slice_idx
+        self.tile_grid = None
+        if pps.tiles_enabled:
+            from ..hevc.params import TileGrid
+            tg = getattr(pps, "_tile_grid", None)
+            if tg is None:
+                tg = TileGrid(pps, sps)
+                pps._tile_grid = tg
+            self.tile_grid = tg
+        tile0 = (self.tile_grid.tile_of_addr(hdr.segment_address)
+                 if self.tile_grid is not None else 0)
+        self.slice_idx = (slice_idx << 12) | tile0
         self.ref_lists = ref_lists or [[], []]  # list of RefPic
         ctx = CT.init_contexts(hdr.slice_type, hdr.slice_qp, hdr.cabac_init_flag)
         self.rbsp = rbsp
@@ -143,11 +157,32 @@ class SliceDecoder:
         sps = self.sps
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
-        addr = self.hdr.segment_address
         wpp = self.pps.entropy_coding_sync_enabled
+        tg = self.tile_grid
         entry_idx = 0
+        # the CTU walk is in TILE SCAN order (spec 6.5.1); without tiles the
+        # tile scan degenerates to the raster scan
+        ts = (int(tg.rs_to_ts[self.hdr.segment_address]) if tg is not None
+              else self.hdr.segment_address)
+        cur_tile = self.slice_idx & 0xFFF
         while True:
+            addr = int(tg.ts_to_rs[ts]) if tg is not None else ts
             rx, ry = addr % wctb, addr // wctb
+            if tg is not None:
+                t = tg.tile_of_ctb[ry, rx]
+                if t != cur_tile:
+                    # new tile: fresh context init at the next entry point
+                    byte_off = self._entry_byte_offset(entry_idx)
+                    entry_idx += 1
+                    ctx = CT.init_contexts(self.hdr.slice_type,
+                                           self.hdr.slice_qp,
+                                           self.hdr.cabac_init_flag)
+                    self.cabac = CabacDec(self.rbsp, byte_off, ctx)
+                    self.qp_cur = self.hdr.slice_qp
+                    cur_tile = int(t)
+                    self.slice_idx = (self.base_slice_idx << 12) | cur_tile
+                    if getattr(self, "_md", None) is not None:
+                        self._md.slice_idx = self.slice_idx
             if wpp and rx == 0 and ry > 0 \
                     and entry_idx < len(self.hdr.entry_points):
                 # new CTB row: re-init engine at the entry point with the
@@ -164,8 +199,8 @@ class SliceDecoder:
             if wpp and rx == min(1, wctb - 1):
                 self.wpp_saved_ctx = self.cabac.save_ctx()
             end = self.cabac.decode_terminate()
-            addr += 1
-            if end or addr >= nctb:
+            ts += 1
+            if end or ts >= nctb:
                 break
 
     def _entry_byte_offset(self, entry_idx: int) -> int:

@@ -65,6 +65,9 @@ class EncoderConfig:
     wpp: bool = True
     fpp: bool = True
     threads: int = 0
+    # tile partition (TPU/multi-chip scaling axis, SURVEY.md 5.7): "CxR"
+    # CTB-uniform tile grid; tiles and WPP are mutually exclusive here
+    tiles: str = ""
     # tune-resolved knobs (fillCfgsSCC / tune analog)
     lambda_scale: float = 1.0        # mode/split decision lambda multiplier
     deblock_beta: int = 0            # slice beta_offset_div2
@@ -151,7 +154,23 @@ def resolve_preset(cfg: EncoderConfig) -> EncoderConfig:
             cfg.bframes = 3
         if cfg.temporal_layers == ref.temporal_layers:
             cfg.temporal_layers = 2
+    if cfg.tiles:
+        try:
+            c, r = cfg.tiles.lower().split("x")
+            if int(c) < 1 or int(r) < 1:
+                raise ValueError
+        except ValueError:
+            raise ValueError(f"BAD_VALUE: tiles={cfg.tiles}") from None
+        cfg.wpp = False               # one entropy-segmentation axis at a time
     return cfg
+
+
+def tile_dims(cfg: EncoderConfig) -> tuple[int, int]:
+    """(num_tile_columns, num_tile_rows) from the resolved config."""
+    if not cfg.tiles:
+        return 1, 1
+    c, r = cfg.tiles.lower().split("x")
+    return int(c), int(r)
 
 
 def parse_config_string(cfg: EncoderConfig, opts: str) -> EncoderConfig:

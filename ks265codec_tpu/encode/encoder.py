@@ -164,8 +164,18 @@ class HevcEncoder:
         p.weighted_pred = 0
         p.weighted_bipred = 0
         p.transquant_bypass_enabled = 0
-        p.tiles_enabled = 0
-        p.entropy_coding_sync_enabled = 1 if cfg.wpp else 0
+        from .config import tile_dims
+        tc, tr = tile_dims(cfg)
+        if tc > 1 or tr > 1:
+            p.tiles_enabled = 1
+            p.num_tile_columns = tc
+            p.num_tile_rows = tr
+            p.uniform_spacing = 1
+            p.loop_filter_across_tiles = 1
+        else:
+            p.tiles_enabled = 0
+        p.entropy_coding_sync_enabled = \
+            1 if (cfg.wpp and not p.tiles_enabled) else 0
         p.loop_filter_across_slices = 1
         p.deblocking_filter_control_present = 1
         p.deblocking_filter_override_enabled = 0
@@ -314,10 +324,12 @@ class HevcEncoder:
         if not self._wf_coder.available:
             return
         from ..ops.decide import decide_frames
-        from .intra_frame import IntraFrameEncoder, decision_maps8
+        from .intra_frame import (IntraFrameEncoder, decision_maps8,
+                                  tile_region_maps)
         sps, cfg = self.sps, self.cfg
         ph = sps.pic_height_in_ctbs * sps.ctb_size
         pw = sps.pic_width_in_ctbs * sps.ctb_size
+        _, tile8, ntc = tile_region_maps(self.pps, sps)
         batch, metas = [], []
         try:
             qps = [self._intra_frame_qp(di) for di, _ in items]
@@ -337,7 +349,8 @@ class HevcEncoder:
                 qp_map8 = np.full(log2m.shape, qp, np.uint8)
                 batch.append(dict(src_y=src_y, src_cb=src_cb, src_cr=src_cr,
                                   log2m=log2m, modes8=modes8,
-                                  cmodes8=cmodes8, qp_map8=qp_map8))
+                                  cmodes8=cmodes8, qp_map8=qp_map8,
+                                  tile8=tile8, n_tile_cols=ntc))
                 metas.append((di, qp, cplx))
             results = self._wf_coder.code_frames(
                 batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
@@ -460,7 +473,7 @@ class HevcEncoder:
         from .map_writer import write_slice_data
         slice_data, raw_entries = write_slice_data(
             fs, enc.syn, self.sps, self.pps, hdr, sao_params)
-        if self.pps.entropy_coding_sync_enabled:
+        if self.pps.entropy_coding_sync_enabled or self.pps.tiles_enabled:
             hdr.num_entry_points = len(raw_entries)
             hdr.entry_points = list(raw_entries)
         # entry_point_offsets count bytes AS CODED IN THE NAL, i.e. after

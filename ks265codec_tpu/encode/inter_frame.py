@@ -59,6 +59,10 @@ class PFrameEncoder(IntraFrameEncoder):
         self._decide_cu32()
 
     def _code_ctu(self, x0: int, y0: int) -> None:
+        if self.pps.tiles_enabled:
+            # merge/AMVP availability must honor the tile wall: keep the
+            # deriver's region id in sync with the CTU being coded
+            self.md.slice_idx = int(self.fs.slice_id[y0 >> 2, x0 >> 2])
         self._code_ctu_p(x0, y0)
 
 

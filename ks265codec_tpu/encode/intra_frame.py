@@ -33,6 +33,22 @@ from .map_writer import EncSyntax
 _HDR_BITS = {8: 14.0, 16: 8.0, 32: 6.0}
 
 
+def tile_region_maps(pps, sps):
+    """(region map per 4x4 cell, per 8x8 cell, n_tile_cols) for the PPS's
+    tile grid, or (None, None, 1) without tiles. Region ids live in
+    fs.slice_id so every neighbor-availability equality check enforces the
+    same-tile rule (spec 6.4.1) with no extra plumbing."""
+    if not pps.tiles_enabled:
+        return None, None, 1
+    from ..hevc.params import TileGrid
+    tg = getattr(pps, "_tile_grid", None)
+    if tg is None:
+        tg = TileGrid(pps, sps)
+        pps._tile_grid = tg
+    tile4 = np.repeat(np.repeat(tg.tile8, 2, 0), 2, 1).astype(np.int32)
+    return tile4, tg.tile8, pps.num_tile_columns
+
+
 def _block_any(plane, blk):
     """(H//blk, W//blk) bool: any nonzero in each blk x blk block."""
     h, w = plane.shape
@@ -73,7 +89,7 @@ def decision_maps8(split32, split16, mode8, mode16, mode32, sps,
 
 
 def fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
-                    cy, ccb, ccr) -> None:
+                    cy, ccb, ccr, tile4=None) -> None:
     """Vectorized FrameState/EncSyntax fill for a whole intra frame (the
     per-4x4 stores the sequential walk does one CU at a time). Writes only
     the in-picture cells — the sequential walk never touches the padding,
@@ -89,7 +105,10 @@ def fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
     fs.pred_mode[v] = 1
     fs.mi_parsed[v] = True
     fs.recon_done[v] = True
-    fs.slice_id[:] = 0
+    if tile4 is None:
+        fs.slice_id[:] = 0
+    else:
+        fs.slice_id[:] = tile4
     syn.chroma_mode[v] = rep(cmodes8)[v]
     # CU/PU/TU edges: cell starts a CU when its coords align to the CU size
     h4, w4 = fs.h4, fs.w4
@@ -274,7 +293,11 @@ class IntraFrameEncoder:
             self._pre_analyze()
         wctb = sps.pic_width_in_ctbs
         nctb = wctb * sps.pic_height_in_ctbs
-        fs.slice_id[:] = 0
+        tile4, _, _ = tile_region_maps(self.pps, sps)
+        if tile4 is None:
+            fs.slice_id[:] = 0
+        else:
+            fs.slice_id[:] = tile4
         for addr in range(nctb):
             rx, ry = addr % wctb, addr // wctb
             self._code_ctu(rx << sps.log2_ctb, ry << sps.log2_ctb)
@@ -294,8 +317,9 @@ class IntraFrameEncoder:
         syn.cy[:] = cy
         syn.ccb[:] = ccb
         syn.ccr[:] = ccr
+        tile4, _, _ = tile_region_maps(self.pps, self.sps)
         fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
-                        cy, ccb, ccr)
+                        cy, ccb, ccr, tile4=tile4)
 
     def compute_wavefront(self, coder):
         sps = self.sps
@@ -303,11 +327,13 @@ class IntraFrameEncoder:
             self._pre_analyze()
         log2m, modes8, cmodes8 = self._decision_maps8()
         qp_map8 = np.full(log2m.shape, self.qp, np.uint8)
+        _, tile8, ntc = tile_region_maps(self.pps, sps)
         ry, rcb, rcr, cy, ccb, ccr = coder.code_frame(
             self.src_y, self.src_cb, self.src_cr, log2m, modes8, cmodes8,
             qp_map8, self.pps.cb_qp_offset + self.hdr.cb_qp_offset,
             self.pps.cr_qp_offset + self.hdr.cr_qp_offset, sps,
-            sbh=bool(self.pps.sign_data_hiding_enabled))
+            sbh=bool(self.pps.sign_data_hiding_enabled),
+            tile8=tile8, n_tile_cols=ntc)
         self.apply_coded_planes(log2m, modes8, cmodes8, qp_map8,
                                 ry, rcb, rcr, cy, ccb, ccr)
 
@@ -403,9 +429,12 @@ class IntraFrameEncoder:
         fs = self.fs
         plane = (fs.y, fs.cb, fs.cr)[c_idx]
         shift = 0 if c_idx == 0 else 1
+        region = fs.slice_id[(y0 << shift) >> 2, (x0 << shift) >> 2]
+
         def avail(x, y):
             lx, ly = x << shift, y << shift
-            return bool(fs.recon_done[ly >> 2, lx >> 2])
+            return bool(fs.recon_done[ly >> 2, lx >> 2]
+                        and fs.slice_id[ly >> 2, lx >> 2] == region)
 
         refs_u, refs_f = jintra.build_refs_np(
             plane, x0, y0, size, avail, self.sps.width >> shift,

@@ -99,10 +99,19 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
     wpp = bool(pps.entropy_coding_sync_enabled)
     sao_on = bool(hdr.sao_luma or hdr.sao_chroma)
     sao = sao_params if sao_params is not None else _sao_off_grid(sps)
+    tg = None
+    if pps.tiles_enabled:
+        from ..hevc.params import TileGrid
+        tg = getattr(pps, "_tile_grid", None)
+        if tg is None:
+            tg = TileGrid(pps, sps)
+            pps._tile_grid = tg
+        w.slice_idx = int(fs.slice_id[0, 0])   # region id of tile 0
     substreams: list[bytes] = []
     entry_points: list[int] = []
     saved_ctx = None
-    for addr in range(nctb):
+    for ts in range(nctb):
+        addr = int(tg.ts_to_rs[ts]) if tg is not None else ts
         rx, ry = addr % wctb, addr // wctb
         if wpp and rx == 0 and ry > 0:
             w.start_substream(saved_ctx)
@@ -112,13 +121,27 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
         _write_cq(w, ws, syn, sps, hdr, x0, y0, sps.log2_ctb, 0)
         if wpp and rx == min(1, wctb - 1):
             saved_ctx = w.enc.save_ctx()
-        last = addr == nctb - 1
+        last = ts == nctb - 1
         w.end_ctu(last)
         if wpp and rx == wctb - 1 and not last:
             w.enc.encode_terminate(1)
             sub = w.finish_substream()
             substreams.append(sub)
             entry_points.append(len(sub))
+        elif tg is not None and not last:
+            nxt = int(tg.ts_to_rs[ts + 1])
+            if tg.tile_of_ctb[nxt // wctb, nxt % wctb] \
+                    != tg.tile_of_ctb[ry, rx]:
+                # tile boundary: end_of_subset bit, flush, fresh contexts
+                w.enc.encode_terminate(1)
+                sub = w.finish_substream()
+                substreams.append(sub)
+                entry_points.append(len(sub))
+                w.start_substream(CT.init_contexts(
+                    hdr.slice_type, hdr.slice_qp, hdr.cabac_init_flag))
+                w.slice_idx = int(
+                    fs.slice_id[(nxt // wctb) << (sps.log2_ctb - 2),
+                                (nxt % wctb) << (sps.log2_ctb - 2)])
     final = w.finish_substream()
     return b"".join(substreams) + final, entry_points
 

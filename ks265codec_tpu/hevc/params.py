@@ -769,3 +769,62 @@ def write_pps(p: PPS) -> bytes:
     w.write_bit(0)  # pps_extension
     w.rbsp_trailing_bits()
     return w.getvalue()
+
+
+# ---------------------------------------------------------------- tiles
+
+class TileGrid:
+    """Tile partition of the CTB grid (spec 6.5.1): column/row boundaries,
+    per-CTB tile ids, and the tile-scan <-> raster-scan address maps the
+    CTU walk and the entry-point machinery need.
+
+    Mirrors the reference decoder's readTileGrid/CTB-address tables
+    (SURVEY.md 2.4 "Param-set reader"); built once per (PPS, SPS) pair.
+    """
+
+    def __init__(self, pps: PPS, sps: SPS):
+        import numpy as np
+        wctb = sps.pic_width_in_ctbs
+        hctb = sps.pic_height_in_ctbs
+        nc, nr = pps.num_tile_columns, pps.num_tile_rows
+        if pps.uniform_spacing:
+            col_bd = [(i * wctb) // nc for i in range(nc + 1)]
+            row_bd = [(i * hctb) // nr for i in range(nr + 1)]
+        else:
+            col_bd = [0]
+            for w_ in pps.column_widths:
+                col_bd.append(col_bd[-1] + w_)
+            col_bd.append(wctb)
+            row_bd = [0]
+            for h_ in pps.row_heights:
+                row_bd.append(row_bd[-1] + h_)
+            row_bd.append(hctb)
+        self.col_bd = col_bd
+        self.row_bd = row_bd
+        self.wctb, self.hctb = wctb, hctb
+        self.num_tiles = nc * nr
+        # per-CTB tile id (raster indexed)
+        tid = np.zeros((hctb, wctb), np.int32)
+        ts_order = []
+        t = 0
+        for tr in range(nr):
+            for tc in range(nc):
+                for ry in range(row_bd[tr], row_bd[tr + 1]):
+                    for rx in range(col_bd[tc], col_bd[tc + 1]):
+                        tid[ry, rx] = t
+                        ts_order.append(ry * wctb + rx)
+                t += 1
+        self.tile_of_ctb = tid
+        self.ts_to_rs = np.array(ts_order, np.int32)
+        rs_to_ts = np.empty(wctb * hctb, np.int32)
+        rs_to_ts[self.ts_to_rs] = np.arange(wctb * hctb, dtype=np.int32)
+        self.rs_to_ts = rs_to_ts
+        # per-8x8-cell tile id for the device schedule builder
+        h8 = (hctb << sps.log2_ctb) >> 3
+        w8 = (wctb << sps.log2_ctb) >> 3
+        f = sps.ctb_size >> 3
+        self.tile8 = np.repeat(np.repeat(tid, f, 0), f, 1)[:h8, :w8] \
+            .astype(np.int32)
+
+    def tile_of_addr(self, addr: int) -> int:
+        return int(self.tile_of_ctb[addr // self.wctb, addr % self.wctb])

@@ -158,6 +158,8 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
     global _SLICE_BASES
     if not HAVE_NATIVE:
         return None
+    if pps.tiles_enabled:
+        return None      # tile-scan walk: Python writer handles tiles
     from ..hevc.cabac_tables import CTX_OFFSET, NUM_CTX, init_contexts
     if _SLICE_BASES is None:
         _SLICE_BASES = (ctypes.c_int * len(_SLICE_CTX_NAMES))(

@@ -1057,6 +1057,7 @@ long ks_write_slice(const int32_t *params, const int *bases,
 
 typedef struct {
     const uint8_t *log2map;     /* (h8, w8): log2 CU size per 8x8 cell */
+    const int32_t *tile8;       /* (h8, w8) tile id per cell; NULL = no tiles */
     int w8, h8, width, height, log2_min_cb;
     int32_t *lvl8;              /* per 8x8 cell level */
     uint8_t *coded8;
@@ -1066,25 +1067,33 @@ typedef struct {
     long n;
 } SB;
 
+static int sb_same_tile(const SB *b, int x8, int y8, int c8x, int c8y) {
+    if (!b->tile8) return 1;
+    return b->tile8[y8 * b->w8 + x8] == b->tile8[c8y * b->w8 + c8x];
+}
+
 static void sb_emit(SB *b, int x, int y, int log2) {
     int n2 = 2 << log2;
     int ng = n2 >> 2;
     uint32_t al = 0, at = 0;
     uint8_t ac = 0;
     int32_t maxl = -1;
+    int x8 = x >> 3, y8 = y >> 3;
     if (x > 0) {
         int c8x = (x - 1) >> 3;
         for (int g = 0; g < ng; g++) {
             int sy = y + 4 * g;
             if (sy >= b->height) break;
             int c8y = sy >> 3;
-            if (b->coded8[c8y * b->w8 + c8x]) {
+            if (b->coded8[c8y * b->w8 + c8x]
+                && sb_same_tile(b, x8, y8, c8x, c8y)) {
                 al |= 1u << g;
                 int32_t l = b->lvl8[c8y * b->w8 + c8x];
                 if (l > maxl) maxl = l;
             }
         }
-        if (y > 0 && b->coded8[((y - 1) >> 3) * b->w8 + c8x]) {
+        if (y > 0 && b->coded8[((y - 1) >> 3) * b->w8 + c8x]
+            && sb_same_tile(b, x8, y8, c8x, (y - 1) >> 3)) {
             ac = 1;
             int32_t l = b->lvl8[((y - 1) >> 3) * b->w8 + c8x];
             if (l > maxl) maxl = l;
@@ -1095,7 +1104,8 @@ static void sb_emit(SB *b, int x, int y, int log2) {
         for (int g = 0; g < ng; g++) {
             int sx = x + 4 * g;
             if (sx >= b->width) break;
-            if (b->coded8[c8y * b->w8 + (sx >> 3)]) {
+            if (b->coded8[c8y * b->w8 + (sx >> 3)]
+                && sb_same_tile(b, x8, y8, sx >> 3, c8y)) {
                 at |= 1u << g;
                 int32_t l = b->lvl8[c8y * b->w8 + (sx >> 3)];
                 if (l > maxl) maxl = l;
@@ -1139,13 +1149,13 @@ static void sb_walk(SB *b, int x0, int y0, int log2) {
 }
 
 long ks_build_intra_schedule(
-    const uint8_t *log2map, int w8, int h8, int width, int height,
-    int log2_ctb, int log2_min_cb,
+    const uint8_t *log2map, const int32_t *tile8, int w8, int h8,
+    int width, int height, int log2_ctb, int log2_min_cb,
     int32_t *out_x, int32_t *out_y, int32_t *out_size, int32_t *out_level,
     uint32_t *out_avail_l, uint8_t *out_avail_c, uint32_t *out_avail_t,
     int32_t *work /* >= 2 * w8 * h8 int32 */) {
     SB b;
-    b.log2map = log2map; b.w8 = w8; b.h8 = h8;
+    b.log2map = log2map; b.tile8 = tile8; b.w8 = w8; b.h8 = h8;
     b.width = width; b.height = height; b.log2_min_cb = log2_min_cb;
     b.lvl8 = work;
     b.coded8 = (uint8_t *)(work + w8 * h8);

@@ -436,13 +436,20 @@ class WavefrontIntraCoder:
         return self._native is not None
 
     def build_schedule(self, log2map8: np.ndarray, width: int, height: int,
-                       log2_ctb: int, log2_min_cb: int):
-        """-> dict size -> packed [L, K] field arrays + n_levels."""
+                       log2_ctb: int, log2_min_cb: int, tile8=None):
+        """-> dict size -> packed [L, K] field arrays + n_levels.
+
+        tile8: optional (h8, w8) int32 tile-id map — availability (and so
+        the dependency levels) cut at tile walls, which both matches the
+        decoder's 6.4.1 availability AND shortens the wavefront's critical
+        path (the tile axis is the TPU parallel-scaling axis, SURVEY 5.7)."""
         import ctypes
         lib = self._native._lib
         h8, w8 = log2map8.shape
         cap = w8 * h8
         m = np.ascontiguousarray(log2map8, np.uint8)
+        t8 = (np.ascontiguousarray(tile8, np.int32) if tile8 is not None
+              else None)
         ox = np.empty(cap, np.int32)
         oy = np.empty(cap, np.int32)
         osz = np.empty(cap, np.int32)
@@ -457,8 +464,10 @@ class WavefrontIntraCoder:
 
         lib.ks_build_intra_schedule.restype = ctypes.c_long
         count = lib.ks_build_intra_schedule(
-            p(m, ctypes.c_uint8), w8, h8, width, height, log2_ctb,
-            log2_min_cb,
+            p(m, ctypes.c_uint8),
+            p(t8, ctypes.c_int32) if t8 is not None
+            else ctypes.POINTER(ctypes.c_int32)(),
+            w8, h8, width, height, log2_ctb, log2_min_cb,
             p(ox, ctypes.c_int32), p(oy, ctypes.c_int32),
             p(osz, ctypes.c_int32), p(olv, ctypes.c_int32),
             p(oal, ctypes.c_uint32), p(oac, ctypes.c_uint8),
@@ -466,13 +475,15 @@ class WavefrontIntraCoder:
         return (ox[:count], oy[:count], osz[:count], olv[:count],
                 oal[:count], oac[:count], oat[:count])
 
-    def pack(self, sched, modes8, cmodes8, qp_map8, h8, w8):
+    def pack(self, sched, modes8, cmodes8, qp_map8, h8, w8,
+             n_tile_cols: int = 1):
         """Group CU records by level into padded [L, K] arrays per class.
 
         Shapes are RESOLUTION-deterministic (not content-dependent): K is
-        capped by the row count of each size class (same-row CUs chain
-        through their left reference, so an antichain holds at most one CU
-        per row), L by the longest monotone cell path. One XLA compile per
+        capped by the row count of each size class times the tile-column
+        count (same-row CUs chain through their left reference only within
+        a tile, so an antichain holds at most one CU per row per tile
+        column), L by the longest monotone cell path. One XLA compile per
         resolution instead of one per frame."""
         ox, oy, osz, olv, oal, oac, oat = sched
         n_levels = int(olv.max()) + 1 if len(olv) else 0
@@ -480,8 +491,10 @@ class WavefrontIntraCoder:
         # resolution regardless of content (scan length is static; padded
         # levels are all-invalid no-ops that still cost compute)
         lpad = _round_up(max(n_levels, 1), 64)
-        kcap = {8: _round_up(h8, 8), 16: _round_up((h8 + 1) // 2, 8),
-                32: _round_up((h8 + 3) // 4, 8)}
+        tc = max(1, n_tile_cols)
+        kcap = {8: _round_up(h8 * tc, 8),
+                16: _round_up((h8 + 1) // 2 * tc, 8),
+                32: _round_up((h8 + 3) // 4 * tc, 8)}
         out = {}
         for size in (8, 16, 32):
             sel = osz == size
@@ -538,10 +551,13 @@ class WavefrontIntraCoder:
         n_levels = 0
         for it in items:
             h8, w8 = it["log2m"].shape
+            t8 = it.get("tile8")
+            ntc = it.get("n_tile_cols", 1)
             sched = self.build_schedule(it["log2m"], sps.width, sps.height,
-                                        sps.log2_ctb, sps.log2_min_cb)
+                                        sps.log2_ctb, sps.log2_min_cb,
+                                        tile8=t8)
             pk, nl = self.pack(sched, it["modes8"], it["cmodes8"],
-                               it["qp_map8"], h8, w8)
+                               it["qp_map8"], h8, w8, n_tile_cols=ntc)
             packs.append(pk)
             n_levels = max(n_levels, nl)
         # common level-axis bucket across the batch
@@ -574,7 +590,8 @@ class WavefrontIntraCoder:
         return [tuple(o[f] for o in outs) for f in range(len(items))]
 
     def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,
-                   qp_map8, qp_cb_off, qp_cr_off, sps, sbh: bool = False):
+                   qp_map8, qp_cb_off, qp_cr_off, sps, sbh: bool = False,
+                   tile8=None, n_tile_cols: int = 1):
         """Run the full device pass. Returns numpy (recon y/cb/cr,
         coeff y/cb/cr) planes (padded sizes)."""
         # chroma qp lookup tables for this frame's offsets
@@ -583,10 +600,11 @@ class WavefrontIntraCoder:
         self._cqp_cr = np.array(
             [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)], np.int32)
         sched = self.build_schedule(log2map8, sps.width, sps.height,
-                                    sps.log2_ctb, sps.log2_min_cb)
+                                    sps.log2_ctb, sps.log2_min_cb,
+                                    tile8=tile8)
         h8, w8 = log2map8.shape
         packed, n_levels = self.pack(sched, modes8, cmodes8, qp_map8,
-                                     h8, w8)
+                                     h8, w8, n_tile_cols=n_tile_cols)
         args = [tuple(jnp.asarray(a) for a in packed[size])
                 for size in (8, 16, 32)]
         out = _code_intra_frame(
