@@ -58,6 +58,10 @@ class HevcDecoder:
         self.skip_mode = skip_mode
         self.frames_out: list[YUVFrame] = []
         self.md5_log: list[str] = []
+        self.illegal_stream = False      # qy265dec.h:35 bIllegalStream
+        self.sei_messages = []
+        self._pending_hash = None
+        self.hash_mismatches = 0         # decoded_picture_hash failures
 
     # ------------------------------------------------------------- public
     def decode(self, data: bytes) -> list[YUVFrame]:
@@ -91,9 +95,20 @@ class HevcDecoder:
         elif t == NalType.PPS:
             p = parse_pps(nal.rbsp)
             self.pps_map[p.pps_id] = p
-        elif t in (NalType.PREFIX_SEI, NalType.SUFFIX_SEI, NalType.AUD,
-                   NalType.FD, NalType.EOS, NalType.EOB):
-            pass  # SEI tolerated/ignored (conformance decoders may use them)
+        elif t in (NalType.PREFIX_SEI, NalType.SUFFIX_SEI):
+            from ..hevc.sei import parse_sei_rbsp
+            try:
+                msgs = parse_sei_rbsp(nal.rbsp)
+            except Exception:
+                msgs = []
+            self.sei_messages.extend(msgs)
+            for m in msgs:
+                if m.payload_type == 132 and m.md5:
+                    # decoded_picture_hash: verify once the current picture
+                    # finishes (post-filter recon)
+                    self._pending_hash = m.md5
+        elif t in (NalType.AUD, NalType.FD, NalType.EOS, NalType.EOB):
+            pass
         elif is_vcl(t):
             self._decode_slice_nal(nal)
 
@@ -119,8 +134,37 @@ class HevcDecoder:
         sd = SliceDecoder(self.cur, sps, pps, hdr, nal.rbsp,
                           reader.pos // 8, self.cur_slice_idx, ref_lists,
                           epb_pos=nal.epb_pos)
-        sd.decode()
+        try:
+            sd.decode()
+        except Exception as ex:
+            # mid-slice parse failure (truncated/corrupt payload): conceal
+            # the un-reconstructed area and keep decoding — the reference
+            # logs, conceals, and continues (handleFrameError analog,
+            # qy265dec.h bIllegalStream semantics / SURVEY.md 4.9)
+            from ..utils.log import log
+            log(2, "slice decode error (%s: %s); concealing"
+                % (type(ex).__name__, ex))
+            self.illegal_stream = True
+            self._conceal(self.cur, ref_lists)
         self.cur_slice_idx += 1
+
+    @staticmethod
+    def _conceal(fs: FrameState, ref_lists) -> None:
+        """Fill cells never reconstructed: copy from the first L0 reference
+        (zero-motion concealment) or mid-grey when no reference exists."""
+        import numpy as np
+        missing = ~fs.recon_done
+        if not missing.any():
+            return
+        ref = ref_lists[0][0].fs if ref_lists and ref_lists[0] else None
+        m_y = np.repeat(np.repeat(missing, 4, 0), 4, 1)
+        m_c = m_y[::2, ::2]
+        for plane, src, m in (
+                (fs.y, ref.y if ref else None, m_y),
+                (fs.cb, ref.cb if ref else None, m_c),
+                (fs.cr, ref.cr if ref else None, m_c)):
+            plane[m] = src[m] if src is not None else 128
+        fs.recon_done[missing] = True
 
     # ---------------------------------------------------------------- POC
     def _compute_poc(self, hdr: SliceHeader, sps: SPS) -> int:
@@ -241,6 +285,17 @@ class HevcDecoder:
                       self.pps_map[hdr.pps_id].cb_qp_offset,
                       self.pps_map[hdr.pps_id].cr_qp_offset)
         sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
+        if self._pending_hash is not None:
+            from ..hevc.sei import plane_md5
+            want = self._pending_hash
+            self._pending_hash = None
+            got = tuple(plane_md5(p) for p in
+                        (lambda f: (f.y, f.u, f.v))(self._wrap_output(
+                            RefPic(fs, fs.poc))))
+            if got != tuple(want):
+                self.hash_mismatches += 1
+                from ..utils.log import log
+                log(1, "decoded_picture_hash mismatch at POC %d" % fs.poc)
         rp = RefPic(fs, fs.poc, needed_for_output=bool(hdr.pic_output_flag))
         self.dpb.append(rp)
         self.out_queue.append(rp)

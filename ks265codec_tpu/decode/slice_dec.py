@@ -426,12 +426,50 @@ class SliceDecoder:
             fs.pu_edge_v[py >> 2:(py + ph_) >> 2, px >> 2] = True
             fs.pu_edge_h[py >> 2, px >> 2:(px + pw_) >> 2] = True
         if pred == MODE_INTRA:
+            if (self.sps.pcm_enabled and part == PART_2Nx2N
+                    and self.sps.log2_min_pcm_cb <= log2
+                    <= self.sps.log2_max_pcm_cb):
+                # pcm_flag is a terminating bin; on 1 the engine stops and
+                # raw samples follow from the next byte boundary (9.3.1)
+                if self.cabac.decode_terminate():
+                    self._decode_pcm(x0, y0, log2)
+                    return
             self._parse_intra_modes(x0, y0, log2, part)
             fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
-            # pcm would be here (sps.pcm_enabled == 0 for our targets)
             self._parse_transform_tree_root(x0, y0, log2, depth, intra=True)
         else:
             self._parse_inter_cu(x0, y0, log2, part, depth)
+
+    # ----------------------------------------------------------------- PCM
+    def _decode_pcm(self, x0: int, y0: int, log2: int) -> None:
+        """pcm_sample() (spec 7.3.8.7): raw 8-bit samples from the byte-
+        aligned position after the pcm_flag terminate bin; the arithmetic
+        engine re-initializes afterwards with contexts preserved (9.3.1)."""
+        fs = self.fs
+        assert self.sps.pcm_bit_depth_luma == 8 \
+            and self.sps.pcm_bit_depth_chroma == 8
+        size = 1 << log2
+        csz = size >> 1
+        pos = self.cabac.byte_align_position()
+        total = size * size + 2 * csz * csz
+        buf = np.frombuffer(self.rbsp, np.uint8, total, pos)
+        fs.y[y0:y0 + size, x0:x0 + size] = \
+            buf[:size * size].reshape(size, size)
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        off = size * size
+        fs.cb[cy0:cy0 + csz, cx0:cx0 + csz] = \
+            buf[off:off + csz * csz].reshape(csz, csz)
+        off += csz * csz
+        fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] = \
+            buf[off:off + csz * csz].reshape(csz, csz)
+        self.cabac = CabacDec(self.rbsp, pos + total, self.cabac.ctx)
+        x4, y4, b4 = x0 >> 2, y0 >> 2, size >> 2
+        fs.intra_mode[y4:y4 + b4, x4:x4 + b4] = 1    # DC for MPM neighbors
+        fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
+        fs.tu_edge_v[y4:y4 + b4, x4] = True
+        fs.tu_edge_h[y4, x4:x4 + b4] = True
+        fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
+        fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
 
     # --------------------------------------------------------- intra modes
     def _mpm_candidates(self, x0: int, y0: int, pu: int, part: int,

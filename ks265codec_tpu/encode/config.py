@@ -60,6 +60,7 @@ class EncoderConfig:
     rdoq: bool = False
     do64: bool = True
     sign_bit_hiding: bool = False
+    pcm: bool = False                # enable PCM fallback for 16/32 CUs
     aq_mode: int = 0
     aq_strength: float = 1.0
     wpp: bool = True

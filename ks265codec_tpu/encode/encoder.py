@@ -39,6 +39,10 @@ class EncodedFrame:
     psnr: tuple[float, float, float] | None = None
     ssim: tuple[float, float, float] | None = None
     display_idx: int = -1
+    # QY265Nal timing surface (qy265enc.h:177-184): frame-tick units
+    pts: int = 0
+    dts: int = 0
+    temporal_id: int = 0
 
 
 class HevcEncoder:
@@ -62,6 +66,7 @@ class HevcEncoder:
         from .rc import RateControl, TwoPassStats
         self.rc = RateControl(cfg)
         self._intra_cache = {}      # display_idx -> batched compute result
+        self._coded_count = 0       # pictures coded (dts derivation)
         self._wf_coder = None
         self.stats = None
         self.pass2_dqp = {}
@@ -133,7 +138,14 @@ class HevcEncoder:
         s.scaling_list_enabled = 0
         s.amp_enabled = 0
         s.sao_enabled = 1 if cfg.sao > 0 else 0
-        s.pcm_enabled = 0
+        s.pcm_enabled = 1 if cfg.pcm else 0
+        if cfg.pcm:
+            s.pcm_bit_depth_luma = s.pcm_bit_depth_chroma = 8
+            # 16/32 only: pcm_flag then precedes intra modes with no
+            # part_mode in between (the writer relies on this ordering)
+            s.log2_min_pcm_cb = 4
+            s.log2_max_pcm_cb = 5
+            s.pcm_loop_filter_disabled = 0
         s.long_term_ref_pics_present = 0
         s.temporal_mvp_enabled = 0
         s.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
@@ -190,11 +202,18 @@ class HevcEncoder:
 
     # ------------------------------------------------------------- headers
     def encode_headers(self) -> bytes:
-        """VPS+SPS+PPS annex-B block (QY265EncoderEncodeHeaders)."""
+        """VPS+SPS+PPS(+user-data SEI) annex-B block
+        (QY265EncoderEncodeHeaders)."""
         out = b""
         out += write_nal(NalType.VPS, write_vps(self.vps))
         out += write_nal(NalType.SPS, write_sps(self.sps))
         out += write_nal(NalType.PPS, write_pps(self.pps))
+        from ..hevc.sei import user_data_payload, write_sei_rbsp
+        info = ("ks265codec_tpu - preset %s tune %s latency %s"
+                % (self.cfg.preset, self.cfg.tune,
+                   self.cfg.latency)).encode()
+        out += write_nal(NalType.PREFIX_SEI,
+                         write_sei_rbsp([(5, user_data_payload(info))]))
         self.headers_written = True
         return out
 
@@ -316,7 +335,7 @@ class HevcEncoder:
         RC-driven QPs use the current (bounded-stale) RC state, the
         CEncRcAbrSync analog for frame-parallel encoding."""
         import os
-        if os.environ.get("KS265_SEQ_COMPUTE"):
+        if os.environ.get("KS265_SEQ_COMPUTE") or self.sps.pcm_enabled:
             return
         if self._wf_coder is None:
             from ..ops.wavefront import WavefrontIntraCoder
@@ -509,6 +528,15 @@ class HevcEncoder:
         if sao_params is not None:
             fs.sao = sao_params
             sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
+        if cfg.md5:
+            # self-verifying stream: decoded_picture_hash suffix SEI with
+            # the final (post-filter) recon MD5s (Annex D type 132)
+            from ..hevc.sei import picture_hash_payload, write_sei_rbsp
+            rec = self._wrap_recon(fs, frame)
+            data += write_nal(
+                NalType.SUFFIX_SEI,
+                write_sei_rbsp([(132, picture_hash_payload(
+                    rec.y, rec.u, rec.v))]), temporal_id=tid)
         # DPB update: keep pictures named by this RPS (they cover all
         # future needs of the GOP pattern) plus the new picture
         keep = set()
@@ -522,6 +550,12 @@ class HevcEncoder:
                           slice_type="I" if is_idr
                           else ("P" if slice_type == P_SLICE else "B"))
         ef.display_idx = display_idx
+        ef.temporal_id = tid
+        # pts in display order; dts shifted down by the reorder depth so
+        # dts <= pts always holds (QY265Nal semantics, frame-tick units)
+        ef.pts = display_idx
+        ef.dts = self._coded_count - self.sps.num_reorder_pics[-1]
+        self._coded_count += 1
         if cfg.psnr:
             ef.psnr = _psnr(frame, recon)
         if cfg.ssim:

@@ -273,8 +273,9 @@ class IntraFrameEncoder:
         Production path: the wavefront-batched device pass (ops/wavefront:
         one jitted dispatch per frame). Fallback/oracle: the sequential
         per-CU host walk (compute_sequential), bit-identical by test."""
-        if type(self) is IntraFrameEncoder and not os.environ.get(
-                "KS265_SEQ_COMPUTE"):
+        if type(self) is IntraFrameEncoder \
+                and not self.sps.pcm_enabled \
+                and not os.environ.get("KS265_SEQ_COMPUTE"):
             from ..ops.wavefront import WavefrontIntraCoder
             coder = WavefrontIntraCoder()
             if coder.available:
@@ -408,6 +409,26 @@ class IntraFrameEncoder:
         coeff_cr = self._transform_quant(res_cr, c_log2, self.qp_cr,
                                          scan_for(c_log2, 2, mode))
         cbf_cb, cbf_cr = int(coeff_cb.any()), int(coeff_cr.any())
+        if (self.sps.pcm_enabled
+                and self.sps.log2_min_pcm_cb <= log2
+                <= self.sps.log2_max_pcm_cb
+                and self._pcm_wins(coeff_y, coeff_cb, coeff_cr, size)):
+            # PCM fallback: recon = source verbatim, no residual syntax
+            syn.pcm[y4:y4 + b4, x4:x4 + b4] = 1
+            syn.cy[y0:y0 + size, x0:x0 + size] = 0
+            syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz] = 0
+            syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz] = 0
+            syn.cbf_cb[y4:y4 + b4, x4:x4 + b4] = 0
+            syn.cbf_cr[y4:y4 + b4, x4:x4 + b4] = 0
+            fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = False
+            fs.intra_mode[y4:y4 + b4, x4:x4 + b4] = 1     # DC for MPM
+            fs.y[y0:y0 + size, x0:x0 + size] = src
+            fs.cb[cy0:cy0 + csz, cx0:cx0 + csz] = \
+                self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz]
+            fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] = \
+                self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz]
+            fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+            return
         syn.cy[y0:y0 + size, x0:x0 + size] = coeff_y
         syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cb
         syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cr
@@ -424,6 +445,17 @@ class IntraFrameEncoder:
         fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
 
     # ------------------------------------------------------------- helpers
+    @staticmethod
+    def _pcm_wins(cy, ccb, ccr, size: int) -> bool:
+        """Crude CU bit estimate vs raw PCM cost (8 bits/sample, 4:2:0).
+        PCM only wins at very low QP on dense content — the reference's
+        lossless-fallback rationale (sps pcm_enabled, spec 7.3.8.7)."""
+        est = 32.0
+        for c in (cy, ccb, ccr):
+            a = np.abs(c[c != 0])
+            est += 2.0 * len(a) + 2.0 * np.log2(a + 1.0).sum()
+        return est > 8 * size * size * 1.5
+
     def _predict(self, c_idx, x0, y0, size, mode):
         """Normative prediction from reconstruction references."""
         fs = self.fs

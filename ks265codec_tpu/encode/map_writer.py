@@ -45,6 +45,7 @@ class EncSyntax:
         self.mvp1 = np.zeros((h4, w4), np.uint8)
         self.part = np.zeros((h4, w4), np.uint8)        # PART_2Nx2N
         self.tu_split = np.zeros((h4, w4), np.uint8)
+        self.pcm = np.zeros((h4, w4), np.uint8)         # pcm_flag per CU
         # coefficient planes: each TU's quantized levels stored in place
         self.cy = np.zeros((fs.ph, fs.pw), np.int16)
         self.ccb = np.zeros((fs.ph // 2, fs.pw // 2), np.int16)
@@ -58,7 +59,7 @@ class _WriterState:
     def __init__(self, fs):
         self.sps = fs.sps
         for name in ("cu_depth", "qp", "skip", "pred_mode", "intra_mode",
-                     "cbf_luma", "slice_id", "h4", "w4"):
+                     "cbf_luma", "slice_id", "h4", "w4", "y", "cb", "cr"):
             setattr(self, name, getattr(fs, name))
         self.mi_parsed = np.zeros((fs.h4, fs.w4), bool)
 
@@ -185,6 +186,17 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
             mark()
             return
     if intra:
+        if sps.pcm_enabled and sps.log2_min_pcm_cb <= log2 \
+                <= sps.log2_max_pcm_cb:
+            if syn.pcm[y4, x4]:
+                csz = size >> 1
+                cx0, cy0 = x0 >> 1, y0 >> 1
+                w.write_pcm(ws.y[y0:y0 + size, x0:x0 + size],
+                            ws.cb[cy0:cy0 + csz, cx0:cx0 + csz],
+                            ws.cr[cy0:cy0 + csz, cx0:cx0 + csz])
+                ws.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
+                return
+            w.write_pcm_flag0()
         mode = int(ws.intra_mode[y4, x4])
         cmode = int(syn.chroma_mode[y4, x4])
         # write_intra_cu_header stores modes + mi_parsed progression itself

@@ -63,7 +63,84 @@ def _best_offset(cnt: int, errsum: float, lo: int, hi: int,
 
 def decide_sao(fs, src_y, src_cb, src_cr, qp: int, tier: int):
     """Fill fs.sao with per-CTU decisions. tier: cfg.sao ladder value
-    (1 = superfast: luma EO only; >=3: + BO + chroma)."""
+    (1 = superfast: luma EO only; >=3: + BO + chroma).
+
+    Production path: per-CTU count/error sums from the batched device pass
+    (ops/saostats) + tiny host offset search. Fallback: the all-host loop
+    (decide_sao_host), bit-identical because the sums are exact integers."""
+    import os
+    if not os.environ.get("KS265_SEQ_COMPUTE"):
+        try:
+            from ..ops.saostats import sao_frame_stats
+            stats = sao_frame_stats(fs, src_y, src_cb, src_cr)
+            return _decide_from_stats(fs, stats, qp, tier)
+        except Exception as ex:
+            from ..utils.log import log
+            log(2, "device sao stats failed (%s: %s); host fallback"
+                % (type(ex).__name__, ex))
+    return decide_sao_host(fs, src_y, src_cb, src_cr, qp, tier)
+
+
+def _decide_from_stats(fs, stats, qp: int, tier: int):
+    """Offset search + type decision from per-CTU stats, mirroring
+    decide_sao_host's control flow exactly (same costs, same tie-breaks)."""
+    sps = fs.sps
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    for ry in range(sps.pic_height_in_ctbs):
+        for rx in range(sps.pic_width_in_ctbs):
+            param = SaoCtuParam()
+            for c in range(3):
+                if c > 0 and tier < 3:
+                    continue
+                if c == 2 and param.type_idx[1] == 0:
+                    continue
+                eo_cnt, eo_err, bo_cnt, bo_err = stats[c]
+                best = (0.0, 0, None, 0, 0)
+                eo_classes = (0, 1) if tier <= 1 else (0, 1, 2, 3)
+                if c == 2:
+                    eo_classes = (param.eo_class[1],) \
+                        if param.type_idx[1] == 2 else ()
+                for eo in eo_classes:
+                    cost = lam * 3
+                    offs = []
+                    for cat, (lo, hi) in zip((0, 1, 3, 4),
+                                             ((0, 7), (0, 7), (-7, 0),
+                                              (-7, 0))):
+                        h, cst = _best_offset(
+                            int(eo_cnt[eo, cat, ry, rx]),
+                            float(eo_err[eo, cat, ry, rx]), lo, hi, lam)
+                        offs.append(h)
+                        cost += cst
+                    if cost < best[0]:
+                        best = (cost, 2, offs, 0, eo)
+                if tier >= 3 and c != 2 or (c == 2 and param.type_idx[1] == 1):
+                    bh_ = np.zeros(32, np.int64)
+                    bc_ = np.zeros(32)
+                    for b in range(32):
+                        bh_[b], bc_[b] = _best_offset(
+                            int(bo_cnt[b, ry, rx]),
+                            float(bo_err[b, ry, rx]), -7, 7, lam)
+                    wcosts = np.array([bc_[b:b + 4].sum()
+                                       for b in range(29)])
+                    bpos = int(np.argmin(wcosts))
+                    cost = float(wcosts[bpos]) + lam * 8
+                    if cost < best[0]:
+                        best = (cost, 1, [int(bh_[bpos + k])
+                                          for k in range(4)], bpos, 0)
+                if best[2] is not None:
+                    param.type_idx[c] = best[1]
+                    param.offsets[c] = list(best[2])
+                    param.band_pos[c] = best[3]
+                    param.eo_class[c] = best[4]
+                    if c == 1:
+                        param.type_idx[2] = best[1]
+                        param.eo_class[2] = best[4]
+            fs.sao[ry][rx] = param
+    return fs.sao
+
+
+def decide_sao_host(fs, src_y, src_cb, src_cr, qp: int, tier: int):
+    """All-host oracle implementation (original per-CTU loop)."""
     sps = fs.sps
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
     cs = sps.ctb_size

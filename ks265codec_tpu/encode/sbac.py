@@ -532,9 +532,9 @@ class CtuSyntaxWriter:
         return self.enc.finish()
 
     # ------------------------------------------------- WPP substreams
-    def finish_substream(self) -> bytes:
-        """Flush the current engine into byte-aligned substream bytes
-        (finish + stop bit + zero align, HM encodeSliceFinish)."""
+    def _flush_engine_bytes(self) -> bytes:
+        """Current engine -> byte-aligned bytes (finish + stop bit + zero
+        align, HM encodeSliceFinish / xWritePCM share this)."""
         payload = bytearray(self.enc.finish())
         tv, tn = self.enc.get_tail_bits()
         acc = (tv << 1) | 1
@@ -544,6 +544,34 @@ class CtuSyntaxWriter:
         nb += pad
         payload += int(acc).to_bytes(nb // 8, "big")
         return bytes(payload)
+
+    def finish_substream(self) -> bytes:
+        """Flush the current engine into byte-aligned substream bytes,
+        prefixed by any PCM chunks emitted since the last flush."""
+        payload = self._flush_engine_bytes()
+        chunks = getattr(self, "_chunks", None)
+        if chunks:
+            payload = b"".join(chunks) + payload
+            self._chunks = []
+        return payload
+
+    # ------------------------------------------------------------- PCM
+    def write_pcm(self, sy, scb, scr) -> None:
+        """pcm_flag=1 (terminate bin) + engine flush + aligned raw samples
+        + engine reset with contexts preserved (HM xWritePCM)."""
+        import numpy as np
+        self.enc.encode_terminate(1)
+        data = bytearray(self._flush_engine_bytes())
+        data += np.ascontiguousarray(sy.astype(np.uint8)).tobytes()
+        data += np.ascontiguousarray(scb.astype(np.uint8)).tobytes()
+        data += np.ascontiguousarray(scr.astype(np.uint8)).tobytes()
+        if not hasattr(self, "_chunks"):
+            self._chunks = []
+        self._chunks.append(bytes(data))
+        self.enc = CabacEnc(self.enc.ctx)
+
+    def write_pcm_flag0(self) -> None:
+        self.enc.encode_terminate(0)
 
     def start_substream(self, saved_ctx) -> None:
         """New engine for the next CTB row, contexts inherited from the

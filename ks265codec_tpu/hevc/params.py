@@ -601,7 +601,12 @@ def write_sps(s: SPS) -> bytes:
     w.write_bit(s.amp_enabled)
     w.write_bit(s.sao_enabled)
     w.write_bit(s.pcm_enabled)
-    assert not s.pcm_enabled, "PCM writing not needed (reference never emits it)"
+    if s.pcm_enabled:
+        w.write_bits(s.pcm_bit_depth_luma - 1, 4)
+        w.write_bits(s.pcm_bit_depth_chroma - 1, 4)
+        w.write_ue(s.log2_min_pcm_cb - 3)
+        w.write_ue(s.log2_max_pcm_cb - s.log2_min_pcm_cb)
+        w.write_bit(s.pcm_loop_filter_disabled)
     w.write_ue(len(s.st_rps))
     for i, rps in enumerate(s.st_rps):
         write_st_rps(w, rps, i)

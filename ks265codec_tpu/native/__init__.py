@@ -158,8 +158,8 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
     global _SLICE_BASES
     if not HAVE_NATIVE:
         return None
-    if pps.tiles_enabled:
-        return None      # tile-scan walk: Python writer handles tiles
+    if getattr(sps, "pcm_enabled", 0):
+        return None      # PCM raw-sample interleaving: Python writer
     from ..hevc.cabac_tables import CTX_OFFSET, NUM_CTX, init_contexts
     if _SLICE_BASES is None:
         _SLICE_BASES = (ctypes.c_int * len(_SLICE_CTX_NAMES))(
@@ -193,9 +193,21 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
     init_ctx = np.frombuffer(
         bytes(init_contexts(hdr.slice_type, hdr.slice_qp,
                             hdr.cabac_init_flag)), np.uint8)
+    ts_to_rs = ctb_tile = None
+    if pps.tiles_enabled:
+        from ..hevc.params import TileGrid
+        tg = getattr(pps, "_tile_grid", None)
+        if tg is None:
+            tg = TileGrid(pps, sps)
+            pps._tile_grid = tg
+        ts_to_rs = np.ascontiguousarray(tg.ts_to_rs, np.int32)
+        ctb_tile = np.ascontiguousarray(tg.tile_of_ctb.reshape(-1), np.int32)
     cap = fs.pw * fs.ph * 3 + (1 << 16)
     out = np.empty(cap, np.uint8)
-    entry_sizes = np.zeros(max(hctb, 1), np.int32)
+    n_sub = max(hctb, 1)
+    if ctb_tile is not None:
+        n_sub = max(n_sub, pps.num_tile_columns * pps.num_tile_rows)
+    entry_sizes = np.zeros(n_sub, np.int32)
     n_entries = ctypes.c_int32(0)
     work = np.zeros(2 * NUM_CTX + fs.h4 * fs.w4, np.uint8)
     mvd0 = np.ascontiguousarray(syn.mvd0, np.int16)
@@ -218,6 +230,10 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
         _ptr(ccr, ctypes.c_int16),
         _ptr(sao_type, u8), _ptr(sao_off, ctypes.c_int8),
         _ptr(sao_band, u8), _ptr(sao_eo, u8),
+        _ptr(ts_to_rs, ctypes.c_int32) if ts_to_rs is not None
+        else ctypes.POINTER(ctypes.c_int32)(),
+        _ptr(ctb_tile, ctypes.c_int32) if ctb_tile is not None
+        else ctypes.POINTER(ctypes.c_int32)(),
         _ptr(out, u8), ctypes.c_long(cap),
         _ptr(entry_sizes, ctypes.c_int32), ctypes.byref(n_entries),
         _ptr(work, u8))

@@ -574,6 +574,9 @@ typedef struct {
     uint8_t *coded;                   /* per-4x4 progression bitmap */
     Enc e;
     int err;
+    const int32_t *ctb_tile;    /* per-CTB (raster) tile id; NULL = no tiles */
+    int cur_tile;
+    int log2_ctb;
 } SW;
 
 static inline int sw_cell(const SW *sw, int x, int y) {
@@ -581,6 +584,9 @@ static inline int sw_cell(const SW *sw, int x, int y) {
 }
 static inline int sw_avail(const SW *sw, int x, int y) {
     if (x < 0 || y < 0 || x >= sw->p[P_WIDTH] || y >= sw->p[P_HEIGHT])
+        return 0;
+    if (sw->ctb_tile && sw->ctb_tile[(y >> sw->log2_ctb) * sw->wctb
+                                     + (x >> sw->log2_ctb)] != sw->cur_tile)
         return 0;
     return sw->coded[sw_cell(sw, x, y)];
 }
@@ -880,12 +886,16 @@ static int sw_sao_same(const SW *sw, int a, int b) {
 static void sw_write_sao(SW *sw, int rx, int ry) {
     Enc *e = &sw->e;
     int idx = ry * sw->wctb + rx;
-    if (rx > 0) {
+    int can_left = rx > 0 && (!sw->ctb_tile
+        || sw->ctb_tile[idx - 1] == sw->cur_tile);
+    int can_up = ry > 0 && (!sw->ctb_tile
+        || sw->ctb_tile[idx - sw->wctb] == sw->cur_tile);
+    if (can_left) {
         int ml = sw_sao_same(sw, idx, idx - 1);
         e_bin(e, ml, sw->bases[CB_SAO_MERGE]);
         if (ml) return;
     }
-    if (ry > 0) {
+    if (can_up) {
         int mu = sw_sao_same(sw, idx, idx - sw->wctb);
         e_bin(e, mu, sw->bases[CB_SAO_MERGE]);
         if (mu) return;
@@ -974,6 +984,7 @@ long ks_write_slice(const int32_t *params, const int *bases,
                     const int16_t *ccr,
                     const uint8_t *sao_type, const int8_t *sao_off,
                     const uint8_t *sao_band, const uint8_t *sao_eo,
+                    const int32_t *ts_to_rs, const int32_t *ctb_tile,
                     uint8_t *out, long out_cap,
                     int32_t *entry_sizes, int32_t *n_entries,
                     uint8_t *work /* >= 2*nctx + h4*w4 bytes */) {
@@ -1012,7 +1023,11 @@ long ks_write_slice(const int32_t *params, const int *bases,
     int ne = 0;
     long sub_start = 0;
     int have_saved = 0;
-    for (int addr = 0; addr < nctb; addr++) {
+    sw.ctb_tile = ctb_tile;
+    sw.log2_ctb = log2_ctb;
+    sw.cur_tile = ctb_tile ? ctb_tile[ts_to_rs ? ts_to_rs[0] : 0] : 0;
+    for (int ts = 0; ts < nctb; ts++) {
+        int addr = ts_to_rs ? ts_to_rs[ts] : ts;
         int rx = addr % sw.wctb, ry = addr / sw.wctb;
         if (wpp && rx == 0 && ry > 0 && have_saved)
             memcpy(ctx, saved, (size_t)nctx);
@@ -1024,7 +1039,7 @@ long ks_write_slice(const int32_t *params, const int *bases,
             memcpy(saved, ctx, (size_t)nctx);
             have_saved = 1;
         }
-        int last = addr == nctb - 1;
+        int last = ts == nctb - 1;
         sw_terminate(&sw.e, last ? 1 : 0);
         if (wpp && rx == sw.wctb - 1 && !last) {
             sw_terminate(&sw.e, 1);
@@ -1032,6 +1047,18 @@ long ks_write_slice(const int32_t *params, const int *bases,
             if (sw.e.overflow) return -2;
             entry_sizes[ne++] = (int32_t)(sw.e.out_len - sub_start);
             sub_start = sw.e.out_len;
+        } else if (ctb_tile && !last) {
+            int nrs = ts_to_rs[ts + 1];
+            if (ctb_tile[nrs] != sw.cur_tile) {
+                /* tile boundary: end_of_subset, flush, fresh contexts */
+                sw_terminate(&sw.e, 1);
+                sw_finish_substream(&sw.e);
+                if (sw.e.overflow) return -2;
+                entry_sizes[ne++] = (int32_t)(sw.e.out_len - sub_start);
+                sub_start = sw.e.out_len;
+                memcpy(ctx, init_ctx, (size_t)nctx);
+                sw.cur_tile = ctb_tile[nrs];
+            }
         }
     }
     sw_finish_substream(&sw.e);

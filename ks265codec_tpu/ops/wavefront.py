@@ -491,16 +491,12 @@ class WavefrontIntraCoder:
         # resolution regardless of content (scan length is static; padded
         # levels are all-invalid no-ops that still cost compute)
         lpad = _round_up(max(n_levels, 1), 64)
-        tc = max(1, n_tile_cols)
-        kcap = {8: _round_up(h8 * tc, 8),
-                16: _round_up((h8 + 1) // 2 * tc, 8),
-                32: _round_up((h8 + 3) // 4 * tc, 8)}
         out = {}
         for size in (8, 16, 32):
             sel = osz == size
             if not sel.any():
                 # keep the pytree structure frame-invariant: all-invalid
-                shape = (lpad, kcap[size])
+                shape = (lpad, 8)
                 z = lambda dt: np.zeros(shape, dt)
                 out[size] = (z(np.int32), z(np.int32), z(np.int32),
                              z(np.int32), z(np.int32), z(np.int32),
@@ -517,8 +513,11 @@ class WavefrontIntraCoder:
             lv_s = lv[order]
             slot = np.arange(len(lv_s)) - np.searchsorted(lv_s, lv_s)
             kmax = int(slot.max()) + 1
-            kpad = kcap[size]
-            assert kmax <= kpad, (size, kmax, kpad)
+            # K sized to the OCCUPIED maximum, bucketed to a power of two:
+            # padding to the theoretical antichain bound wastes several x
+            # once tiles widen the frontier (per-level cost is flat only
+            # for small K); the bucket keeps compile variants bounded
+            kpad = max(8, 1 << (kmax - 1).bit_length())
             shape = (lpad, kpad)
 
             def packed(vals, dtype, fill=0):
@@ -560,16 +559,17 @@ class WavefrontIntraCoder:
                                it["qp_map8"], h8, w8, n_tile_cols=ntc)
             packs.append(pk)
             n_levels = max(n_levels, nl)
-        # common level-axis bucket across the batch
-        lpad = max(p[8][0].shape[0] if p[8] is not None else 0
-                   for p in packs)
+        # common (level, slot) buckets across the batch
+        lpad = max(p[8][0].shape[0] for p in packs)
+        kpad = {size: max(p[size][0].shape[1] for p in packs)
+                for size in (8, 16, 32)}
         for p in packs:
             for size in (8, 16, 32):
-                if p[size] is not None and p[size][0].shape[0] < lpad:
+                a0 = p[size][0]
+                dl, dk = lpad - a0.shape[0], kpad[size] - a0.shape[1]
+                if dl or dk:
                     p[size] = tuple(
-                        np.concatenate(
-                            [a, np.zeros((lpad - a.shape[0],) + a.shape[1:],
-                                         a.dtype)], axis=0)
+                        np.pad(a, ((0, dl), (0, dk)))
                         for a in p[size])
         args = []
         for size in (8, 16, 32):

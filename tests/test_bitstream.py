@@ -123,3 +123,50 @@ def test_write_parse_parameter_sets():
     assert p2.deblocking_filter_disabled == 1
     v2 = parse_vps(write_vps(VPS()))
     assert v2.vps_id == 0
+
+
+def test_sei_roundtrip_and_hash_verify():
+    """SEI framing round-trips; decoded_picture_hash is verified by the
+    decoder; user-data SEI parses back."""
+    import numpy as np
+    from ks265codec_tpu.decode.decoder import HevcDecoder
+    from ks265codec_tpu.encode.config import EncoderConfig
+    from ks265codec_tpu.encode.encoder import encode_sequence
+    from ks265codec_tpu.hevc.sei import parse_sei_rbsp, write_sei_rbsp
+    from ks265codec_tpu.utils.yuv import YUVFrame
+
+    # framing round-trip incl. >255-byte payload
+    msgs = [(5, b"\x00" * 16 + b"hello"), (132, bytes(49)),
+            (200, bytes(300))]
+    rbsp = write_sei_rbsp(msgs)
+    back = parse_sei_rbsp(rbsp)
+    assert [(m.payload_type, m.payload) for m in back] == msgs
+
+    rng = np.random.RandomState(3)
+    frames = [YUVFrame(rng.randint(0, 255, (64, 96)).astype(np.uint8),
+                       np.full((32, 48), 100, np.uint8),
+                       np.full((32, 48), 150, np.uint8), poc=i)
+              for i in range(2)]
+    cfg = EncoderConfig(width=96, height=64, preset="ultrafast", qp=30,
+                        intra_period=1, md5=True)
+    bs, _ = encode_sequence(frames, cfg)
+    dec = HevcDecoder()
+    out = dec.decode_all(bs)
+    assert len(out) == 2
+    assert dec.hash_mismatches == 0
+    assert any(m.payload_type == 132 and m.md5 for m in dec.sei_messages)
+    assert any(m.payload_type == 5 and b"ks265codec_tpu" in m.user_data
+               for m in dec.sei_messages)
+    # a corrupted recon hash must be detected
+    from ks265codec_tpu.bitstream.nal import parse_nals
+    ns = list(parse_nals(bs))
+    raw = bytearray(bs)
+    # flip one bit inside a VCL payload, hash check must fire or conceal
+    vcl_off = bs.find(b"\x00\x00\x01") + 3
+    dec2 = HevcDecoder()
+    corrupted = bytearray(bs)
+    # find last suffix-SEI and corrupt its stored md5 instead (clean probe)
+    idx = bs.rfind(b"\x00\x00\x01")
+    corrupted[-10] ^= 0xFF
+    out2 = dec2.decode_all(bytes(corrupted))
+    assert dec2.hash_mismatches >= 1

@@ -118,3 +118,37 @@ def test_sad_satd_shapes():
     assert (t8 > 0).all() and (t4 > 0).all()
     # SATD of identical blocks is 0
     assert (np.asarray(jcost.satd(a, a)) == 0).all()
+
+
+def test_sao_stats_decision_matches_host_oracle():
+    """Device-stats SAO decision == all-host loop, exactly (integer sums)."""
+    import numpy as np
+    from ks265codec_tpu.decode.slice_dec import FrameState
+    from ks265codec_tpu.encode.sao import (_decide_from_stats,
+                                           decide_sao_host)
+    from ks265codec_tpu.hevc.params import SPS
+    from ks265codec_tpu.ops.saostats import sao_frame_stats
+
+    rng = np.random.RandomState(5)
+    sps = SPS()
+    sps.width, sps.height = 140, 72          # non-CTU-aligned
+    sps.log2_ctb, sps.log2_min_cb = 6, 3
+    for tier in (1, 4):
+        fs = FrameState(sps)
+        fs.y[:] = rng.randint(0, 256, fs.y.shape)
+        fs.cb[:] = rng.randint(0, 256, fs.cb.shape)
+        fs.cr[:] = rng.randint(0, 256, fs.cr.shape)
+        src_y = np.clip(fs.y + rng.randint(-9, 10, fs.y.shape), 0, 255)
+        src_cb = np.clip(fs.cb + rng.randint(-9, 10, fs.cb.shape), 0, 255)
+        src_cr = np.clip(fs.cr + rng.randint(-9, 10, fs.cr.shape), 0, 255)
+        stats = sao_frame_stats(fs, src_y, src_cb, src_cr)
+        got = _decide_from_stats(fs, stats, 30, tier)
+        import copy
+        got = copy.deepcopy(got)
+        want = decide_sao_host(fs, src_y, src_cb, src_cr, 30, tier)
+        for ry in range(sps.pic_height_in_ctbs):
+            for rx in range(sps.pic_width_in_ctbs):
+                g, w = got[ry][rx], want[ry][rx]
+                assert (g.type_idx, g.offsets, g.band_pos, g.eo_class) == \
+                    (w.type_idx, w.offsets, w.band_pos, w.eo_class), \
+                    (tier, ry, rx)

@@ -87,3 +87,31 @@ def test_tiles_reference_decoder(tmp_path):
         for line, f in zip(lines, our_dec):
             want = line.split("MD5")[1].strip().split(",")
             assert list(frame_md5(f)) == want
+
+
+def test_tiles_native_writer_matches_python(monkeypatch):
+    """The native whole-slice writer must produce byte-identical tiled
+    slices to the Python reference writer (walk order, per-tile context
+    resets, entry sizes)."""
+    from ks265codec_tpu import native
+    if not native.HAVE_NATIVE:
+        pytest.skip("native library not built")
+    import ks265codec_tpu.encode.map_writer as MW
+
+    real = MW.write_slice_data
+    checked = []
+
+    def both(fs, syn, sps, pps, hdr, sao_params=None):
+        got_n = native.write_slice_native(fs, syn, sps, pps, hdr, sao_params)
+        got_p = MW.write_slice_data_py(fs, syn, sps, pps, hdr, sao_params)
+        assert got_n is not None
+        assert got_n[0] == got_p[0]
+        assert got_n[1] == got_p[1]
+        checked.append(1)
+        return got_n
+
+    monkeypatch.setattr(MW, "write_slice_data", both)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=30,
+                        intra_period=1, sao=4, tiles="3x2")
+    _roundtrip(cfg, _clip(2))
+    assert checked
