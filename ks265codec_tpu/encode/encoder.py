@@ -355,25 +355,36 @@ class HevcEncoder:
             srcs_y = np.stack([
                 IntraFrameEncoder._pad(f.y.astype(np.int32), ph, pw)
                 for _, f in items])
-            decisions = decide_frames(srcs_y, qps, cfg.lambda_scale)
-            for (di, frame), qp, dec, src_y in zip(items, qps, decisions,
-                                                   srcs_y):
-                (s32, m16, m32, cplx, s16, m8) = dec
-                src_cb = IntraFrameEncoder._pad(frame.u.astype(np.int32),
-                                                ph // 2, pw // 2)
-                src_cr = IntraFrameEncoder._pad(frame.v.astype(np.int32),
-                                                ph // 2, pw // 2)
+            srcs_cb = np.stack([
+                IntraFrameEncoder._pad(f.u.astype(np.int32), ph // 2,
+                                       pw // 2) for _, f in items])
+            srcs_cr = np.stack([
+                IntraFrameEncoder._pad(f.v.astype(np.int32), ph // 2,
+                                       pw // 2) for _, f in items])
+            decisions = decide_frames(srcs_y, srcs_cb, srcs_cr, qps,
+                                      cfg.lambda_scale)
+            for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
+                    items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
+                (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32) = dec
                 log2m, modes8, cmodes8 = decision_maps8(
-                    s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3)
+                    s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3,
+                    cm8, cm16, cm32)
                 qp_map8 = np.full(log2m.shape, qp, np.uint8)
                 batch.append(dict(src_y=src_y, src_cb=src_cb, src_cr=src_cr,
                                   log2m=log2m, modes8=modes8,
                                   cmodes8=cmodes8, qp_map8=qp_map8,
                                   tile8=tile8, n_tile_cols=ntc))
                 metas.append((di, qp, cplx))
+            post = dict(boff=self.pps.beta_offset_div2,
+                        toff=self.pps.tc_offset_div2,
+                        cbo=self.pps.cb_qp_offset,
+                        cro=self.pps.cr_qp_offset,
+                        deblock=not self.pps.deblocking_filter_disabled,
+                        sao=bool(self.sps.sao_enabled))
             results = self._wf_coder.code_frames(
                 batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
-                sbh=bool(self.pps.sign_data_hiding_enabled))
+                sbh=bool(self.pps.sign_data_hiding_enabled),
+                rdoq=bool(cfg.rdoq), post=post)
         except Exception as ex:
             from ..utils.log import log
             log(2, "batched wavefront failed (%s: %s); per-frame path"
@@ -383,7 +394,8 @@ class HevcEncoder:
             self._intra_cache[di] = dict(
                 qp=qp, frame_cplx=float(cplx), log2m=it["log2m"],
                 modes8=it["modes8"], cmodes8=it["cmodes8"],
-                qp_map8=it["qp_map8"], planes=res)
+                qp_map8=it["qp_map8"], planes=res["planes"],
+                sao_stats=res["sao_stats"], deblocked=res["deblocked"])
 
     def _encode_picture(self, frame: YUVFrame, display_idx: int,
                         plan, is_idr: bool = False) -> EncodedFrame:
@@ -465,6 +477,7 @@ class HevcEncoder:
             else:
                 e = PFrameEncoder(*args, [l0, []], subme=cfg.subme)
             e.lam_scale = cfg.lambda_scale
+            e.rdoq = bool(cfg.rdoq)
             return e
 
         fs = FrameState(self.sps)
@@ -479,15 +492,22 @@ class HevcEncoder:
         else:
             enc.compute()   # stage 1: decisions + recon + maps + coeffs
         # normative deblock on the reconstruction (refs are filtered pics);
-        # SAO decision runs on the deblocked picture, single coding pass
-        deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
-                      bool(self.pps.deblocking_filter_disabled),
-                      self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        # SAO decision runs on the deblocked picture, single coding pass.
+        # The fused batch pipeline already deblocked on device and fetched
+        # per-CTU SAO stats in the same packed transfer.
+        if cached is None or not cached.get("deblocked"):
+            deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
+                          bool(self.pps.deblocking_filter_disabled),
+                          self.pps.cb_qp_offset, self.pps.cr_qp_offset)
         sao_params = None
         if sao_on:
-            from .sao import decide_sao
-            sao_params = decide_sao(fs, enc.src_y, enc.src_cb, enc.src_cr,
-                                    qp, max(cfg.sao, 1))
+            from .sao import _decide_from_stats, decide_sao
+            if cached is not None and cached.get("sao_stats") is not None:
+                sao_params = _decide_from_stats(
+                    fs, cached["sao_stats"], qp, max(cfg.sao, 1))
+            else:
+                sao_params = decide_sao(fs, enc.src_y, enc.src_cb,
+                                        enc.src_cr, qp, max(cfg.sao, 1))
         # stage 2: entropy-code the slice from the maps
         from .map_writer import write_slice_data
         slice_data, raw_entries = write_slice_data(

@@ -46,7 +46,8 @@ class PFrameEncoder(IntraFrameEncoder):
         from .intra_frame import decide_frame
         self._apply_lam_scale()
         # device passes: intra analysis + dense ME against ref 0
-        _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
+        _, self.mode16, _, _, _, _, _, self.cmode16, _ = decide_frame(
+            self.src_y, self.src_cb, self.src_cr, self.qp)
         ref_y = np.asarray(self.ref_lists[0][0].fs.y)
         self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
             self.src_y, ref_y, 16, SEARCH_RANGE, self.lam_satd)
@@ -268,7 +269,8 @@ class PFrameEncoder(IntraFrameEncoder):
                           + self.lam_satd * 26.0)
         if intra_cost < min(merge_cost, me_cost):
             fs.skip[y4:y4 + b4, x4:x4 + b4] = False
-            self._code_cu(x0, y0, log2, depth, intra_mode)
+            self._code_cu(x0, y0, log2, depth, intra_mode,
+                          int(self.cmode16[y0 >> 4, x0 >> 4]))
             return
         merge_idx = -1
         if merge_cost <= me_cost:
@@ -459,7 +461,8 @@ class BFrameEncoder(PFrameEncoder):
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
         self._apply_lam_scale()
-        _, self.mode16, _, _, _, _ = decide_frame(self.src_y, self.qp)
+        _, self.mode16, _, _, _, _, _, self.cmode16, _ = decide_frame(
+            self.src_y, self.src_cb, self.src_cr, self.qp)
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)
         ref1 = np.asarray(self.ref_lists[1][0].fs.y)
         mv0, c0, s0 = jme.motion_search_frame(self.src_y, ref0, 16,

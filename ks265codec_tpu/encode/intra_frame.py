@@ -66,16 +66,23 @@ def _cbf_cells8(coeff, log2m, chroma: bool):
 
 
 def decision_maps8(split32, split16, mode8, mode16, mode32, sps,
-                   h8: int, w8: int):
+                   h8: int, w8: int, cm8=None, cm16=None, cm32=None):
     """Per-8x8-cell (log2 size, luma mode, chroma mode) maps from the
     batched decision pass, mirroring _code_cq's split inference."""
     log2m = np.full((h8, w8), 3, np.uint8)
     modes = mode8.astype(np.uint8).copy()
+    cmodes = (cm8.astype(np.uint8).copy() if cm8 is not None
+              else modes.copy())
     # 16-blocks are always fully inside (dims are multiples of 16)
     m16 = np.repeat(np.repeat(~split16, 2, 0), 2, 1)[:h8, :w8]
     log2m[m16] = 4
     mode16e = np.repeat(np.repeat(mode16, 2, 0), 2, 1)[:h8, :w8]
     modes[m16] = mode16e[m16].astype(np.uint8)
+    if cm16 is not None:
+        cm16e = np.repeat(np.repeat(cm16, 2, 0), 2, 1)[:h8, :w8]
+        cmodes[m16] = cm16e[m16].astype(np.uint8)
+    else:
+        cmodes[m16] = mode16e[m16].astype(np.uint8)
     # 32-blocks: only where fully inside the picture
     nby32, nbx32 = split32.shape
     full_y = (np.arange(nby32) + 1) * 32 <= sps.height
@@ -85,7 +92,12 @@ def decision_maps8(split32, split16, mode8, mode16, mode32, sps,
     log2m[m32] = 5
     mode32e = np.repeat(np.repeat(mode32, 4, 0), 4, 1)[:h8, :w8]
     modes[m32] = mode32e[m32].astype(np.uint8)
-    return log2m, modes, modes.copy()      # chroma = DM
+    if cm32 is not None:
+        cm32e = np.repeat(np.repeat(cm32, 4, 0), 4, 1)[:h8, :w8]
+        cmodes[m32] = cm32e[m32].astype(np.uint8)
+    else:
+        cmodes[m32] = mode32e[m32].astype(np.uint8)
+    return log2m, modes, cmodes
 
 
 def fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
@@ -193,38 +205,18 @@ def _mode_costs(refs_u, refs_f, src_blocks, n, lam_bits):
     return best, jnp.min(costs, axis=1) + lam_bits
 
 
-def decide_frame(src_y: np.ndarray, qp: int, lam_scale: float = 1.0):
-    """Batched decision: per-32x32 block, split into 16s or not; modes for
-    both options. Returns (split32 (nby32,nbx32) bool, mode16, mode32)."""
-    lam = 0.85 * lam_scale * 2.0 ** ((qp - 12) / 3.0)
-    lam_satd = float(np.sqrt(lam))
-    out = {}
-    for n in (8, 16, 32):
-        refs = _build_source_refs(src_y, n)
-        nby, nbx, L = refs.shape
-        refs_u = refs.reshape(-1, L)
-        refs_f = _filter_refs_batch(refs_u, n)
-        h, w = src_y.shape
-        blocks = (src_y.astype(np.int32)
-                  .reshape(h // n, n, w // n, n).swapaxes(1, 2)
-                  .reshape(-1, n, n))
-        best, cost = _mode_costs(jnp.asarray(refs_u), jnp.asarray(refs_f),
-                                 jnp.asarray(blocks), n,
-                                 lam_satd * _HDR_BITS[n])
-        out[n] = (np.asarray(best).reshape(nby, nbx),
-                  np.asarray(cost).reshape(nby, nbx))
-    mode8, cost8 = out[8]
-    mode16, cost16 = out[16]
-    mode32, cost32 = out[32]
-    c8sum = (cost8.reshape(cost8.shape[0] // 2, 2,
-                           cost8.shape[1] // 2, 2).sum(axis=(1, 3)))
-    split16 = c8sum < cost16
-    best16 = np.minimum(c8sum, cost16)
-    c16sum = (best16.reshape(best16.shape[0] // 2, 2,
-                             best16.shape[1] // 2, 2).sum(axis=(1, 3)))
-    split32 = c16sum < cost32
-    frame_cplx = float(np.minimum(c16sum, cost32).sum())
-    return (split32, mode16, mode32, frame_cplx, split16, mode8)
+def decide_frame(src_y: np.ndarray, src_cb: np.ndarray,
+                 src_cr: np.ndarray, qp: int, lam_scale: float = 1.0):
+    """Whole-frame intra decision (split maps + luma/chroma modes).
+    Delegates to the batched device pass (ops/decide) as a single-frame
+    batch so the sequential oracle and the wavefront production path share
+    ONE decision implementation. Returns (split32, mode16, mode32, cplx,
+    split16, mode8, cm8, cm16, cm32)."""
+    from ..ops.decide import decide_frames
+    return decide_frames(np.asarray(src_y, np.uint8)[None],
+                         np.asarray(src_cb, np.uint8)[None],
+                         np.asarray(src_cr, np.uint8)[None],
+                         [qp], lam_scale)[0]
 
 
 class IntraFrameEncoder:
@@ -259,8 +251,10 @@ class IntraFrameEncoder:
 
     def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
-         self.split16, self.mode8) = decide_frame(
-             self.src_y, self.qp, getattr(self, "lam_scale", 1.0))
+         self.split16, self.mode8, self.cmode8, self.cmode16,
+         self.cmode32) = decide_frame(
+             self.src_y, self.src_cb, self.src_cr, self.qp,
+             getattr(self, "lam_scale", 1.0))
 
     def _code_ctu(self, x0: int, y0: int) -> None:
         self._code_cq(x0, y0, self.sps.log2_ctb, 0)
@@ -307,7 +301,8 @@ class IntraFrameEncoder:
     def _decision_maps8(self):
         return decision_maps8(self.split32, self.split16, self.mode8,
                               self.mode16, self.mode32, self.sps,
-                              self.fs.ph >> 3, self.fs.pw >> 3)
+                              self.fs.ph >> 3, self.fs.pw >> 3,
+                              self.cmode8, self.cmode16, self.cmode32)
 
     def apply_coded_planes(self, log2m, modes8, cmodes8, qp_map8,
                            ry, rcb, rcr, cy, ccb, ccr):
@@ -334,6 +329,7 @@ class IntraFrameEncoder:
             qp_map8, self.pps.cb_qp_offset + self.hdr.cb_qp_offset,
             self.pps.cr_qp_offset + self.hdr.cr_qp_offset, sps,
             sbh=bool(self.pps.sign_data_hiding_enabled),
+            rdoq=bool(getattr(self, "rdoq", False)),
             tile8=tile8, n_tile_cols=ntc)
         self.apply_coded_planes(log2m, modes8, cmodes8, qp_map8,
                                 ry, rcb, rcr, cy, ccb, ccr)
@@ -365,14 +361,19 @@ class IntraFrameEncoder:
             return
         if log2 == 5:
             mode = int(self.mode32[y0 >> 5, x0 >> 5])
+            cmode = int(self.cmode32[y0 >> 5, x0 >> 5])
         elif log2 == 4:
             mode = int(self.mode16[y0 >> 4, x0 >> 4])
+            cmode = int(self.cmode16[y0 >> 4, x0 >> 4])
         else:
             mode = int(self.mode8[y0 >> 3, x0 >> 3])
-        self._code_cu(x0, y0, log2, depth, mode)
+            cmode = int(self.cmode8[y0 >> 3, x0 >> 3])
+        self._code_cu(x0, y0, log2, depth, mode, cmode)
 
     # ----------------------------------------------------------------- CU
-    def _code_cu(self, x0, y0, log2, depth, mode):
+    def _code_cu(self, x0, y0, log2, depth, mode, cmode=None):
+        if cmode is None:
+            cmode = mode                                  # DM
         fs, syn = self.fs, self.syn
         size = 1 << log2
         b4 = size >> 2
@@ -388,7 +389,7 @@ class IntraFrameEncoder:
         fs.intra_mode[y4:y4 + b4, x4:x4 + b4] = mode
         fs.pred_mode[y4:y4 + b4, x4:x4 + b4] = 1      # MODE_INTRA
         fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
-        syn.chroma_mode[y4:y4 + b4, x4:x4 + b4] = mode     # DM
+        syn.chroma_mode[y4:y4 + b4, x4:x4 + b4] = cmode
         # --- luma TU (same size as CU; max_transform_hierarchy_depth=0)
         from .sbh import scan_for
         pred = self._predict(0, x0, y0, size, mode)
@@ -400,14 +401,14 @@ class IntraFrameEncoder:
         c_log2 = log2 - 1
         csz = size >> 1
         cx0, cy0 = x0 >> 1, y0 >> 1
-        pred_cb = self._predict(1, cx0, cy0, csz, mode)
-        pred_cr = self._predict(2, cx0, cy0, csz, mode)
+        pred_cb = self._predict(1, cx0, cy0, csz, cmode)
+        pred_cr = self._predict(2, cx0, cy0, csz, cmode)
         res_cb = self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz] - pred_cb
         res_cr = self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz] - pred_cr
         coeff_cb = self._transform_quant(res_cb, c_log2, self.qp_cb,
-                                         scan_for(c_log2, 1, mode))
+                                         scan_for(c_log2, 1, cmode))
         coeff_cr = self._transform_quant(res_cr, c_log2, self.qp_cr,
-                                         scan_for(c_log2, 2, mode))
+                                         scan_for(c_log2, 2, cmode))
         cbf_cb, cbf_cr = int(coeff_cb.any()), int(coeff_cr.any())
         if (self.sps.pcm_enabled
                 and self.sps.log2_min_pcm_cb <= log2
@@ -487,11 +488,15 @@ class IntraFrameEncoder:
         from ..decode.recon import forward_transform as fwd
         from ..hevc.tables import QUANT_SCALE
         c = fwd(np.asarray(resi, np.int32), log2, False)
-        qbits = 29 + qp // 6 - 8 - log2
-        rnd = 171 << (qbits - 9)
-        a = np.abs(c).astype(np.int64)
-        q = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
-        out = np.where(c < 0, -q, q).astype(np.int32)
+        if getattr(self, "rdoq", False):
+            from .rdoq import rdoq_np
+            out = rdoq_np(c, qp, log2)
+        else:
+            qbits = 29 + qp // 6 - 8 - log2
+            rnd = 171 << (qbits - 9)
+            a = np.abs(c).astype(np.int64)
+            q = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
+            out = np.where(c < 0, -q, q).astype(np.int32)
         if self.pps.sign_data_hiding_enabled:
             from .sbh import apply_sbh_np
             out = apply_sbh_np(out, scan_idx)

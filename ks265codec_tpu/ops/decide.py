@@ -1,13 +1,23 @@
 """Whole-frame intra decision on device: reference construction, 35-mode
-prediction, SATD and the split/mode argmin for all three CU sizes in ONE
-jitted dispatch over a BATCH of frames.
+prediction, SATD + lambda*bits mode costs and the split/mode argmin for all
+three CU sizes in ONE jitted dispatch over a BATCH of frames.
 
 Replaces the host-side _build_source_refs + per-size dispatch flow: the
 only host->device traffic is the uint8 source planes (decisions come back
 as tiny maps), which matters when the chip sits behind a narrow transfer
-link. Semantics mirror encode/intra_frame.decide_frame exactly (same
-source-pixel references, raster-causal availability, [1 2 1] filtering,
-SATD + per-size header-bit bias) — A/B tested against it.
+link.
+
+The cost model is the reference's Rough bit-counter tier (SURVEY.md 2.3
+CBitCounterRough) rather than raw SATD: per block the SATD-best mode's
+residual is actually transformed + quantized (the same integer kernels as
+the coding pass), distortion is the dequantized coefficient-domain SSE
+(Parseval-scaled to pixel SSE), and rate is a closed-form estimate of the
+CABAC residual bits from the level magnitudes, plus MPM-aware mode bits
+(two-round neighbor-grid estimate) and per-size header bits. The
+split/merge comparison then runs in true D + lambda*R units, which is
+what makes the encoder pick the reference's large-CU layout (SATD-only
+proxies systematically over-split). Chroma modes are searched over the
+5 syntax candidates (planar/26/10/1/DM, duplicate->34, spec 8.4.3).
 """
 
 from __future__ import annotations
@@ -21,7 +31,54 @@ import numpy as np
 from . import cost as jcost
 from . import intra as jintra
 
-_HDR_BITS = {8: 14.0, 16: 8.0, 32: 6.0}
+_HDR_BITS = {8: 7.0, 16: 5.0, 32: 4.0}
+# luma mode bits: prev_intra_pred_flag + mpm_idx / 5-bit rem_mode
+_BITS_MPM0, _BITS_MPM12, _BITS_REM = 2.0, 3.0, 6.0
+# chroma: 1-bit DM flag, or flag + 2 bypass bins
+_BITS_DM, _BITS_CHROMA = 1.0, 3.0
+
+
+def _rough_tu_cost(res, qp, n: int, log2: int, D_scale: float):
+    """Rough-RD of one TU batch: real fwd transform + quant (the coding
+    pass kernels), dequantized coefficient-domain SSE as distortion and a
+    closed-form CABAC-bit estimate from level magnitudes.
+
+    res (B, n, n) int32 residual; qp (B,) int32.
+    Returns (D_pix (B,) f32, bits (B,) f32)."""
+    from .transforms import _LEVEL_SCALE, _QUANT_SCALE, _T
+    from .wavefront import _mm_lhs, _mm_rhs
+    t = _T[n]
+    shift1 = log2 + 8 - 9
+    shift2 = log2 + 6
+    e = _mm_lhs(t, res)
+    if shift1 > 0:
+        e = (e + (1 << (shift1 - 1))) >> shift1
+    c = (_mm_rhs(e, t.T) + (1 << (shift2 - 1))) >> shift2
+    qpv = qp[:, None, None]
+    qbits = 29 + qpv // 6 - 8 - log2
+    scale = _QUANT_SCALE[qpv % 6]
+    rnd = jnp.int32(171) << (qbits - 9)
+    a = jnp.abs(c)
+    lev = jnp.clip((a * scale + rnd) >> qbits, 0, 32767)
+    # dequant (mirror of the decoder, no inverse transform needed)
+    s = 8 + log2 - 5
+    p = qpv // 6
+    tv = lev * (16 * _LEVEL_SCALE[qpv % 6])
+    sp = jnp.maximum(s - p, 0)
+    ps = jnp.maximum(p - s, 0)
+    drnd = jnp.where(s - p >= 1,
+                     jnp.int32(1) << jnp.maximum(s - p - 1, 0), 0)
+    deq = jnp.clip((tv + drnd) >> sp << ps, -32768, 32767)
+    derr = (a - deq).astype(jnp.float32)
+    # Parseval: pixel SSE = coeff SSE * 4^(log2-7) for this int-DCT scaling
+    D = (derr * derr).sum(axis=(1, 2)) * D_scale
+    # rough residual bits: sig+sign+gt-flags+escape golomb per nonzero,
+    # ~1 bit/coded-subblock overhead via the nonzero count itself
+    lf = lev.astype(jnp.float32)
+    nz = lf > 0
+    bits = jnp.where(nz, 3.1 + 2.0 * jnp.log2(jnp.maximum(lf, 1.0)), 0.0) \
+        .sum(axis=(1, 2))
+    return D, bits
 
 
 def _source_refs(plane, n: int):
@@ -71,25 +128,124 @@ def _filter_refs(refs, n: int):
                             sm[..., n2 + 1:]], axis=-1)
 
 
-def _size_decision(plane, lam_bits, n: int):
-    """(mode, cost) maps for one size on one frame plane."""
+def _mpm_lists(modes, n: int, nby: int, nbx: int):
+    """Vectorized MPM candidate lists (spec 8.4.2) from the same-size
+    neighbor grid of first-round modes. Above neighbors in a different CTB
+    row count as DC (the line-buffer rule). Returns (m0, m1, m2) each
+    (nby, nbx)."""
+    m = modes.reshape(nby, nbx)
+    left = jnp.concatenate([jnp.ones((nby, 1), m.dtype), m[:, :-1]], axis=1)
+    above = jnp.concatenate([jnp.ones((1, nbx), m.dtype), m[:-1, :]], axis=0)
+    # above across a CTB row boundary -> DC
+    same_ctb_row = (jnp.arange(nby) * n) % 64 != 0
+    above = jnp.where(same_ctb_row[:, None], above, 1)
+    a, b = left.astype(jnp.int32), above.astype(jnp.int32)
+    eq = a == b
+    ang = a >= 2
+    # equal-angular branch
+    e0, e1 = a, 2 + ((a + 29) % 32)
+    e2 = 2 + ((a - 1) % 32)
+    # equal-nonangular branch: [0, 1, 26]
+    m0 = jnp.where(eq, jnp.where(ang, e0, 0), a)
+    m1 = jnp.where(eq, jnp.where(ang, e1, 1), b)
+    third = jnp.where((a != 0) & (b != 0), 0,
+                      jnp.where((a != 1) & (b != 1), 1, 26))
+    m2 = jnp.where(eq, jnp.where(ang, e2, 26), third)
+    return m0, m1, m2
+
+
+def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int):
+    """(luma mode, rough-RD cost, chroma mode) maps for one size on one
+    frame. qp/qpc: scalar luma/chroma QP; lam full lambda (D+lam*R);
+    ls = sqrt(lam) for the SATD-domain mode argmins."""
     h, w = plane.shape
     nby, nbx = h // n, w // n
+    log2 = n.bit_length() - 1
     refs = _source_refs(plane, n).reshape(-1, 4 * n + 1)
     refs_f = _filter_refs(refs, n)
     blocks = plane.reshape(nby, n, nbx, n).swapaxes(1, 2).reshape(-1, n, n)
+    B = blocks.shape[0]
     preds = jintra.predict_all_modes(refs, refs_f, n, True)
-    costs = jcost.satd(preds, blocks[:, None], 8)
-    best = jnp.argmin(costs, axis=1)
-    return (best.reshape(nby, nbx).astype(jnp.int32),
-            (jnp.min(costs, axis=1) + lam_bits).reshape(nby, nbx))
+    costs = jcost.satd(preds, blocks[:, None], 8).astype(jnp.float32)
+    # round 1: SATD-only argmin feeds the neighbor-mode MPM estimate
+    best0 = jnp.argmin(costs, axis=1)
+    m0, m1, m2 = _mpm_lists(best0, n, nby, nbx)
+    allm = jnp.arange(35, dtype=jnp.int32)[None, :]
+    mbits = jnp.where(allm == m0.reshape(-1)[:, None], _BITS_MPM0,
+                      jnp.where((allm == m1.reshape(-1)[:, None])
+                                | (allm == m2.reshape(-1)[:, None]),
+                                _BITS_MPM12, _BITS_REM))
+    j = costs + ls * mbits
+    # top-K SATD candidates, then pick by rough-RD (the reference's RDO
+    # candidate list, CIntraModeDecision -> rdo loop)
+    K = 3
+    _, cand_idx = jax.lax.top_k(-j, K)                       # (B, K)
+    cand_idx = cand_idx.astype(jnp.int32)
+    pred_k = jnp.take_along_axis(
+        preds, cand_idx[:, :, None, None], axis=1)           # (B, K, n, n)
+    qpb = jnp.full((B * K,), qp, jnp.int32)
+    res_k = (blocks[:, None] - pred_k).reshape(B * K, n, n)
+    Dk, rbk = _rough_tu_cost(res_k, qpb, n, log2, 4.0 ** (log2 - 7))
+    mb_k = jnp.take_along_axis(mbits, cand_idx, axis=1)
+    jk = (Dk.reshape(B, K) + lam * (rbk.reshape(B, K) + mb_k))
+    ki = jnp.argmin(jk, axis=1)
+    best = jnp.take_along_axis(cand_idx, ki[:, None], axis=1)[:, 0]
+    mode_bits = jnp.take_along_axis(mb_k, ki[:, None], axis=1)[:, 0]
+    D = jnp.take_along_axis(Dk.reshape(B, K), ki[:, None], axis=1)[:, 0]
+    rbits = jnp.take_along_axis(rbk.reshape(B, K), ki[:, None],
+                                axis=1)[:, 0]
+    # chroma: 5 candidates at nc = n/2 on both planes, DM duplicate -> 34
+    nc = n // 2
+    dm = best
+    cands = jnp.stack([jnp.full_like(dm, 0), jnp.full_like(dm, 26),
+                       jnp.full_like(dm, 10), jnp.full_like(dm, 1), dm],
+                      axis=1)                                   # (B, 5)
+    mapped = jnp.where(cands[:, :4] == dm[:, None], 34, cands[:, :4])
+    cands = jnp.concatenate([mapped, dm[:, None]], axis=1)
+    # chroma candidates: SATD argmin (the pick), rough-RD accounting of
+    # the picked mode folded into the size cost below
+    qpcb = jnp.full((B * 5,), qpc, jnp.int32)
+    cD = jnp.zeros((B, 5), jnp.float32)
+    cR = jnp.zeros((B, 5), jnp.float32)
+    csatd = jnp.zeros((B, 5), jnp.float32)
+    for cp in (cbp, crp):
+        crefs = _source_refs(cp, nc).reshape(-1, 4 * nc + 1)
+        cblocks = cp.reshape(nby, nc, nbx, nc).swapaxes(1, 2) \
+            .reshape(-1, nc, nc)
+        cpreds = jintra.predict_all_modes(crefs, crefs, nc, False)
+        call = jcost.satd(cpreds, cblocks[:, None], 8)
+        csatd = csatd + jnp.take_along_axis(call, cands,
+                                            axis=1).astype(jnp.float32)
+        cpred_k = jnp.take_along_axis(cpreds, cands[:, :, None, None],
+                                      axis=1)                # (B, 5, nc, nc)
+        cres = (cblocks[:, None] - cpred_k).reshape(B * 5, nc, nc)
+        Dc, rbc = _rough_tu_cost(cres, qpcb, nc, log2 - 1,
+                                 4.0 ** (log2 - 1 - 7))
+        cD = cD + Dc.reshape(B, 5)
+        cR = cR + rbc.reshape(B, 5)
+    cbits = jnp.concatenate(
+        [jnp.full((B, 4), _BITS_CHROMA), jnp.full((B, 1), _BITS_DM)],
+        axis=1)
+    cj = csatd + ls * cbits
+    ci = jnp.argmin(cj, axis=1)
+    cmode = jnp.take_along_axis(cands, ci[:, None], axis=1)[:, 0]
+    cmode_bits = jnp.take_along_axis(cbits, ci[:, None], axis=1)[:, 0]
+    D = D + jnp.take_along_axis(cD, ci[:, None], axis=1)[:, 0]
+    rbits = rbits + jnp.take_along_axis(cR, ci[:, None], axis=1)[:, 0]
+    cost = D + lam * (rbits + mode_bits + cmode_bits + _HDR_BITS[n])
+    return (best.reshape(nby, nbx), cost.reshape(nby, nbx),
+            cmode.reshape(nby, nbx).astype(jnp.int32))
 
 
-def _decide_one(plane, lam8, lam16, lam32):
+def _decide_one(plane, cbp, crp, qp, qpc, lam, ls):
     plane = plane.astype(jnp.int32)
-    mode8, cost8 = _size_decision(plane, lam8, 8)
-    mode16, cost16 = _size_decision(plane, lam16, 16)
-    mode32, cost32 = _size_decision(plane, lam32, 32)
+    cbp = cbp.astype(jnp.int32)
+    crp = crp.astype(jnp.int32)
+    mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc, lam, ls, 8)
+    mode16, cost16, cm16 = _size_decision(plane, cbp, crp, qp, qpc, lam,
+                                          ls, 16)
+    mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc, lam,
+                                          ls, 32)
     h8, w8 = cost8.shape
     c8sum = cost8.reshape(h8 // 2, 2, w8 // 2, 2).sum(axis=(1, 3))
     split16 = c8sum < cost16
@@ -98,25 +254,35 @@ def _decide_one(plane, lam8, lam16, lam32):
                             best16.shape[1] // 2, 2).sum(axis=(1, 3))
     split32 = c16sum < cost32
     cplx = jnp.minimum(c16sum, cost32).sum()
-    return split32, mode16, mode32, cplx, split16, mode8
+    return (split32, mode16, mode32, cplx, split16, mode8,
+            cm8, cm16, cm32)
 
 
 @jax.jit
-def decide_frames_jit(planes, lam8, lam16, lam32):
-    """Batched over frames: planes (F, ph, pw) uint8; lam* (F,)."""
-    return jax.vmap(_decide_one)(planes, lam8, lam16, lam32)
+def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls):
+    """Batched over frames: planes (F, ph, pw) uint8; qp/qpc/lam/ls (F,)."""
+    return jax.vmap(_decide_one)(planes, cbs, crs, qp, qpc, lam, ls)
 
 
-def decide_frames(src_planes: np.ndarray, qps, lam_scale: float = 1.0):
-    """Host wrapper. src_planes (F, ph, pw) uint8/int; qps list of ints.
-    Returns per-frame tuples like intra_frame.decide_frame."""
-    qps = np.asarray(qps, np.float64)
-    lam = 0.85 * lam_scale * 2.0 ** ((qps - 12) / 3.0)
+def decide_frames(src_planes, src_cbs, src_crs, qps,
+                  lam_scale: float = 1.0):
+    """Host wrapper. src_planes (F, ph, pw) uint8/int (+ chroma at half
+    res); qps list of ints. Returns per-frame tuples
+    (split32, mode16, mode32, cplx, split16, mode8, cm8, cm16, cm32)."""
+    from ..hevc.tables import chroma_qp
+    qpa = np.asarray(qps, np.int32)
+    lam = (0.57 * lam_scale
+           * 2.0 ** ((qpa.astype(np.float64) - 12) / 3.0))
     ls = np.sqrt(lam)
+    qpc = np.asarray([chroma_qp(int(q)) for q in qpa], np.int32)
     out = decide_frames_jit(
         jnp.asarray(np.asarray(src_planes, np.uint8)),
-        jnp.asarray(ls * _HDR_BITS[8]), jnp.asarray(ls * _HDR_BITS[16]),
-        jnp.asarray(ls * _HDR_BITS[32]))
-    s32, m16, m32, cplx, s16, m8 = (np.asarray(o) for o in out)
-    return [(s32[f], m16[f], m32[f], float(cplx[f]), s16[f], m8[f])
+        jnp.asarray(np.asarray(src_cbs, np.uint8)),
+        jnp.asarray(np.asarray(src_crs, np.uint8)),
+        jnp.asarray(qpa), jnp.asarray(qpc),
+        jnp.asarray(lam.astype(np.float32)),
+        jnp.asarray(ls.astype(np.float32)))
+    outs = tuple(np.asarray(o) for o in out)
+    return [(outs[0][f], outs[1][f], outs[2][f], float(outs[3][f]),
+             outs[4][f], outs[5][f], outs[6][f], outs[7][f], outs[8][f])
             for f in range(len(qps))]

@@ -29,8 +29,7 @@ def _shift(x, dy: int, dx: int):
     return p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
 
 
-@partial(jax.jit, static_argnames=("w", "h", "cs"))
-def _sao_stats_plane(rec, src, w: int, h: int, cs: int):
+def sao_stats_plane_core(rec, src, w: int, h: int, cs: int):
     """rec/src (H, W) int32 padded planes; w/h the real picture dims;
     cs the CTU size in this plane's units.
 
@@ -75,6 +74,10 @@ def _sao_stats_plane(rec, src, w: int, h: int, cs: int):
         bo_err.append(seg(m * diff))
     return (jnp.stack(eo_cnt), jnp.stack(eo_err),
             jnp.stack(bo_cnt), jnp.stack(bo_err))
+
+
+_sao_stats_plane = jax.jit(sao_stats_plane_core,
+                           static_argnames=("w", "h", "cs"))
 
 
 def sao_frame_stats(fs, src_y, src_cb, src_cr):

@@ -200,8 +200,9 @@ def _mm_rhs(x, t):
     return ((hi @ tf).astype(jnp.int32) << 8) + (lo @ tf).astype(jnp.int32)
 
 
-def _fwd_quant(resi, qp, n: int, log2: int):
-    """forward DCT + intra quantization, batch (K, n, n), qp (K,)."""
+def _fwd_quant(resi, qp, n: int, log2: int, rdoq: bool = False):
+    """forward DCT + quantization, batch (K, n, n), qp (K,). rdoq selects
+    the RDOQ-lite level decision (encode/rdoq) over deadzone rounding."""
     t = _T[n]
     shift1 = log2 + 8 - 9
     shift2 = log2 + 6
@@ -209,6 +210,9 @@ def _fwd_quant(resi, qp, n: int, log2: int):
     if shift1 > 0:
         e = (e + (1 << (shift1 - 1))) >> shift1
     c = (_mm_rhs(e, t.T) + (1 << (shift2 - 1))) >> shift2
+    if rdoq:
+        from ..encode.rdoq import rdoq_jnp
+        return rdoq_jnp(c, qp, n, log2)
     qp = qp[:, None, None]
     qbits = 29 + qp // 6 - 8 - log2
     scale = _QUANT_SCALE[qp % 6]
@@ -295,7 +299,7 @@ def _scan_sel(modes, log2: int, c_idx: int):
 
 
 def _process_class(carry, fields, src_tiles, n: int, strong: bool,
-                   sbh: bool, h8: int, w8: int):
+                   sbh: bool, rdoq: bool, h8: int, w8: int):
     """One size class of one wavefront level. carry = 6 border arrays; the
     heavy recon/coeff tiles are RETURNED (stacked by lax.scan) rather than
     scattered into planes — keeping the loop-carried state tiny is what
@@ -313,7 +317,7 @@ def _process_class(carry, fields, src_tiles, n: int, strong: bool,
                                         n8, 8, 1, strong, True, h8, w8)
     pred = _predict_dyn(refs_u, refs_f, mode, n, True)
     resi = _take_tiles(sty, r, c, n8, 8, w8) - pred
-    lev = _fwd_quant(resi, qpy, n, log2)
+    lev = _fwd_quant(resi, qpy, n, log2, rdoq)
     if sbh:
         lev = apply_sbh_jnp(lev, _scan_sel(mode, log2, 0), n)
     rec = jnp.clip(pred + _dequant_itx(lev, qpy, n, log2), 0, 255)
@@ -330,7 +334,7 @@ def _process_class(carry, fields, src_tiles, n: int, strong: bool,
                                        n8, 4, 2, False, False, h8, w8)
         cpred = _predict_dyn(cref_u, cref_u, cmode, nc, False)
         cresi = _take_tiles(st, r, c, n8, 4, w8) - cpred
-        clev = _fwd_quant(cresi, qpc, nc, clog2)
+        clev = _fwd_quant(cresi, qpc, nc, clog2, rdoq)
         if sbh:
             clev = apply_sbh_jnp(clev, _scan_sel(cmode, clog2, which + 1),
                                  nc)
@@ -362,7 +366,8 @@ def _assemble(tiles, recs, xs, ys, valid, n8: int, t: int, w8: int):
 
 
 def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
-                           strong: bool, sbh: bool = False):
+                           strong: bool, sbh: bool = False,
+                           rdoq: bool = False):
     # sources may arrive as uint8 (cheap transfer); compute in int32
     ph, pw = src_y.shape
     h8, w8 = ph >> 3, pw >> 3
@@ -381,7 +386,7 @@ def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
         outs = []
         for fields, n in zip(level_fields, (8, 16, 32)):
             carry, o = _process_class(carry, fields, (sty, stcb, stcr), n,
-                                      strong, sbh, h8, w8)
+                                      strong, sbh, rdoq, h8, w8)
             outs.append(o)
         return carry, tuple(outs)
 
@@ -400,23 +405,72 @@ def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
     return tuple(planes)
 
 
-@partial(jax.jit, static_argnames=("strong", "sbh"))
+@partial(jax.jit, static_argnames=("strong", "sbh", "rdoq"))
 def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
-                      strong: bool, sbh: bool = False):
+                      strong: bool, sbh: bool = False, rdoq: bool = False):
     return _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16,
-                                  sched32, strong, sbh)
+                                  sched32, strong, sbh, rdoq)
 
 
-@partial(jax.jit, static_argnames=("strong", "sbh"))
+@partial(jax.jit, static_argnames=("strong", "sbh", "rdoq"))
 def _code_intra_frames_batch(src_y, src_cb, src_cr, sched8, sched16,
-                             sched32, strong: bool, sbh: bool = False):
+                             sched32, strong: bool, sbh: bool = False,
+                             rdoq: bool = False):
     """FPP analog (SURVEY.md 7.3#2): vmap the wavefront over F independent
     intra frames so each level-step batches F frames' CUs — the step
     work amortizes across frames at identical sequential depth."""
     return jax.vmap(
         lambda a, b, c, s8, s16, s32: _code_intra_frame_core(
-            a, b, c, s8, s16, s32, strong, sbh)
+            a, b, c, s8, s16, s32, strong, sbh, rdoq)
     )(src_y, src_cb, src_cr, sched8, sched16, sched32)
+
+
+def _bitcast_flat(a):
+    """Any-dtype device array -> flat uint8 view (for the packed fetch)."""
+    if a.dtype == jnp.uint8:
+        return a.reshape(-1)
+    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("strong", "sbh", "rdoq", "boff",
+                                   "toff", "cbo", "cro", "width",
+                                   "height", "sao", "cs"))
+def _code_intra_frames_fused(src_y, src_cb, src_cr, sched8, sched16,
+                             sched32, bs_v, bs_h, qp4, strong: bool,
+                             sbh: bool, rdoq: bool, boff: int, toff: int,
+                             cbo: int, cro: int, width: int, height: int,
+                             sao: bool, cs: int):
+    """The whole per-batch device pipeline in one traced graph:
+    wavefront code -> deblock -> SAO statistics, returning ONE packed
+    uint8 buffer so the host pays a single D2H fetch (the axon tunnel
+    charges ~tens of ms fixed per fetch; per-frame fetches dominated the
+    round-1 profile). Replaces the reference's CCtuEnc + CLoopFilterCtu +
+    per-CTU SAO stat loops (SURVEY.md 2.3)."""
+    from .deblock import deblock_planes
+    from .saostats import sao_stats_plane_core
+    ry, rcb, rcr, cy, ccb, ccr = jax.vmap(
+        lambda a, b, c, s8, s16, s32: _code_intra_frame_core(
+            a, b, c, s8, s16, s32, strong, sbh, rdoq)
+    )(src_y, src_cb, src_cr, sched8, sched16, sched32)
+    dy, dcb, dcr = jax.vmap(
+        lambda y, cb, cr, bv, bh, q4: deblock_planes(
+            y.astype(jnp.int32), cb.astype(jnp.int32),
+            cr.astype(jnp.int32), bv, bh, q4, boff, toff, cbo, cro,
+            width, height)
+    )(ry, rcb, rcr, bs_v, bs_h, qp4)
+    parts = [_bitcast_flat(dy.astype(jnp.uint8)),
+             _bitcast_flat(dcb.astype(jnp.uint8)),
+             _bitcast_flat(dcr.astype(jnp.uint8)),
+             _bitcast_flat(cy), _bitcast_flat(ccb), _bitcast_flat(ccr)]
+    if sao:
+        for rec, src, shift in ((dy, src_y, 0), (dcb, src_cb, 1),
+                                (dcr, src_cr, 1)):
+            st = jax.vmap(
+                lambda r, s: sao_stats_plane_core(
+                    r, s.astype(jnp.int32), width >> shift,
+                    height >> shift, cs >> shift))(rec, src)
+            parts += [_bitcast_flat(a) for a in st]
+    return jnp.concatenate(parts)
 
 
 class WavefrontIntraCoder:
@@ -538,10 +592,13 @@ class WavefrontIntraCoder:
         return out, n_levels
 
     def code_frames(self, items, qp_cb_off, qp_cr_off, sps,
-                    sbh: bool = False):
+                    sbh: bool = False, rdoq: bool = False, post=None):
         """Batched multi-frame pass. items: list of dicts with keys
         src_y/src_cb/src_cr/log2m/modes8/cmodes8/qp_map8. Returns a list of
-        (ry, rcb, rcr, cy, ccb, ccr) numpy tuples, one per frame."""
+        (ry, rcb, rcr, cy, ccb, ccr) numpy tuples, one per frame — or,
+        with `post` (dict boff/toff/cbo/cro/deblock/sao), a list of dicts
+        {planes, sao_stats, deblocked} from the fused code->deblock->SAO
+        device pipeline with a single packed D2H fetch."""
         self._cqp_cb = np.array(
             [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)], np.int32)
         self._cqp_cr = np.array(
@@ -583,15 +640,75 @@ class WavefrontIntraCoder:
                           .astype(np.uint8))
         scr = jnp.asarray(np.stack([it["src_cr"] for it in items])
                           .astype(np.uint8))
-        out = _code_intra_frames_batch(
-            sy, scb, scr, args[0], args[1], args[2],
-            bool(sps.strong_intra_smoothing), bool(sbh))
-        outs = tuple(np.asarray(o) for o in out)
-        return [tuple(o[f] for o in outs) for f in range(len(items))]
+        if post is None:
+            out = _code_intra_frames_batch(
+                sy, scb, scr, args[0], args[1], args[2],
+                bool(sps.strong_intra_smoothing), bool(sbh), bool(rdoq))
+            outs = tuple(np.asarray(o) for o in out)
+            return [tuple(o[f] for o in outs) for f in range(len(items))]
+        return self._fused(items, args, sy, scb, scr, sps, sbh, rdoq,
+                           post)
+
+    def _fused(self, items, args, sy, scb, scr, sps, sbh, rdoq, post):
+        from .deblock import intra_bs_maps
+        F = len(items)
+        ph, pw = items[0]["src_y"].shape
+        bs = [intra_bs_maps(it["log2m"]) for it in items]
+        if not post.get("deblock", True):
+            for v, h in bs:
+                v[:] = 0
+                h[:] = 0
+        bsv = jnp.asarray(np.stack([b[0] for b in bs]))
+        bsh = jnp.asarray(np.stack([b[1] for b in bs]))
+        qp4 = jnp.asarray(np.stack(
+            [np.repeat(np.repeat(it["qp_map8"], 2, 0), 2, 1)
+             for it in items]))
+        sao = bool(post.get("sao", False))
+        buf = _code_intra_frames_fused(
+            sy, scb, scr, args[0], args[1], args[2], bsv, bsh, qp4,
+            bool(sps.strong_intra_smoothing), bool(sbh), bool(rdoq),
+            int(post["boff"]), int(post["toff"]),
+            int(post["cbo"]), int(post["cro"]),
+            sps.width, sps.height, sao, sps.ctb_size)
+        flat = np.asarray(buf)          # the ONE packed D2H fetch
+        off = 0
+
+        def take(dtype, shape):
+            nonlocal off
+            n = int(np.prod(shape))
+            a = np.frombuffer(flat, dtype, n, off).reshape(shape)
+            off += n * np.dtype(dtype).itemsize
+            return a
+
+        dy = take(np.uint8, (F, ph, pw))
+        dcb = take(np.uint8, (F, ph // 2, pw // 2))
+        dcr = take(np.uint8, (F, ph // 2, pw // 2))
+        cy = take(np.int16, (F, ph, pw))
+        ccb = take(np.int16, (F, ph // 2, pw // 2))
+        ccr = take(np.int16, (F, ph // 2, pw // 2))
+        stats = None
+        if sao:
+            ncty, nctx = ph // sps.ctb_size, pw // sps.ctb_size
+            stats = []
+            for _ in range(3):
+                stats.append((take(np.int32, (F, 4, 5, ncty, nctx)),
+                              take(np.int32, (F, 4, 5, ncty, nctx)),
+                              take(np.int32, (F, 32, ncty, nctx)),
+                              take(np.int32, (F, 32, ncty, nctx))))
+        assert off == flat.size, (off, flat.size)
+        out = []
+        for f in range(F):
+            st = ([tuple(a[f] for a in pl) for pl in stats]
+                  if stats is not None else None)
+            out.append(dict(
+                planes=(dy[f], dcb[f], dcr[f], cy[f], ccb[f], ccr[f]),
+                sao_stats=st,
+                deblocked=bool(post.get("deblock", True))))
+        return out
 
     def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,
                    qp_map8, qp_cb_off, qp_cr_off, sps, sbh: bool = False,
-                   tile8=None, n_tile_cols: int = 1):
+                   rdoq: bool = False, tile8=None, n_tile_cols: int = 1):
         """Run the full device pass. Returns numpy (recon y/cb/cr,
         coeff y/cb/cr) planes (padded sizes)."""
         # chroma qp lookup tables for this frame's offsets
@@ -612,5 +729,5 @@ class WavefrontIntraCoder:
             jnp.asarray(np.asarray(src_cb, np.uint8)),
             jnp.asarray(np.asarray(src_cr, np.uint8)),
             args[0], args[1], args[2],
-            bool(sps.strong_intra_smoothing), bool(sbh))
+            bool(sps.strong_intra_smoothing), bool(sbh), bool(rdoq))
         return tuple(np.asarray(o) for o in out)

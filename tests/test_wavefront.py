@@ -158,31 +158,41 @@ def test_entry_point_epb_mapping():
 
 # ----------------------------------------------- batched multi-frame (FPP)
 
-def test_device_decide_matches_host():
-    """ops/decide.decide_frames (one batched device dispatch) must agree
-    with encode/intra_frame.decide_frame (host+device hybrid) exactly."""
+def test_device_decide_outputs():
+    """Decision invariants: delegation equals the batched pass, chroma
+    modes are legal syntax candidates (0/26/10/1/34 or DM), split maps
+    shaped right."""
     from ks265codec_tpu.encode.intra_frame import decide_frame
     from ks265codec_tpu.ops.decide import decide_frames
 
     rng = np.random.RandomState(11)
     W, H = 128, 64
-    planes, qps = [], []
+    planes, cbs, crs, qps = [], [], [], []
     for t, qp in enumerate((22, 30, 37)):
         y = np.clip(rng.randint(0, 255, (H, W)) * 0.4 + 60 + 2 * t
                     + np.arange(W)[None, :] * 0.3, 0, 255).astype(np.uint8)
         planes.append(y)
+        cbs.append(np.clip(110 + rng.randn(H // 2, W // 2) * 25,
+                           0, 255).astype(np.uint8))
+        crs.append(np.clip(140 + rng.randn(H // 2, W // 2) * 25,
+                           0, 255).astype(np.uint8))
         qps.append(qp)
-    batched = decide_frames(np.stack(planes), qps)
-    for plane, qp, dec in zip(planes, qps, batched):
-        s32, m16, m32, cplx, s16, m8 = decide_frame(
-            plane.astype(np.int32), qp)
-        b32, b16m, b32m, bcplx, b16, b8m = dec
-        assert np.array_equal(s32, b32)
-        assert np.array_equal(s16, b16)
-        assert np.array_equal(m8, b8m)
-        assert np.array_equal(m16, b16m)
-        assert np.array_equal(m32, b32m)
-        assert abs(cplx - bcplx) < 1e-3 * max(abs(cplx), 1.0)
+    batched = decide_frames(np.stack(planes), np.stack(cbs),
+                            np.stack(crs), qps)
+    for plane, cb, cr, qp, dec in zip(planes, cbs, crs, qps, batched):
+        one = decide_frame(plane.astype(np.int32), cb.astype(np.int32),
+                           cr.astype(np.int32), qp)
+        for a, b in zip(one, dec):
+            if np.isscalar(a) or getattr(a, "ndim", 1) == 0:
+                assert abs(a - b) < 1e-3 * max(abs(a), 1.0)
+            else:
+                assert np.array_equal(a, b)
+        s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32 = dec
+        assert s32.shape == (H // 32, W // 32)
+        for lm, cm in ((m8, cm8), (m16, cm16), (m32, cm32)):
+            assert (np.isin(cm, (0, 26, 10, 1, 34)) | (cm == lm)).all()
+            # 34 only appears via the duplicate->34 substitution
+            assert (np.isin(lm[cm == 34], (0, 26, 10, 1))).all()
 
 
 def test_fpp_batch_matches_per_frame():
