@@ -293,6 +293,14 @@ class HevcEncoder:
                                                 is_idr=True))
                 continue
             till_idr = (iper - (idx0 % iper)) if iper > 0 else 1 << 30
+            if gop_n == 1 and till_idr >= 1:
+                # low-delay: one picture per step, alternate the LDP QP
+                # cascade entries (+3/+2, reference cadence)
+                di, f = self.queue.pop(0)
+                out.append(self._encode_picture(
+                    f, di, LDP[self.gop_base % len(LDP)]))
+                self.gop_base += 1
+                continue
             if till_idr >= gop_n and len(self.queue) >= gop_n:
                 plans = gop_plan(cfg.latency, cfg.bframes)
                 batch = self.queue[:gop_n]
@@ -305,13 +313,15 @@ class HevcEncoder:
             if till_idr < gop_n and len(self.queue) >= till_idr:
                 for _ in range(till_idr):
                     di, f = self.queue.pop(0)
-                    out.append(self._encode_picture(f, di, LDP[0]))
+                    out.append(self._encode_picture(
+                        f, di, LDP[self.gop_base % len(LDP)]))
                     self.gop_base += 1
                 continue
             if flushing:
                 while self.queue:
                     di, f = self.queue.pop(0)
-                    out.append(self._encode_picture(f, di, LDP[0]))
+                    out.append(self._encode_picture(
+                        f, di, LDP[self.gop_base % len(LDP)]))
                     self.gop_base += 1
                 continue
             break
@@ -365,7 +375,8 @@ class HevcEncoder:
                                       cfg.lambda_scale)
             for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
                     items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
-                (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32) = dec
+                (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32,
+                 _c8, _c16) = dec
                 log2m, modes8, cmodes8 = decision_maps8(
                     s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3,
                     cm8, cm16, cm32)

@@ -38,8 +38,13 @@ GOP8: list[PicPlan] = [
     PicPlan(7, "B", 2, 4, [-1, -3, -7, 1], [1, 0, 0, 1], [-1], [1]),
 ]
 
-# low-delay P: every frame refs the previous one
+# low-delay P: every frame refs the previous one; period-4 QP cascade
+# +3/+2/+3/+1 (run-captured from the reference at zerolatency rc 0 —
+# the +1 entry is the periodic "refresh" P that arrests LDP drift)
 LDP: list[PicPlan] = [
+    PicPlan(1, "P", 0, 3, [-1], [1], [-1], []),
+    PicPlan(1, "P", 0, 2, [-1], [1], [-1], []),
+    PicPlan(1, "P", 0, 3, [-1], [1], [-1], []),
     PicPlan(1, "P", 0, 1, [-1], [1], [-1], []),
 ]
 
@@ -78,7 +83,12 @@ def gop_plan(latency: str, bframes: int) -> list[PicPlan]:
 
 
 def gop_size(latency: str, bframes: int) -> int:
-    return len(gop_plan(latency, bframes))
+    """Pictures per GOP step. LDP is 1 (its plan list holds alternate QP
+    cascade entries for the SAME single-picture step, not a batch)."""
+    plans = gop_plan(latency, bframes)
+    if plans is LDP:
+        return 1
+    return len(plans)
 
 
 def reorder_depth(plans: list[PicPlan]) -> int:

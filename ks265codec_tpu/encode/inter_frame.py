@@ -46,18 +46,34 @@ class PFrameEncoder(IntraFrameEncoder):
         from .intra_frame import decide_frame
         self._apply_lam_scale()
         # device passes: intra analysis + dense ME against ref 0
-        _, self.mode16, _, _, _, _, _, self.cmode16, _ = decide_frame(
+        (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
+         _, self.icost8, self.icost16) = decide_frame(
             self.src_y, self.src_cb, self.src_cr, self.qp)
         ref_y = np.asarray(self.ref_lists[0][0].fs.y)
+        pw, ph = self.sps.width, self.sps.height
         self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
             self.src_y, ref_y, 16, SEARCH_RANGE, self.lam_satd)
+        self.mv8, _, self.sad8 = jme.motion_search_frame(
+            self.src_y, ref_y, 8, SEARCH_RANGE, 0.5 * self.lam_satd)
         if self.subme:
             from ..ops.subpel import refine_subpel_frame
             self.mv16, self.sad16 = refine_subpel_frame(
-                self.src_y, ref_y, self.mv16 >> 2, 16,
-                self.sps.width, self.sps.height)
+                self.src_y, ref_y, self.mv16 >> 2, 16, pw, ph)
+            self.mv8, self.sad8 = refine_subpel_frame(
+                self.src_y, ref_y, self.mv8 >> 2, 8, pw, ph)
+        self._decide_split16()
         self.frame_cplx = float(self.sad16.sum())
         self._decide_cu32()
+
+    def _decide_split16(self):
+        """Per-16 block: code as four 8x8 inter CUs when the children's
+        prediction gain beats their extra header cost (the reference's
+        goDownJudge at the 16->8 tier; 8x8 PUs are where most of its
+        inter RD advantage on mixed-motion content comes from)."""
+        h16, w16 = self.sad16.shape
+        s8sum = self.sad8[:2 * h16, :2 * w16] \
+            .reshape(h16, 2, w16, 2).sum(axis=(1, 3))
+        self.split16 = s8sum + self.lam_satd * 20.0 < self.sad16
 
     def _code_ctu(self, x0: int, y0: int) -> None:
         if self.pps.tiles_enabled:
@@ -209,6 +225,15 @@ class PFrameEncoder(IntraFrameEncoder):
     # ---------------------------------------------------------------- CU
     def _code_cu_p(self, x0, y0, log2, depth):
         by, bx = y0 >> 4, x0 >> 4
+        sps = self.sps
+        if self.split16[by, bx] and x0 + 16 <= sps.width \
+                and y0 + 16 <= sps.height:
+            for dx, dy in ((0, 0), (8, 0), (0, 8), (8, 8)):
+                b8y, b8x = (y0 + dy) >> 3, (x0 + dx) >> 3
+                mi, sad = self._block_mi8(b8y, b8x)
+                self._code_inter_cu(x0 + dx, y0 + dy, 3, depth + 1, mi,
+                                    sad, int(self.mode8[b8y, b8x]))
+            return
         mi, inter_sad = self._block_mi(by, bx)
         intra_mode = int(self.mode16[by, bx])
         self._code_inter_cu(x0, y0, log2, depth, mi, inter_sad, intra_mode)
@@ -226,13 +251,14 @@ class PFrameEncoder(IntraFrameEncoder):
         for g in (fs.cu_edge_h, fs.pu_edge_h, fs.tu_edge_h):
             g[y4, x4:x4 + b4] = True
         src = self.src_y[y0:y0 + size, x0:x0 + size]
-        # merge candidates (decoder-identical derivation); evaluate each
-        # unique candidate's luma prediction cost with its index bits —
-        # the reference's checkPuMerge/skipFastDecision analog. Merge wins
-        # convert most static area to 2-bit SKIP CUs.
+        # merge candidates (decoder-identical derivation): SAD narrows the
+        # field, then the finalists are judged by rough-RD — real
+        # transform+quant of the actual MC residual, closed-form CABAC-bit
+        # estimate (the reference's CBitCounterRough tier for inter md) —
+        # in the same D + lambda*R units as the batched intra decision.
         cands = self.md.merge_candidates(x0, y0, size, x0, y0, size, size,
                                          0, 0)
-        best_merge, merge_cost = -1, float("inf")
+        best_merge, merge_sad = -1, float("inf")
         seen = set()
         for i, c in enumerate(cands):
             key = tuple((l, c.ref_idx[l], tuple(c.mv[l]))
@@ -243,10 +269,16 @@ class PFrameEncoder(IntraFrameEncoder):
             motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size,
                               size, c)
             sad = int(np.abs(src - fs.y[y0:y0 + size,
-                                        x0:x0 + size]).sum())
-            cost = sad + self.lam_satd * (2.0 + i)
-            if cost < merge_cost:
-                best_merge, merge_cost = i, cost
+                                        x0:x0 + size]).sum()) \
+                + self.lam_satd * (2.0 + i)
+            if sad < merge_sad:
+                best_merge, merge_sad = i, sad
+        merge_cost = float("inf")
+        if best_merge >= 0:
+            motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size,
+                              size, cands[best_merge])
+            D, bits = self._rough_inter_cost(x0, y0, log2)
+            merge_cost = D + self.lam * (bits + 2.0 + best_merge)
         # ME/AMVP candidate: true mvd against the derived predictors
         used = [l for l in range(2) if mi.ref_idx[l] >= 0]
         mvds, mvp_flags = {}, {}
@@ -262,15 +294,29 @@ class PFrameEncoder(IntraFrameEncoder):
             mvds[l] = d0 if f == 0 else d1
             me_bits += (2.0 + 2.0 * np.log2(1.0 + abs(mvds[l][0]))
                         + 2.0 * np.log2(1.0 + abs(mvds[l][1])))
-        me_cost = inter_sad + self.lam_satd * me_bits
+        me_cost = float("inf")
+        me_same_as_merge = (best_merge >= 0 and used and all(
+            cands[best_merge].ref_idx[l] == mi.ref_idx[l]
+            and (mi.ref_idx[l] < 0
+                 or cands[best_merge].mv[l] == mi.mv[l])
+            for l in range(2)))
+        if used and not me_same_as_merge:
+            motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size,
+                              size, mi)
+            D, bits = self._rough_inter_cost(x0, y0, log2)
+            me_cost = D + self.lam * (bits + me_bits)
         intra_cost = float("inf")
         if intra_mode is not None:
-            intra_cost = (self._intra_sad_estimate(x0, y0, size, intra_mode)
-                          + self.lam_satd * 26.0)
+            # the batched decision pass already rough-RD-costed this block
+            # as intra (same units); +pred_mode/part overhead
+            imap = self.icost8 if log2 == 3 else self.icost16
+            intra_cost = (float(imap[y0 >> log2, x0 >> log2])
+                          + self.lam * 1.5)
         if intra_cost < min(merge_cost, me_cost):
             fs.skip[y4:y4 + b4, x4:x4 + b4] = False
-            self._code_cu(x0, y0, log2, depth, intra_mode,
-                          int(self.cmode16[y0 >> 4, x0 >> 4]))
+            cmode = (int(self.cmode8[y0 >> 3, x0 >> 3]) if log2 == 3
+                     else int(self.cmode16[y0 >> 4, x0 >> 4]))
+            self._code_cu(x0, y0, log2, depth, intra_mode, cmode)
             return
         merge_idx = -1
         if merge_cost <= me_cost:
@@ -302,10 +348,11 @@ class PFrameEncoder(IntraFrameEncoder):
             d_skip = float(np.sum(
                 (src - fs.y[y0:y0 + size, x0:x0 + size])
                 .astype(np.int64) ** 2))
-            nnz = (int(np.count_nonzero(coeff_y))
-                   + int(np.count_nonzero(coeff_cb))
-                   + int(np.count_nonzero(coeff_cr)))
-            bits_est = 14.0 + 5.5 * nnz
+            bits_est = 10.0
+            for cf in (coeff_y, coeff_cb, coeff_cr):
+                a = np.abs(cf[cf != 0]).astype(np.float64)
+                if a.size:
+                    bits_est += 3.1 * a.size + 2.0 * np.log2(a).sum()
             if d_skip - d_coded <= self.lam * bits_est:
                 coeff_y = np.zeros_like(coeff_y)
                 coeff_cb = np.zeros_like(coeff_cb)
@@ -364,6 +411,56 @@ class PFrameEncoder(IntraFrameEncoder):
         mi.ref_idx[0] = 0
         mi.mv[0] = [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])]
         return mi, int(self.sad16[by, bx])
+
+    def _block_mi8(self, by, bx):
+        mi = MotionInfo()
+        mi.ref_idx[0] = 0
+        mi.mv[0] = [int(self.mv8[by, bx, 0]), int(self.mv8[by, bx, 1])]
+        return mi, int(self.sad8[by, bx])
+
+    def _rough_inter_cost(self, x0, y0, log2):
+        """Rough-RD of coding the CURRENT fs prediction's residual at this
+        CU (luma + chroma): real fwd transform + inter deadzone quant,
+        dequantized coefficient-domain SSE as pixel distortion (Parseval),
+        closed-form bit estimate — the host twin of ops/decide's
+        _rough_tu_cost."""
+        from ..decode.recon import forward_transform as fwd
+        from ..hevc.tables import QUANT_SCALE, LEVEL_SCALE
+        fs = self.fs
+        size = 1 << log2
+        csz = size >> 1
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        D = 0.0
+        bits = 0.0
+        for resi, qp, lg in (
+                (self.src_y[y0:y0 + size, x0:x0 + size]
+                 - fs.y[y0:y0 + size, x0:x0 + size], self.qp, log2),
+                (self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz]
+                 - fs.cb[cy0:cy0 + csz, cx0:cx0 + csz], self.qp_cb,
+                 log2 - 1),
+                (self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz]
+                 - fs.cr[cy0:cy0 + csz, cx0:cx0 + csz], self.qp_cr,
+                 log2 - 1)):
+            c = fwd(np.asarray(resi, np.int32), lg, False)
+            qbits = 29 + qp // 6 - 8 - lg
+            rnd = 85 << (qbits - 9)
+            a = np.abs(c).astype(np.int64)
+            lev = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
+            sshift = 8 + lg - 5
+            per = qp // 6
+            tv = lev * (16 * LEVEL_SCALE[qp % 6])
+            sp = max(sshift - per, 0)
+            ps = max(per - sshift, 0)
+            drnd = (1 << (sshift - per - 1)) if sshift - per >= 1 else 0
+            deq = np.clip((tv + drnd) >> sp << ps, 0, 1 << 30)
+            derr = (a - deq).astype(np.float64)
+            D += float((derr * derr).sum()) * 4.0 ** (lg - 7)
+            nz = lev > 0
+            if nz.any():
+                bits += float(3.1 * nz.sum()
+                              + 2.0 * np.log2(np.maximum(lev[nz], 1))
+                              .sum())
+        return D, bits
 
     def _intra_sad_estimate(self, x0, y0, size, mode) -> int:
         """Quick SAD of the chosen intra mode vs source (decision only)."""
@@ -461,7 +558,8 @@ class BFrameEncoder(PFrameEncoder):
         from .intra_frame import decide_frame
         fs, sps = self.fs, self.sps
         self._apply_lam_scale()
-        _, self.mode16, _, _, _, _, _, self.cmode16, _ = decide_frame(
+        (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
+         _, self.icost8, self.icost16) = decide_frame(
             self.src_y, self.src_cb, self.src_cr, self.qp)
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)
         ref1 = np.asarray(self.ref_lists[1][0].fs.y)
@@ -469,13 +567,23 @@ class BFrameEncoder(PFrameEncoder):
                                               SEARCH_RANGE, self.lam_satd)
         mv1, c1, s1 = jme.motion_search_frame(self.src_y, ref1, 16,
                                               SEARCH_RANGE, self.lam_satd)
+        mv0_8, _, s0_8 = jme.motion_search_frame(self.src_y, ref0, 8,
+                                                 SEARCH_RANGE,
+                                                 0.5 * self.lam_satd)
+        mv1_8, _, s1_8 = jme.motion_search_frame(self.src_y, ref1, 8,
+                                                 SEARCH_RANGE,
+                                                 0.5 * self.lam_satd)
+        pw, ph = self.sps.width, self.sps.height
         if self.subme:
             from ..ops.subpel import bi_pred_cost, refine_subpel_frame
-            pw, ph = self.sps.width, self.sps.height
             mv0, s0 = refine_subpel_frame(self.src_y, ref0, mv0 >> 2, 16,
                                           pw, ph)
             mv1, s1 = refine_subpel_frame(self.src_y, ref1, mv1 >> 2, 16,
                                           pw, ph)
+            mv0_8, s0_8 = refine_subpel_frame(self.src_y, ref0, mv0_8 >> 2,
+                                              8, pw, ph)
+            mv1_8, s1_8 = refine_subpel_frame(self.src_y, ref1, mv1_8 >> 2,
+                                              8, pw, ph)
             sbi = bi_pred_cost(self.src_y, ref0, ref1, mv0, mv1, 16, pw, ph)
             bi_bias = self.lam_satd * 8          # extra mvd/refidx bits
             best_uni = np.minimum(s0, s1)
@@ -486,6 +594,10 @@ class BFrameEncoder(PFrameEncoder):
             self.dir16 = (c1 < c0).astype(np.int8)
             self.sad16 = np.where(self.dir16 == 1, s1, s0)
         self.mv0q, self.mv1q = mv0, mv1
+        self.dir8 = (s1_8 < s0_8).astype(np.int8)
+        self.sad8 = np.where(self.dir8 == 1, s1_8, s0_8)
+        self.mv0q8, self.mv1q8 = mv0_8, mv1_8
+        self._decide_split16()
         self.frame_cplx = float(self.sad16.sum())
         self._decide_cu32()
 
@@ -499,3 +611,15 @@ class BFrameEncoder(PFrameEncoder):
             mi.ref_idx[1] = 0
             mi.mv[1] = [int(self.mv1q[by, bx, 0]), int(self.mv1q[by, bx, 1])]
         return mi, int(self.sad16[by, bx])
+
+    def _block_mi8(self, by, bx):
+        mi = MotionInfo()
+        if int(self.dir8[by, bx]) == 1:
+            mi.ref_idx[1] = 0
+            mi.mv[1] = [int(self.mv1q8[by, bx, 0]),
+                        int(self.mv1q8[by, bx, 1])]
+        else:
+            mi.ref_idx[0] = 0
+            mi.mv[0] = [int(self.mv0q8[by, bx, 0]),
+                        int(self.mv0q8[by, bx, 1])]
+        return mi, int(self.sad8[by, bx])

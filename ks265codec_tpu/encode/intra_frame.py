@@ -252,7 +252,7 @@ class IntraFrameEncoder:
     def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
          self.split16, self.mode8, self.cmode8, self.cmode16,
-         self.cmode32) = decide_frame(
+         self.cmode32, self.icost8, self.icost16) = decide_frame(
              self.src_y, self.src_cb, self.src_cr, self.qp,
              getattr(self, "lam_scale", 1.0))
 

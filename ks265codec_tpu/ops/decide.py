@@ -255,7 +255,7 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls):
     split32 = c16sum < cost32
     cplx = jnp.minimum(c16sum, cost32).sum()
     return (split32, mode16, mode32, cplx, split16, mode8,
-            cm8, cm16, cm32)
+            cm8, cm16, cm32, cost8, cost16)
 
 
 @jax.jit
@@ -284,5 +284,6 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
         jnp.asarray(ls.astype(np.float32)))
     outs = tuple(np.asarray(o) for o in out)
     return [(outs[0][f], outs[1][f], outs[2][f], float(outs[3][f]),
-             outs[4][f], outs[5][f], outs[6][f], outs[7][f], outs[8][f])
+             outs[4][f], outs[5][f], outs[6][f], outs[7][f], outs[8][f],
+             outs[9][f], outs[10][f])
             for f in range(len(qps))]

@@ -74,15 +74,55 @@ def full_search(src_blocks: jax.Array, windows: jax.Array, bs: int, sr: int,
 def motion_search_frame(src_y: np.ndarray, ref_y: np.ndarray, bs: int,
                         sr: int, lam: float):
     """Host wrapper: blocks + windows -> per-block integer MVs (quarter-pel
-    scaled) and costs. Shapes: planes padded to the block grid."""
+    scaled) and costs. Shapes: planes padded to the block grid.
+
+    Two-round predictor-aware selection (the reference's EPZS/UMH searches
+    start from neighbor predictors — SURVEY.md 2.3 interMe): round 1 takes
+    the unbiased SAD argmin per block; round 2 re-ranks the full candidate
+    grid with the mvd-rate measured against the MEDIAN of the round-1
+    neighbor MVs (a parallel analog of the sequential predictor chain).
+    A zero-centered bias instead pulls the field toward (0,0) and costs
+    ~2 dB of MC quality on mixed-motion content."""
     h, w = src_y.shape
+    nby, nbx = h // bs, w // bs
     blocks = (src_y.astype(np.int32)
-              .reshape(h // bs, bs, w // bs, bs).swapaxes(1, 2)
+              .reshape(nby, bs, nbx, bs).swapaxes(1, 2)
               .reshape(-1, bs, bs))
     windows = extract_patches(ref_y.astype(np.int32), bs, sr)
-    mv, cost, sad = full_search(jnp.asarray(blocks), jnp.asarray(windows),
-                                bs, sr, float(lam))
-    mv = np.asarray(mv) * 4                       # quarter-pel units
-    return (mv.reshape(h // bs, w // bs, 2),
-            np.asarray(cost).reshape(h // bs, w // bs),
-            np.asarray(sad).reshape(h // bs, w // bs))
+    sad = np.asarray(full_search_grid(
+        jnp.asarray(blocks), jnp.asarray(windows), bs, sr))
+    n_off = 2 * sr + 1
+    flat = sad.reshape(-1, n_off * n_off)
+    best1 = np.argmin(flat, axis=1)
+    mv1y = (best1 // n_off - sr).reshape(nby, nbx)
+    mv1x = (best1 % n_off - sr).reshape(nby, nbx)
+
+    def med3(a):
+        p = np.pad(a, 1, mode="edge")
+        return np.median(np.stack([p[1:-1, :-2], p[:-2, 1:-1],
+                                   p[:-2, 2:]]), axis=0).astype(np.int32)
+
+    px = np.clip(med3(mv1x), -sr, sr).reshape(-1)
+    py = np.clip(med3(mv1y), -sr, sr).reshape(-1)
+    offs = np.arange(n_off) - sr
+    rx = 2.0 * np.log2(1.0 + 4 * np.abs(offs[None, :] - px[:, None]))
+    ry = 2.0 * np.log2(1.0 + 4 * np.abs(offs[None, :] - py[:, None]))
+    rate = ry[:, :, None] + rx[:, None, :]            # (N, dy, dx)
+    cost = sad + (lam * rate).astype(np.int64)
+    flatc = cost.reshape(-1, n_off * n_off)
+    best = np.argmin(flatc, axis=1)
+    mv = np.stack([best % n_off - sr, best // n_off - sr], axis=1) * 4
+    bsad = np.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    bcost = np.take_along_axis(flatc, best[:, None], axis=1)[:, 0]
+    return (mv.astype(np.int32).reshape(nby, nbx, 2),
+            bcost.reshape(nby, nbx), bsad.reshape(nby, nbx))
+
+
+@partial(jax.jit, static_argnames=("bs", "sr"))
+def full_search_grid(src_blocks: jax.Array, windows: jax.Array, bs: int,
+                     sr: int):
+    """Dense SAD grid over all offsets: (N, 2sr+1, 2sr+1) int32."""
+    patches = jax.lax.conv_general_dilated_patches(
+        windows[:, None].astype(jnp.float32), (bs, bs), (1, 1), "VALID")
+    src = src_blocks.reshape(src_blocks.shape[0], bs * bs, 1, 1)
+    return jnp.sum(jnp.abs(patches.astype(jnp.int32) - src), axis=1)

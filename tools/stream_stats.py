@@ -26,7 +26,7 @@ def analyze(data: bytes) -> dict:
     from ks265codec_tpu.decode.decoder import HevcDecoder
 
     st = dict(cu=Counter(), lmode=Counter(), cmode=Counter(),
-              nz=Counter(), frames=0)
+              nz=Counter(), inter=Counter(), frames=0)
     orig_res = SD.SliceDecoder._residual
 
     def wrap_res(self, x0, y0, log2, c_idx, intra_mode):
@@ -54,10 +54,23 @@ def analyze(data: bytes) -> dict:
             st["cmode"]["dm" if cm == lm else cm] += 1
         else:
             st["cu"][-(1 << log2)] += 1
+            if self.fs.skip[y4, x4]:
+                st["inter"]["skip"] += 1
+            else:
+                st["inter"]["coded"] += 1
+        return r
+
+    orig_mvd = SD.SliceDecoder._parse_mvd
+
+    def wrap_mvd(self):
+        r = orig_mvd(self)
+        st["inter"]["n_mvd"] += 1
+        st["inter"]["mvd_sum"] += abs(r[0]) + abs(r[1])
         return r
 
     SD.SliceDecoder._residual = wrap_res
     SD.SliceDecoder._parse_cu = wrap_cu
+    SD.SliceDecoder._parse_mvd = wrap_mvd
     try:
         d = HevcDecoder()
         out = d.decode_all(data)
@@ -65,6 +78,7 @@ def analyze(data: bytes) -> dict:
     finally:
         SD.SliceDecoder._residual = orig_res
         SD.SliceDecoder._parse_cu = orig_cu
+        SD.SliceDecoder._parse_mvd = orig_mvd
     st["bits"] = len(data) * 8
     return st
 
@@ -77,6 +91,8 @@ def report(st, label):
     print("  top luma modes:", st["lmode"].most_common(8))
     print("  chroma modes:", dict(st["cmode"]))
     print("  coeffs:", {k: v for k, v in sorted(st["nz"].items())})
+    if st["inter"]:
+        print("  inter:", dict(st["inter"]))
 
 
 if __name__ == "__main__":
