@@ -58,6 +58,7 @@ class EncoderConfig:
     sao: int = 1                     # 0 off .. 4 full (ladder tiers)
     strong_intra_smoothing: bool = True
     rdoq: bool = False
+    decide_effort: int = 1      # 0: fast md (1 RDO cand, DM chroma)
     do64: bool = True
     sign_bit_hiding: bool = False
     pcm: bool = False                # enable PCM fallback for 16/32 CUs
@@ -90,9 +91,9 @@ class EncoderConfig:
 # run-captured ladder (SURVEY.md 5.6): preset -> (me, subme, refs, intertu,
 # partitions, sao tier, rdoq)
 _LADDER = {
-    "ultrafast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+    "ultrafast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0, decide_effort=0,
                       sao=1, rdoq=False, sign_bit_hiding=False),
-    "superfast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
+    "superfast": dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0, decide_effort=0,
                       sao=1, rdoq=False, sign_bit_hiding=False),
     "veryfast":  dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
                       sao=3, rdoq=False, sign_bit_hiding=True),

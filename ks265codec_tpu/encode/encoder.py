@@ -295,8 +295,21 @@ class HevcEncoder:
             till_idr = (iper - (idx0 % iper)) if iper > 0 else 1 << 30
             if gop_n == 1 and till_idr >= 1:
                 # low-delay: one picture per step, alternate the LDP QP
-                # cascade entries (+3/+2, reference cadence)
+                # cascade entries (+3/+2/+3/+1, reference cadence)
                 di, f = self.queue.pop(0)
+                if self.dpb and self.rc.should_skip("P"):
+                    # judgeSkipFrame: VBV nearly empty -> emit no NAL,
+                    # repeat the last reference as this frame's recon
+                    self.rc.skipped()
+                    ef = EncodedFrame(
+                        data=b"", recon=self._wrap_recon(self.dpb[-1].fs,
+                                                         f),
+                        poc=self.dpb[-1].poc, qp=0, bits=0,
+                        slice_type="skip")
+                    ef.display_idx = di
+                    ef.pts = di
+                    out.append(ef)
+                    continue
                 out.append(self._encode_picture(
                     f, di, LDP[self.gop_base % len(LDP)]))
                 self.gop_base += 1
@@ -372,7 +385,8 @@ class HevcEncoder:
                 IntraFrameEncoder._pad(f.v.astype(np.int32), ph // 2,
                                        pw // 2) for _, f in items])
             decisions = decide_frames(srcs_y, srcs_cb, srcs_cr, qps,
-                                      cfg.lambda_scale)
+                                      cfg.lambda_scale,
+                                      effort=int(cfg.decide_effort))
             for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
                     items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
                 (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32,
@@ -489,6 +503,7 @@ class HevcEncoder:
                 e = PFrameEncoder(*args, [l0, []], subme=cfg.subme)
             e.lam_scale = cfg.lambda_scale
             e.rdoq = bool(cfg.rdoq)
+            e.decide_effort = int(cfg.decide_effort)
             return e
 
         fs = FrameState(self.sps)

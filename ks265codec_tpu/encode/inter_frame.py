@@ -48,7 +48,8 @@ class PFrameEncoder(IntraFrameEncoder):
         # device passes: intra analysis + dense ME against ref 0
         (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
          _, self.icost8, self.icost16) = decide_frame(
-            self.src_y, self.src_cb, self.src_cr, self.qp)
+            self.src_y, self.src_cb, self.src_cr, self.qp,
+            effort=getattr(self, "decide_effort", 1))
         ref_y = np.asarray(self.ref_lists[0][0].fs.y)
         pw, ph = self.sps.width, self.sps.height
         self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
@@ -560,7 +561,8 @@ class BFrameEncoder(PFrameEncoder):
         self._apply_lam_scale()
         (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
          _, self.icost8, self.icost16) = decide_frame(
-            self.src_y, self.src_cb, self.src_cr, self.qp)
+            self.src_y, self.src_cb, self.src_cr, self.qp,
+            effort=getattr(self, "decide_effort", 1))
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)
         ref1 = np.asarray(self.ref_lists[1][0].fs.y)
         mv0, c0, s0 = jme.motion_search_frame(self.src_y, ref0, 16,

@@ -206,7 +206,8 @@ def _mode_costs(refs_u, refs_f, src_blocks, n, lam_bits):
 
 
 def decide_frame(src_y: np.ndarray, src_cb: np.ndarray,
-                 src_cr: np.ndarray, qp: int, lam_scale: float = 1.0):
+                 src_cr: np.ndarray, qp: int, lam_scale: float = 1.0,
+                 effort: int = 1):
     """Whole-frame intra decision (split maps + luma/chroma modes).
     Delegates to the batched device pass (ops/decide) as a single-frame
     batch so the sequential oracle and the wavefront production path share
@@ -216,7 +217,7 @@ def decide_frame(src_y: np.ndarray, src_cb: np.ndarray,
     return decide_frames(np.asarray(src_y, np.uint8)[None],
                          np.asarray(src_cb, np.uint8)[None],
                          np.asarray(src_cr, np.uint8)[None],
-                         [qp], lam_scale)[0]
+                         [qp], lam_scale, effort=effort)[0]
 
 
 class IntraFrameEncoder:
@@ -254,7 +255,8 @@ class IntraFrameEncoder:
          self.split16, self.mode8, self.cmode8, self.cmode16,
          self.cmode32, self.icost8, self.icost16) = decide_frame(
              self.src_y, self.src_cb, self.src_cr, self.qp,
-             getattr(self, "lam_scale", 1.0))
+             getattr(self, "lam_scale", 1.0),
+             effort=getattr(self, "decide_effort", 1))
 
     def _code_ctu(self, x0: int, y0: int) -> None:
         self._code_cq(x0, y0, self.sps.log2_ctb, 0)

@@ -89,11 +89,12 @@ class RateControl:
                 qs = max(coeff * c / max(tgt, 1.0), 0.1)
             else:
                 qs = blur / self.rate_factor
-            # ABR feedback on accumulated error
+            # ABR feedback on accumulated error (full-strength gain: the
+            # soft 0.5 gain left a persistent 13-17% undershoot)
             if self.frames_done > 0:
                 wanted = self.target_bps * self.frames_done / self.fps
                 overflow = (self.bits_total - wanted) / max(wanted, 1.0)
-                qs *= max(0.5, min(2.0, 1.0 + overflow * 0.5))
+                qs *= max(0.4, min(2.5, 1.0 + overflow * 1.2))
         qp = qscale_to_qp(max(qs, 0.1))
         qp += self._type_offset(ftype, tid)
         if self.vbv_size > 0:
@@ -118,6 +119,22 @@ class RateControl:
                 break
             qp += 1
         return qp
+
+    def should_skip(self, ftype: str) -> bool:
+        """judgeSkipFrame analog: with frame-skip enabled, drop a non-ref-
+        critical picture when the VBV buffer is nearly empty (the next
+        frame's inflow cannot cover even a minimal coded picture)."""
+        if not self.cfg.frame_skip or ftype == "I" or self.vbv_size <= 0:
+            return False
+        inflow = self.vbv_max / self.fps
+        return self.vbv_fill < 0.3 * inflow
+
+    def skipped(self) -> None:
+        """Feedback for a skipped (uncoded) frame: only inflow."""
+        if self.vbv_size > 0:
+            self.vbv_fill = min(self.vbv_fill + self.vbv_max / self.fps,
+                                self.vbv_size)
+        self.frames_done += 1
 
     # ------------------------------------------------------------ feedback
     def update(self, ftype: str, tid: int, qp: int, bits: int,

@@ -154,10 +154,13 @@ def _mpm_lists(modes, n: int, nby: int, nbx: int):
     return m0, m1, m2
 
 
-def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int):
+def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
+                   effort: int):
     """(luma mode, rough-RD cost, chroma mode) maps for one size on one
     frame. qp/qpc: scalar luma/chroma QP; lam full lambda (D+lam*R);
-    ls = sqrt(lam) for the SATD-domain mode argmins."""
+    ls = sqrt(lam) for the SATD-domain mode argmins. effort 0 = fast
+    presets (single RDO candidate, DM chroma); 1 = full (top-3 RDO list,
+    5-candidate chroma search) — the reference's per-preset md ladder."""
     h, w = plane.shape
     nby, nbx = h // n, w // n
     log2 = n.bit_length() - 1
@@ -178,9 +181,12 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int):
     j = costs + ls * mbits
     # top-K SATD candidates, then pick by rough-RD (the reference's RDO
     # candidate list, CIntraModeDecision -> rdo loop)
-    K = 3
-    _, cand_idx = jax.lax.top_k(-j, K)                       # (B, K)
-    cand_idx = cand_idx.astype(jnp.int32)
+    K = 3 if effort else 1
+    if K == 1:
+        cand_idx = jnp.argmin(j, axis=1).astype(jnp.int32)[:, None]
+    else:
+        _, cand_idx = jax.lax.top_k(-j, K)                   # (B, K)
+        cand_idx = cand_idx.astype(jnp.int32)
     pred_k = jnp.take_along_axis(
         preds, cand_idx[:, :, None, None], axis=1)           # (B, K, n, n)
     qpb = jnp.full((B * K,), qp, jnp.int32)
@@ -194,38 +200,44 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int):
     D = jnp.take_along_axis(Dk.reshape(B, K), ki[:, None], axis=1)[:, 0]
     rbits = jnp.take_along_axis(rbk.reshape(B, K), ki[:, None],
                                 axis=1)[:, 0]
-    # chroma: 5 candidates at nc = n/2 on both planes, DM duplicate -> 34
+    # chroma: candidate set at nc = n/2 on both planes, DM duplicate -> 34
+    from .wavefront import _predict_dyn
     nc = n // 2
     dm = best
-    cands = jnp.stack([jnp.full_like(dm, 0), jnp.full_like(dm, 26),
-                       jnp.full_like(dm, 10), jnp.full_like(dm, 1), dm],
-                      axis=1)                                   # (B, 5)
-    mapped = jnp.where(cands[:, :4] == dm[:, None], 34, cands[:, :4])
-    cands = jnp.concatenate([mapped, dm[:, None]], axis=1)
-    # chroma candidates: SATD argmin (the pick), rough-RD accounting of
-    # the picked mode folded into the size cost below
-    qpcb = jnp.full((B * 5,), qpc, jnp.int32)
-    cD = jnp.zeros((B, 5), jnp.float32)
-    cR = jnp.zeros((B, 5), jnp.float32)
-    csatd = jnp.zeros((B, 5), jnp.float32)
+    if effort:
+        cands = jnp.stack([jnp.full_like(dm, 0), jnp.full_like(dm, 26),
+                           jnp.full_like(dm, 10), jnp.full_like(dm, 1),
+                           dm], axis=1)                        # (B, 5)
+        mapped = jnp.where(cands[:, :4] == dm[:, None], 34, cands[:, :4])
+        cands = jnp.concatenate([mapped, dm[:, None]], axis=1)
+    else:
+        cands = dm[:, None]                                    # DM only
+    C = cands.shape[1]
+    qpcb = jnp.full((B * C,), qpc, jnp.int32)
+    cD = jnp.zeros((B, C), jnp.float32)
+    cR = jnp.zeros((B, C), jnp.float32)
+    csatd = jnp.zeros((B, C), jnp.float32)
     for cp in (cbp, crp):
         crefs = _source_refs(cp, nc).reshape(-1, 4 * nc + 1)
         cblocks = cp.reshape(nby, nc, nbx, nc).swapaxes(1, 2) \
             .reshape(-1, nc, nc)
-        cpreds = jintra.predict_all_modes(crefs, crefs, nc, False)
-        call = jcost.satd(cpreds, cblocks[:, None], 8)
-        csatd = csatd + jnp.take_along_axis(call, cands,
-                                            axis=1).astype(jnp.float32)
-        cpred_k = jnp.take_along_axis(cpreds, cands[:, :, None, None],
-                                      axis=1)                # (B, 5, nc, nc)
-        cres = (cblocks[:, None] - cpred_k).reshape(B * 5, nc, nc)
+        # predict only the candidate modes (gathered per block), not all 35
+        crep = jnp.repeat(crefs, C, axis=0)
+        cpred_k = _predict_dyn(crep, crep, cands.reshape(-1), nc,
+                               False).reshape(B, C, nc, nc)
+        csatd = csatd + jcost.satd(cpred_k, cblocks[:, None],
+                                   8).astype(jnp.float32)
+        cres = (cblocks[:, None] - cpred_k).reshape(B * C, nc, nc)
         Dc, rbc = _rough_tu_cost(cres, qpcb, nc, log2 - 1,
                                  4.0 ** (log2 - 1 - 7))
-        cD = cD + Dc.reshape(B, 5)
-        cR = cR + rbc.reshape(B, 5)
-    cbits = jnp.concatenate(
-        [jnp.full((B, 4), _BITS_CHROMA), jnp.full((B, 1), _BITS_DM)],
-        axis=1)
+        cD = cD + Dc.reshape(B, C)
+        cR = cR + rbc.reshape(B, C)
+    if effort:
+        cbits = jnp.concatenate(
+            [jnp.full((B, 4), _BITS_CHROMA), jnp.full((B, 1), _BITS_DM)],
+            axis=1)
+    else:
+        cbits = jnp.full((B, 1), _BITS_DM)
     cj = csatd + ls * cbits
     ci = jnp.argmin(cj, axis=1)
     cmode = jnp.take_along_axis(cands, ci[:, None], axis=1)[:, 0]
@@ -237,15 +249,16 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int):
             cmode.reshape(nby, nbx).astype(jnp.int32))
 
 
-def _decide_one(plane, cbp, crp, qp, qpc, lam, ls):
+def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int):
     plane = plane.astype(jnp.int32)
     cbp = cbp.astype(jnp.int32)
     crp = crp.astype(jnp.int32)
-    mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc, lam, ls, 8)
+    mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc, lam, ls,
+                                       8, effort)
     mode16, cost16, cm16 = _size_decision(plane, cbp, crp, qp, qpc, lam,
-                                          ls, 16)
+                                          ls, 16, effort)
     mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc, lam,
-                                          ls, 32)
+                                          ls, 32, effort)
     h8, w8 = cost8.shape
     c8sum = cost8.reshape(h8 // 2, 2, w8 // 2, 2).sum(axis=(1, 3))
     split16 = c8sum < cost16
@@ -258,17 +271,19 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls):
             cm8, cm16, cm32, cost8, cost16)
 
 
-@jax.jit
-def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls):
+@partial(jax.jit, static_argnames=("effort",))
+def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int):
     """Batched over frames: planes (F, ph, pw) uint8; qp/qpc/lam/ls (F,)."""
-    return jax.vmap(_decide_one)(planes, cbs, crs, qp, qpc, lam, ls)
+    return jax.vmap(partial(_decide_one, effort=effort))(
+        planes, cbs, crs, qp, qpc, lam, ls)
 
 
 def decide_frames(src_planes, src_cbs, src_crs, qps,
-                  lam_scale: float = 1.0):
+                  lam_scale: float = 1.0, effort: int = 1):
     """Host wrapper. src_planes (F, ph, pw) uint8/int (+ chroma at half
     res); qps list of ints. Returns per-frame tuples
-    (split32, mode16, mode32, cplx, split16, mode8, cm8, cm16, cm32)."""
+    (split32, mode16, mode32, cplx, split16, mode8, cm8, cm16, cm32,
+    cost8, cost16)."""
     from ..hevc.tables import chroma_qp
     qpa = np.asarray(qps, np.int32)
     lam = (0.57 * lam_scale
@@ -281,7 +296,7 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
         jnp.asarray(np.asarray(src_crs, np.uint8)),
         jnp.asarray(qpa), jnp.asarray(qpc),
         jnp.asarray(lam.astype(np.float32)),
-        jnp.asarray(ls.astype(np.float32)))
+        jnp.asarray(ls.astype(np.float32)), int(effort))
     outs = tuple(np.asarray(o) for o in out)
     return [(outs[0][f], outs[1][f], outs[2][f], float(outs[3][f]),
              outs[4][f], outs[5][f], outs[6][f], outs[7][f], outs[8][f],

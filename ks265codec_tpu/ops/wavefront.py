@@ -425,27 +425,27 @@ def _code_intra_frames_batch(src_y, src_cb, src_cr, sched8, sched16,
     )(src_y, src_cb, src_cr, sched8, sched16, sched32)
 
 
-def _bitcast_flat(a):
-    """Any-dtype device array -> flat uint8 view (for the packed fetch)."""
+def _bitcast_rows(a):
+    """(F, ...) any-dtype device array -> (F, nbytes) uint8 rows."""
+    F = a.shape[0]
     if a.dtype == jnp.uint8:
-        return a.reshape(-1)
-    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+        return a.reshape(F, -1)
+    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(F, -1)
 
 
-@partial(jax.jit, static_argnames=("strong", "sbh", "rdoq", "boff",
-                                   "toff", "cbo", "cro", "width",
-                                   "height", "sao", "cs"))
-def _code_intra_frames_fused(src_y, src_cb, src_cr, sched8, sched16,
-                             sched32, bs_v, bs_h, qp4, strong: bool,
-                             sbh: bool, rdoq: bool, boff: int, toff: int,
-                             cbo: int, cro: int, width: int, height: int,
-                             sao: bool, cs: int):
+def _fused_rows_core(src_y, src_cb, src_cr, sched8, sched16,
+                     sched32, bs_v, bs_h, qp4, strong: bool,
+                     sbh: bool, rdoq: bool, boff: int, toff: int,
+                     cbo: int, cro: int, width: int, height: int,
+                     sao: bool, cs: int):
     """The whole per-batch device pipeline in one traced graph:
-    wavefront code -> deblock -> SAO statistics, returning ONE packed
-    uint8 buffer so the host pays a single D2H fetch (the axon tunnel
-    charges ~tens of ms fixed per fetch; per-frame fetches dominated the
-    round-1 profile). Replaces the reference's CCtuEnc + CLoopFilterCtu +
-    per-CTU SAO stat loops (SURVEY.md 2.3)."""
+    wavefront code -> deblock -> SAO statistics, returning packed uint8
+    ROWS (one per frame) so the host pays a single D2H fetch (the axon
+    tunnel charges ~tens of ms fixed per fetch; per-frame fetches
+    dominated the round-1 profile) and so the frame axis stays shardable
+    (each row lives wholly on the device that coded the frame). Replaces
+    the reference's CCtuEnc + CLoopFilterCtu + per-CTU SAO stat loops
+    (SURVEY.md 2.3)."""
     from .deblock import deblock_planes
     from .saostats import sao_stats_plane_core
     ry, rcb, rcr, cy, ccb, ccr = jax.vmap(
@@ -458,10 +458,10 @@ def _code_intra_frames_fused(src_y, src_cb, src_cr, sched8, sched16,
             cr.astype(jnp.int32), bv, bh, q4, boff, toff, cbo, cro,
             width, height)
     )(ry, rcb, rcr, bs_v, bs_h, qp4)
-    parts = [_bitcast_flat(dy.astype(jnp.uint8)),
-             _bitcast_flat(dcb.astype(jnp.uint8)),
-             _bitcast_flat(dcr.astype(jnp.uint8)),
-             _bitcast_flat(cy), _bitcast_flat(ccb), _bitcast_flat(ccr)]
+    parts = [_bitcast_rows(dy.astype(jnp.uint8)),
+             _bitcast_rows(dcb.astype(jnp.uint8)),
+             _bitcast_rows(dcr.astype(jnp.uint8)),
+             _bitcast_rows(cy), _bitcast_rows(ccb), _bitcast_rows(ccr)]
     if sao:
         for rec, src, shift in ((dy, src_y, 0), (dcb, src_cb, 1),
                                 (dcr, src_cr, 1)):
@@ -469,8 +469,69 @@ def _code_intra_frames_fused(src_y, src_cb, src_cr, sched8, sched16,
                 lambda r, s: sao_stats_plane_core(
                     r, s.astype(jnp.int32), width >> shift,
                     height >> shift, cs >> shift))(rec, src)
-            parts += [_bitcast_flat(a) for a in st]
-    return jnp.concatenate(parts)
+            parts += [_bitcast_rows(a) for a in st]
+    return jnp.concatenate(parts, axis=1)
+
+
+_code_intra_frames_fused = partial(
+    jax.jit, static_argnames=("strong", "sbh", "rdoq", "boff", "toff",
+                              "cbo", "cro", "width", "height", "sao",
+                              "cs"))(_fused_rows_core)
+
+_FUSED_SHARDED_CACHE: dict = {}
+_MESH_CACHE: dict = {}
+
+
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:                     # older jax: experimental
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def _frame_mesh(F: int):
+    """Mesh over all local devices for frame-axis data parallelism, or
+    None when a single device (or an indivisible batch) makes sharding
+    moot. This is the axis the driver's dryrun_multichip exercises."""
+    devs = jax.devices()
+    n = len(devs)
+    if n <= 1 or F % n != 0:
+        return None
+    mesh = _MESH_CACHE.get(n)
+    if mesh is None:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(devs), ("f",))
+        _MESH_CACHE[n] = mesh
+    return mesh
+
+
+def fused_rows_sharded(mesh, arrays, statics: dict):
+    """Production multi-chip step (SURVEY.md 5.8): shard_map the fused
+    code->deblock->SAO pipeline over the mesh's frame axis — all-intra
+    frames are independent, so the FPP batch is pure data parallelism
+    riding ICI with zero collectives; each device codes its shard of
+    frames and the packed rows come back sharded the same way."""
+    from jax.sharding import PartitionSpec as P
+    key = (id(mesh), tuple(sorted(statics.items())))
+    fn = _FUSED_SHARDED_CACHE.get(key)
+    if fn is None:
+        core = partial(_fused_rows_core, **statics)
+        spec_in = jax.tree_util.tree_map(lambda _: P("f"), arrays)
+        sm = _shard_map()
+        # the scan carry starts from replicated zeros and becomes varying
+        # on the first step — that is intended (pure per-device DP), so
+        # drop the varying-manual-axes check (named check_vma on current
+        # jax, check_rep before)
+        try:
+            wrapped = sm(core, mesh=mesh, in_specs=tuple(spec_in),
+                         out_specs=P("f"), check_vma=False)
+        except TypeError:
+            wrapped = sm(core, mesh=mesh, in_specs=tuple(spec_in),
+                         out_specs=P("f"), check_rep=False)
+        fn = jax.jit(wrapped)
+        _FUSED_SHARDED_CACHE[key] = fn
+    return fn(*arrays)
 
 
 class WavefrontIntraCoder:
@@ -664,46 +725,49 @@ class WavefrontIntraCoder:
             [np.repeat(np.repeat(it["qp_map8"], 2, 0), 2, 1)
              for it in items]))
         sao = bool(post.get("sao", False))
-        buf = _code_intra_frames_fused(
-            sy, scb, scr, args[0], args[1], args[2], bsv, bsh, qp4,
-            bool(sps.strong_intra_smoothing), bool(sbh), bool(rdoq),
-            int(post["boff"]), int(post["toff"]),
-            int(post["cbo"]), int(post["cro"]),
-            sps.width, sps.height, sao, sps.ctb_size)
-        flat = np.asarray(buf)          # the ONE packed D2H fetch
-        off = 0
-
-        def take(dtype, shape):
-            nonlocal off
-            n = int(np.prod(shape))
-            a = np.frombuffer(flat, dtype, n, off).reshape(shape)
-            off += n * np.dtype(dtype).itemsize
-            return a
-
-        dy = take(np.uint8, (F, ph, pw))
-        dcb = take(np.uint8, (F, ph // 2, pw // 2))
-        dcr = take(np.uint8, (F, ph // 2, pw // 2))
-        cy = take(np.int16, (F, ph, pw))
-        ccb = take(np.int16, (F, ph // 2, pw // 2))
-        ccr = take(np.int16, (F, ph // 2, pw // 2))
-        stats = None
-        if sao:
-            ncty, nctx = ph // sps.ctb_size, pw // sps.ctb_size
-            stats = []
-            for _ in range(3):
-                stats.append((take(np.int32, (F, 4, 5, ncty, nctx)),
-                              take(np.int32, (F, 4, 5, ncty, nctx)),
-                              take(np.int32, (F, 32, ncty, nctx)),
-                              take(np.int32, (F, 32, ncty, nctx))))
-        assert off == flat.size, (off, flat.size)
+        statics = dict(strong=bool(sps.strong_intra_smoothing),
+                       sbh=bool(sbh), rdoq=bool(rdoq),
+                       boff=int(post["boff"]), toff=int(post["toff"]),
+                       cbo=int(post["cbo"]), cro=int(post["cro"]),
+                       width=sps.width, height=sps.height, sao=sao,
+                       cs=sps.ctb_size)
+        arrays = (sy, scb, scr, args[0], args[1], args[2], bsv, bsh, qp4)
+        mesh = _frame_mesh(F)
+        if mesh is not None:
+            buf = fused_rows_sharded(mesh, arrays, statics)
+        else:
+            buf = _code_intra_frames_fused(*arrays, **statics)
+        rows = np.asarray(buf)          # the ONE packed D2H fetch
         out = []
         for f in range(F):
-            st = ([tuple(a[f] for a in pl) for pl in stats]
-                  if stats is not None else None)
-            out.append(dict(
-                planes=(dy[f], dcb[f], dcr[f], cy[f], ccb[f], ccr[f]),
-                sao_stats=st,
-                deblocked=bool(post.get("deblock", True))))
+            off = 0
+
+            def take(dtype, shape):
+                nonlocal off
+                n = int(np.prod(shape))
+                a = np.frombuffer(rows[f], dtype, n, off).reshape(shape)
+                off += n * np.dtype(dtype).itemsize
+                return a
+
+            dy = take(np.uint8, (ph, pw))
+            dcb = take(np.uint8, (ph // 2, pw // 2))
+            dcr = take(np.uint8, (ph // 2, pw // 2))
+            cy = take(np.int16, (ph, pw))
+            ccb = take(np.int16, (ph // 2, pw // 2))
+            ccr = take(np.int16, (ph // 2, pw // 2))
+            stats = None
+            if sao:
+                ncty, nctx = ph // sps.ctb_size, pw // sps.ctb_size
+                stats = []
+                for _ in range(3):
+                    stats.append((take(np.int32, (4, 5, ncty, nctx)),
+                                  take(np.int32, (4, 5, ncty, nctx)),
+                                  take(np.int32, (32, ncty, nctx)),
+                                  take(np.int32, (32, ncty, nctx))))
+                assert off == rows[f].size, (off, rows[f].size)
+            out.append(dict(planes=(dy, dcb, dcr, cy, ccb, ccr),
+                            sao_stats=stats,
+                            deblocked=bool(post.get("deblock", True))))
         return out
 
     def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,

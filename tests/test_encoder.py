@@ -187,9 +187,53 @@ def test_rate_control_roundtrip(rc_mode, kw):
     for d, r in zip(dec, recons):
         assert d.tobytes() == r.tobytes()
     if rc_mode in (1, 2):
-        # bitrate within a loose factor of target
+        # 6 frames is too short for convergence; just pin gross sanity
         kbps = len(bs) * 8 * 30.0 / 6 / 1000.0
-        assert kbps < kw["bitrate_kbps"] * 3.5, f"way over target: {kbps}"
+        assert kbps < kw["bitrate_kbps"] * 2.0, f"way over target: {kbps}"
+
+
+def test_abr_converges_within_25pct():
+    """ABR over a 30-frame clip must land within +-25% of target (the
+    reference hits single-digit error; this pins regression room)."""
+    frames = _frames(30, seed=7)
+    for target in (120, 300):
+        cfg = EncoderConfig(width=W, height=H, preset="ultrafast",
+                            latency="zerolatency", rc=2,
+                            bitrate_kbps=target, frame_rate=30,
+                            intra_period=64)
+        bs, _ = encode_sequence(frames, cfg)
+        kbps = len(bs) * 8 * 30.0 / 30 / 1000.0
+        assert abs(kbps / target - 1.0) < 0.25, (target, kbps)
+
+
+def test_frame_skip_on_vbv_underflow():
+    """cfg.frame_skip + starved VBV -> skipped pictures (no NAL, repeated
+    recon), and the coded stream still decodes (judgeSkipFrame analog)."""
+    frames = _frames(20, seed=13)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast",
+                        latency="zerolatency", rc=1, bitrate_kbps=5,
+                        vbv_maxrate_kbps=5, vbv_bufsize_kbits=3,
+                        frame_rate=30, frame_skip=1, intra_period=64)
+    enc = HevcEncoder(cfg)
+    outs = []
+    for f in frames:
+        outs += enc.encode_frame(f)
+    outs += enc.flush()
+    skips = [ef for ef in outs if ef.slice_type == "skip"]
+    coded = [ef for ef in outs if ef.slice_type != "skip"]
+    assert len(outs) == 20
+    assert skips, "VBV starvation must trigger frame skips"
+    assert all(ef.data == b"" and ef.bits == 0 for ef in skips)
+    bs = b"".join(ef.data for ef in outs)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == len(coded)
+    # no-skip control: same config without frame_skip codes every frame
+    cfg2 = EncoderConfig(width=W, height=H, preset="ultrafast",
+                         latency="zerolatency", rc=1, bitrate_kbps=5,
+                         vbv_maxrate_kbps=5, vbv_bufsize_kbits=3,
+                         frame_rate=30, frame_skip=0, intra_period=64)
+    bs2, rec2 = encode_sequence(frames, cfg2)
+    assert len(rec2) == 20
 
 
 def test_wpp_encode_roundtrip():
