@@ -65,6 +65,8 @@ class HevcEncoder:
         self.queue: list[tuple[int, YUVFrame]] = []
         from .rc import RateControl, TwoPassStats
         self.rc = RateControl(cfg)
+        from .lookahead import Lookahead
+        self.la = Lookahead(cfg)
         self._intra_cache = {}      # display_idx -> batched compute result
         self._coded_count = 0       # pictures coded (dts derivation)
         self._wf_coder = None
@@ -170,7 +172,8 @@ class HevcEncoder:
         p.init_qp = 26
         p.constrained_intra_pred = 0
         p.transform_skip_enabled = 0
-        p.cu_qp_delta_enabled = 0
+        p.cu_qp_delta_enabled = 1 if cfg.aq_mode else 0
+        p.diff_cu_qp_delta_depth = 0
         p.cb_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
         p.cr_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
         p.weighted_pred = 0
@@ -223,6 +226,11 @@ class HevcEncoder:
         (asynchronous contract of QY265EncoderEncodeFrame: one call != one
         output — qy265enc.h:153-155)."""
         self.queue.append((self.frame_idx, frame))
+        try:
+            self.la.push(self.frame_idx, np.asarray(frame.y, np.uint8))
+        except Exception as ex:
+            from ..utils.log import log
+            log(2, "lookahead failed (%s: %s)" % (type(ex).__name__, ex))
         self.frame_idx += 1
         return self._drain(False)
 
@@ -272,6 +280,15 @@ class HevcEncoder:
                 out.append(self._encode_picture(frame, di, None,
                                                 is_idr=True))
                 continue
+            fa0 = self.la.analyses.get(idx0)
+            if fa0 is not None and fa0.scenecut and idx0 != 0:
+                # lookahead scene cut -> start a new IDR here (the
+                # reference's EncPreAnalyze scenecut -> I placement)
+                self.la.analyses[idx0].scenecut = False
+                di, frame = self.queue.pop(0)
+                out.append(self._encode_picture(frame, di, None,
+                                                is_idr=True))
+                continue
             if idx0 == 0 or (iper > 0 and idx0 % iper == 0):
                 if iper == 1 and cfg.latency == "offline" and cfg.fpp:
                     # all-intra: batch frames through ONE device wavefront
@@ -293,6 +310,13 @@ class HevcEncoder:
                                                 is_idr=True))
                 continue
             till_idr = (iper - (idx0 % iper)) if iper > 0 else 1 << 30
+            # a scene cut inside the upcoming GOP shortens it the same
+            # way an approaching IDR does
+            for k in range(1, min(gop_n, len(self.queue))):
+                fa = self.la.analyses.get(idx0 + k)
+                if fa is not None and fa.scenecut:
+                    till_idr = min(till_idr, k)
+                    break
             if gop_n == 1 and till_idr >= 1:
                 # low-delay: one picture per step, alternate the LDP QP
                 # cascade entries (+3/+2/+3/+1, reference cadence)
@@ -346,7 +370,8 @@ class HevcEncoder:
         if cfg.rc == RC_FIXQP:
             qp = int(np.clip(cfg.qp, 0, 51))
         else:
-            qp = self.rc.frame_qp("I", 0, None)
+            fa = self.la.analyses.get(display_idx)
+            qp = self.rc.frame_qp("I", 0, fa.icost if fa else None)
         if self.pass2_dqp:
             qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
                              cfg.qp_min, cfg.qp_max))
@@ -358,7 +383,10 @@ class HevcEncoder:
         RC-driven QPs use the current (bounded-stale) RC state, the
         CEncRcAbrSync analog for frame-parallel encoding."""
         import os
-        if os.environ.get("KS265_SEQ_COMPUTE") or self.sps.pcm_enabled:
+        if os.environ.get("KS265_SEQ_COMPUTE") or self.sps.pcm_enabled \
+                or self.cfg.aq_mode:
+            # AQ: effective-QP inference must run before deblock, so the
+            # per-frame (host deblock) path is used
             return
         if self._wf_coder is None:
             from ..ops.wavefront import WavefrontIntraCoder
@@ -448,7 +476,8 @@ class HevcEncoder:
             qp = int(np.clip(cfg.qp + (0 if is_idr else plan.qp_offset),
                              0, 51))
         else:
-            qp = self.rc.frame_qp(ftype, tid, None)
+            fa = self.la.analyses.get(display_idx)
+            qp = self.rc.frame_qp(ftype, tid, fa.cost if fa else None)
         if cached is None and self.pass2_dqp:
             qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
                              cfg.qp_min, cfg.qp_max))
@@ -509,6 +538,10 @@ class HevcEncoder:
         fs = FrameState(self.sps)
         fs.poc = poc
         enc = make_enc(fs)
+        if cfg.aq_mode and is_idr:
+            fa = self.la.analyses.get(display_idx)
+            if fa is not None and fa.dqp_ctu is not None:
+                enc.dqp_ctu = fa.dqp_ctu
         if cached is not None:
             # stage 1 already ran in the batched device pass
             enc.frame_cplx = cached["frame_cplx"]
@@ -521,6 +554,9 @@ class HevcEncoder:
         # SAO decision runs on the deblocked picture, single coding pass.
         # The fused batch pipeline already deblocked on device and fetched
         # per-CTU SAO stats in the same packed transfer.
+        if self.pps.cu_qp_delta_enabled:
+            from .map_writer import apply_effective_qp
+            apply_effective_qp(fs, enc.syn, self.sps, self.pps, hdr)
         if cached is None or not cached.get("deblocked"):
             deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
                           bool(self.pps.deblocking_filter_disabled),
@@ -607,11 +643,15 @@ class HevcEncoder:
         if cfg.ssim:
             from ..utils.metrics import frame_ssim
             ef.ssim = frame_ssim(frame, recon)
-        self.rc.update(ef.slice_type, tid, qp, ef.bits,
-                       getattr(enc, "frame_cplx", 1e5))
+        # RC feedback must use the SAME complexity the decide side used
+        # (lookahead cost) or the rate-factor model mis-tracks
+        fa_done = self.la.analyses.get(display_idx)
+        cplx_rc = (fa_done.cost if fa_done is not None
+                   else getattr(enc, "frame_cplx", 1e5))
+        self.rc.update(ef.slice_type, tid, qp, ef.bits, cplx_rc)
         if self.stats is not None:
             self.stats.add(display_idx, ef.slice_type, qp, ef.bits,
-                           getattr(enc, "frame_cplx", 0.0))
+                           cplx_rc)
             self.stats.write()
         return ef
 

@@ -319,12 +319,43 @@ class IntraFrameEncoder:
         fill_intra_maps(fs, syn, log2m, modes8, cmodes8, qp_map8,
                         cy, ccb, ccr, tile4=tile4)
 
+    def _qp_map8(self, shape):
+        """Per-8-cell QP map: base QP + per-CTU AQ offsets when set."""
+        qp_map8 = np.full(shape, self.qp, np.int32)
+        dq = getattr(self, "dqp_ctu", None)
+        if dq is not None:
+            cty = (shape[0] + 7) // 8
+            ctx = (shape[1] + 7) // 8
+            d = np.zeros((cty, ctx), np.int32)
+            d[:dq.shape[0], :dq.shape[1]] = dq[:cty, :ctx]
+            if dq.shape[0] < cty:
+                d[dq.shape[0]:] = d[dq.shape[0] - 1]
+            if dq.shape[1] < ctx:
+                d[:, dq.shape[1]:] = d[:, dq.shape[1] - 1:dq.shape[1]]
+            qp_map8 = qp_map8 + np.repeat(np.repeat(d, 8, 0), 8, 1)[
+                :shape[0], :shape[1]]
+        return np.clip(qp_map8, 0, 51).astype(np.uint8)
+
+    def _cu_qp(self, x0: int, y0: int) -> tuple[int, int, int]:
+        """(qp, qp_cb, qp_cr) for the CU at (x0, y0) under AQ."""
+        dq = getattr(self, "dqp_ctu", None)
+        if dq is None:
+            return self.qp, self.qp_cb, self.qp_cr
+        cy = min(y0 >> 6, dq.shape[0] - 1)
+        cx = min(x0 >> 6, dq.shape[1] - 1)
+        qp = int(np.clip(self.qp + int(dq[cy, cx]), 0, 51))
+        return (qp,
+                chroma_qp(qp + self.pps.cb_qp_offset
+                          + self.hdr.cb_qp_offset),
+                chroma_qp(qp + self.pps.cr_qp_offset
+                          + self.hdr.cr_qp_offset))
+
     def compute_wavefront(self, coder):
         sps = self.sps
         if not self._skip_pre:
             self._pre_analyze()
         log2m, modes8, cmodes8 = self._decision_maps8()
-        qp_map8 = np.full(log2m.shape, self.qp, np.uint8)
+        qp_map8 = self._qp_map8(log2m.shape)
         _, tile8, ntc = tile_region_maps(self.pps, sps)
         ry, rcb, rcr, cy, ccb, ccr = coder.code_frame(
             self.src_y, self.src_cb, self.src_cr, log2m, modes8, cmodes8,
@@ -380,8 +411,9 @@ class IntraFrameEncoder:
         size = 1 << log2
         b4 = size >> 2
         x4, y4 = x0 >> 2, y0 >> 2
+        cu_qp, cu_qp_cb, cu_qp_cr = self._cu_qp(x0, y0)
         fs.cu_depth[y4:y4 + b4, x4:x4 + b4] = depth
-        fs.qp[y4:y4 + b4, x4:x4 + b4] = self.qp
+        fs.qp[y4:y4 + b4, x4:x4 + b4] = cu_qp
         fs.cu_edge_v[y4:y4 + b4, x4] = True
         fs.cu_edge_h[y4, x4:x4 + b4] = True
         fs.pu_edge_v[y4:y4 + b4, x4] = True
@@ -396,7 +428,7 @@ class IntraFrameEncoder:
         from .sbh import scan_for
         pred = self._predict(0, x0, y0, size, mode)
         src = self.src_y[y0:y0 + size, x0:x0 + size]
-        coeff_y = self._transform_quant(src - pred, log2, self.qp,
+        coeff_y = self._transform_quant(src - pred, log2, cu_qp,
                                         scan_for(log2, 0, mode))
         cbf_y = int(coeff_y.any())
         # --- chroma TUs
@@ -407,9 +439,9 @@ class IntraFrameEncoder:
         pred_cr = self._predict(2, cx0, cy0, csz, cmode)
         res_cb = self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz] - pred_cb
         res_cr = self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz] - pred_cr
-        coeff_cb = self._transform_quant(res_cb, c_log2, self.qp_cb,
+        coeff_cb = self._transform_quant(res_cb, c_log2, cu_qp_cb,
                                          scan_for(c_log2, 1, cmode))
-        coeff_cr = self._transform_quant(res_cr, c_log2, self.qp_cr,
+        coeff_cr = self._transform_quant(res_cr, c_log2, cu_qp_cr,
                                          scan_for(c_log2, 2, cmode))
         cbf_cb, cbf_cr = int(coeff_cb.any()), int(coeff_cr.any())
         if (self.sps.pcm_enabled
@@ -439,10 +471,10 @@ class IntraFrameEncoder:
         syn.cbf_cr[y4:y4 + b4, x4:x4 + b4] = cbf_cr
         # --- reconstruct (normative path, == decoder)
         fs.cbf_luma[y4:y4 + b4, x4:x4 + b4] = bool(cbf_y)
-        resi_y = self._recon_residual(coeff_y, log2, self.qp) if cbf_y else None
+        resi_y = self._recon_residual(coeff_y, log2, cu_qp) if cbf_y else None
         fs.y[y0:y0 + size, x0:x0 + size] = reconstruct(pred, resi_y)
-        resi_cb = self._recon_residual(coeff_cb, c_log2, self.qp_cb) if cbf_cb else None
-        resi_cr = self._recon_residual(coeff_cr, c_log2, self.qp_cr) if cbf_cr else None
+        resi_cb = self._recon_residual(coeff_cb, c_log2, cu_qp_cb) if cbf_cb else None
+        resi_cr = self._recon_residual(coeff_cr, c_log2, cu_qp_cr) if cbf_cr else None
         fs.cb[cy0:cy0 + csz, cx0:cx0 + csz] = reconstruct(pred_cb, resi_cb)
         fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] = reconstruct(pred_cr, resi_cr)
         fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True

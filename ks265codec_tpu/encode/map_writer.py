@@ -116,10 +116,13 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
         rx, ry = addr % wctb, addr // wctb
         if wpp and rx == 0 and ry > 0:
             w.start_substream(saved_ctx)
+            w.qp_prev = hdr.slice_qp          # qPY_PREV reset (row start)
         x0, y0 = rx << sps.log2_ctb, ry << sps.log2_ctb
         if sao_on:
             w.write_sao(rx, ry, sao)
+        w.begin_qg()
         _write_cq(w, ws, syn, sps, hdr, x0, y0, sps.log2_ctb, 0)
+        w.end_qg()
         if wpp and rx == min(1, wctb - 1):
             saved_ctx = w.enc.save_ctx()
         last = ts == nctb - 1
@@ -140,11 +143,69 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
                 entry_points.append(len(sub))
                 w.start_substream(CT.init_contexts(
                     hdr.slice_type, hdr.slice_qp, hdr.cabac_init_flag))
+                w.qp_prev = hdr.slice_qp      # qPY_PREV reset (tile start)
                 w.slice_idx = int(
                     fs.slice_id[(nxt // wctb) << (sps.log2_ctb - 2),
                                 (nxt % wctb) << (sps.log2_ctb - 2)])
     final = w.finish_substream()
     return b"".join(substreams) + final, entry_points
+
+
+def apply_effective_qp(fs, syn, sps, pps, hdr) -> None:
+    """Rewrite fs.qp to the DECODER-side effective per-cell QP under
+    cu_qp_delta (QG = CTB): CUs before the first residual-bearing CU of a
+    CTB keep the predicted QP (qPY_PREV chain, reset at slice/tile/WPP-row
+    starts); the delta-carrying CU and everything after keep their planned
+    QP (run-verified HM semantics, mirrored from SliceDecoder._enter_qg).
+    Must run before deblocking — deblock tc/beta read these QPs."""
+    wctb = sps.pic_width_in_ctbs
+    nctb = wctb * sps.pic_height_in_ctbs
+    wpp = bool(pps.entropy_coding_sync_enabled)
+    tg = None
+    if pps.tiles_enabled:
+        from ..hevc.params import TileGrid
+        tg = getattr(pps, "_tile_grid", None)
+        if tg is None:
+            tg = TileGrid(pps, sps)
+            pps._tile_grid = tg
+    cbf4 = fs.cbf_luma | (syn.cbf_cb != 0) | (syn.cbf_cr != 0)
+    min_cb = sps.log2_min_cb
+    qp_prev = hdr.slice_qp
+
+    def walk(x0, y0, log2):
+        nonlocal qp_prev, coded_seen
+        size = 1 << log2
+        inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
+        x4, y4 = x0 >> 2, y0 >> 2
+        split = (not inside and log2 > min_cb) or (
+            inside and sps.log2_ctb - int(fs.cu_depth[y4, x4]) < log2)
+        if split:
+            h = size >> 1
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                if x0 + dx < sps.width and y0 + dy < sps.height:
+                    walk(x0 + dx, y0 + dy, log2 - 1)
+            return
+        b4 = size >> 2
+        if not coded_seen and cbf4[y4, x4]:
+            coded_seen = True
+        if not coded_seen:
+            fs.qp[y4:y4 + b4, x4:x4 + b4] = qp_prev
+        qp_prev_local = int(fs.qp[y4, x4])
+        walk.last_qp = qp_prev_local
+
+    for ts in range(nctb):
+        addr = int(tg.ts_to_rs[ts]) if tg is not None else ts
+        rx, ry = addr % wctb, addr // wctb
+        if ts == 0 or (wpp and rx == 0) or (
+                tg is not None and ts > 0
+                and tg.tile_of_ctb[ry, rx] != tg.tile_of_ctb[
+                    int(tg.ts_to_rs[ts - 1]) // wctb,
+                    int(tg.ts_to_rs[ts - 1]) % wctb]):
+            qp_prev = hdr.slice_qp
+        coded_seen = False
+        walk.last_qp = qp_prev
+        walk(rx << sps.log2_ctb, ry << sps.log2_ctb, sps.log2_ctb)
+        qp_prev = walk.last_qp
 
 
 def _write_cq(w, ws, syn, sps, hdr, x0, y0, log2, depth):
@@ -172,6 +233,7 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
     size = 1 << log2
     b4 = size >> 2
     x4, y4 = x0 >> 2, y0 >> 2
+    w.note_cu_qp(int(ws.qp[y4, x4]))
     is_i = hdr.slice_type == 2
     intra = ws.pred_mode[y4, x4] == MODE_INTRA
 
@@ -207,6 +269,8 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
         w.write_cbf_chroma(cbf_cb, 0)
         w.write_cbf_chroma(cbf_cr, 0)
         w.write_cbf_luma(cbf_y, 0)
+        if cbf_y or cbf_cb or cbf_cr:
+            w.maybe_write_dqp(int(ws.qp[y4, x4]))
         c_log2 = log2 - 1
         csz = size >> 1
         cx0, cy0 = x0 >> 1, y0 >> 1
@@ -254,6 +318,7 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
         w.write_cbf_luma(cbf_y, 0)
     else:
         cbf_y = 1                        # inferred at inter depth-0 leaf
+    w.maybe_write_dqp(int(ws.qp[y4, x4]))
     c_log2 = log2 - 1
     csz = size >> 1
     cx0, cy0 = x0 >> 1, y0 >> 1

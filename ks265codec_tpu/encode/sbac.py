@@ -41,6 +41,8 @@ class CtuSyntaxWriter:
                                hdr.cabac_init_flag)
         self.enc = CabacEnc(ctx)
         self.min_cb = sps.log2_min_cb
+        self.qp_prev = hdr.slice_qp      # qPY_PREV chain (cu_qp_delta)
+        self._dqp_coded = True
 
     # --------------------------------------------------------- availability
     def _avail(self, x: int, y: int) -> bool:
@@ -133,6 +135,57 @@ class CtuSyntaxWriter:
         if self._avail(x0, y0 - 1):
             ctx += int(fs.skip[y4 - 1, x4])
         self.enc.encode_bin(skip, CTX_OFFSET["skip"] + ctx)
+
+    # --------------------------------------------------- cu_qp_delta (QG)
+    def begin_qg(self) -> None:
+        """New quantization group (CTB at diff_cu_qp_delta_depth 0)."""
+        self._dqp_coded = False
+
+    def note_cu_qp(self, qp: int) -> None:
+        """Track the last CU's (effective) QP: qPY_PREV for the next QG
+        mirrors the decoder's chain exactly."""
+        self._qg_last_qp = qp
+
+    def end_qg(self) -> None:
+        self.qp_prev = getattr(self, "_qg_last_qp", self.qp_prev)
+
+    def maybe_write_dqp(self, qp: int) -> None:
+        """cu_qp_delta_abs/sign at the first residual-bearing TU of the
+        QG (spec 7.3.8.11, 9.3.3: TU(5) ctx 0/1 + EG0 + bypass sign)."""
+        if not self.pps.cu_qp_delta_enabled or \
+                getattr(self, "_dqp_coded", True):
+            return
+        self._dqp_coded = True
+        enc = self.enc
+        d = qp - self.qp_prev
+        if d > 25:
+            d -= 52
+        elif d < -26:
+            d += 52
+        v = abs(d)
+        enc.encode_bin(1 if v > 0 else 0, CTX_OFFSET["dqp"])
+        if v:
+            k = 1
+            while k < 5 and k < v:
+                enc.encode_bin(1, CTX_OFFSET["dqp"] + 1)
+                k += 1
+            if v < 5:
+                enc.encode_bin(0, CTX_OFFSET["dqp"] + 1)
+            else:
+                self._write_eg0(v - 5)
+            enc.encode_bypass(1 if d < 0 else 0)
+
+    def _write_eg0(self, v: int) -> None:
+        enc = self.enc
+        cnt = 0
+        v1 = v + 1
+        while (v1 >> (cnt + 1)) > 0:
+            cnt += 1
+        for _ in range(cnt):
+            enc.encode_bypass(1)
+        enc.encode_bypass(0)
+        for i in range(cnt - 1, -1, -1):
+            enc.encode_bypass((v1 >> i) & 1)
 
     def write_pred_mode(self, intra: bool) -> None:
         self.enc.encode_bin(1 if intra else 0, CTX_OFFSET["pred_mode"])

