@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-W, H, FRAMES = 1280, 720, 8
+W, H, FRAMES = 1280, 720, 32
 REF = Path("/root/reference/ubuntu_x64/appencoder")
 WORK = Path("/tmp/ks265_bench")
 

@@ -98,7 +98,7 @@ class HevcEncoder:
         """(max_dec_pic_buffering, num_reorder_pics) for the GOP shape."""
         if cfg.latency == "zerolatency" or cfg.bframes == 0 \
                 or cfg.intra_period == 1:
-            return 2, 0
+            return max(2, int(cfg.refs) + 1), 0
         from .gop import gop_plan, reorder_depth
         return 6, reorder_depth(gop_plan(cfg.latency, cfg.bframes))
 
@@ -280,22 +280,13 @@ class HevcEncoder:
                 out.append(self._encode_picture(frame, di, None,
                                                 is_idr=True))
                 continue
-            fa0 = self.la.analyses.get(idx0)
-            if fa0 is not None and fa0.scenecut and idx0 != 0:
-                # lookahead scene cut -> start a new IDR here (the
-                # reference's EncPreAnalyze scenecut -> I placement)
-                self.la.analyses[idx0].scenecut = False
-                di, frame = self.queue.pop(0)
-                out.append(self._encode_picture(frame, di, None,
-                                                is_idr=True))
-                continue
             if idx0 == 0 or (iper > 0 and idx0 % iper == 0):
                 if iper == 1 and cfg.latency == "offline" and cfg.fpp:
                     # all-intra: batch frames through ONE device wavefront
                     # dispatch (FPP analog) — frames are independent
-                    if not flushing and len(self.queue) < 8:
+                    if not flushing and len(self.queue) < 16:
                         break       # wait for a full batch (async contract)
-                    n = next(b for b in (8, 4, 2, 1)
+                    n = next(b for b in (16, 8, 4, 2, 1)
                              if len(self.queue) >= b)
                     items = self.queue[:n]
                     self.queue = self.queue[n:]
@@ -309,17 +300,30 @@ class HevcEncoder:
                 out.append(self._encode_picture(frame, di, None,
                                                 is_idr=True))
                 continue
+            # scene-cut check AFTER the all-intra/IDR fast path so the
+            # FPP batcher never forces a 1-frame lookahead flush
+            fa0 = self.la.get(idx0)
+            if fa0 is not None and fa0.scenecut and idx0 != 0:
+                # lookahead scene cut -> start a new IDR here (the
+                # reference's EncPreAnalyze scenecut -> I placement)
+                self.la.analyses[idx0].scenecut = False
+                di, frame = self.queue.pop(0)
+                out.append(self._encode_picture(frame, di, None,
+                                                is_idr=True))
+                continue
             till_idr = (iper - (idx0 % iper)) if iper > 0 else 1 << 30
             # a scene cut inside the upcoming GOP shortens it the same
             # way an approaching IDR does
             for k in range(1, min(gop_n, len(self.queue))):
-                fa = self.la.analyses.get(idx0 + k)
+                fa = self.la.get(idx0 + k)
                 if fa is not None and fa.scenecut:
                     till_idr = min(till_idr, k)
                     break
             if gop_n == 1 and till_idr >= 1:
                 # low-delay: one picture per step, alternate the LDP QP
-                # cascade entries (+3/+2/+3/+1, reference cadence)
+                # cascade entries (+3/+2/+3/+1, reference cadence);
+                # multi-ref window per cfg.refs (-ref N)
+                ldp = gop_plan(cfg.latency, cfg.bframes, cfg.refs)
                 di, f = self.queue.pop(0)
                 if self.dpb and self.rc.should_skip("P"):
                     # judgeSkipFrame: VBV nearly empty -> emit no NAL,
@@ -335,7 +339,7 @@ class HevcEncoder:
                     out.append(ef)
                     continue
                 out.append(self._encode_picture(
-                    f, di, LDP[self.gop_base % len(LDP)]))
+                    f, di, ldp[self.gop_base % len(ldp)]))
                 self.gop_base += 1
                 continue
             if till_idr >= gop_n and len(self.queue) >= gop_n:
@@ -370,7 +374,7 @@ class HevcEncoder:
         if cfg.rc == RC_FIXQP:
             qp = int(np.clip(cfg.qp, 0, 51))
         else:
-            fa = self.la.analyses.get(display_idx)
+            fa = self.la.get(display_idx)
             qp = self.rc.frame_qp("I", 0, fa.icost if fa else None)
         if self.pass2_dqp:
             qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
@@ -476,7 +480,7 @@ class HevcEncoder:
             qp = int(np.clip(cfg.qp + (0 if is_idr else plan.qp_offset),
                              0, 51))
         else:
-            fa = self.la.analyses.get(display_idx)
+            fa = self.la.get(display_idx)
             qp = self.rc.frame_qp(ftype, tid, fa.cost if fa else None)
         if cached is None and self.pass2_dqp:
             qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
@@ -503,11 +507,20 @@ class HevcEncoder:
         by_poc = {rp.poc: rp for rp in self.dpb}
         l0 = l1 = None
         if not is_idr:
+            # trim RPS entries to pictures actually in the DPB (early
+            # frames of a multi-ref window would otherwise name pictures
+            # that never existed — conformant decoders reject that)
+            pairs = [(d, u) for d, u in zip(plan.ref_deltas,
+                                            plan.ref_used)
+                     if poc + d in by_poc]
+            if not pairs:
+                pairs = [(plan.ref_deltas[0], 1)]
+            deltas = [d for d, _ in pairs]
             hdr.st_rps = ShortTermRPS(
-                delta_pocs=list(plan.ref_deltas),
-                used=list(plan.ref_used),
-                num_negative=sum(1 for d in plan.ref_deltas if d < 0),
-                num_positive=sum(1 for d in plan.ref_deltas if d > 0))
+                delta_pocs=deltas,
+                used=[u for _, u in pairs],
+                num_negative=sum(1 for d in deltas if d < 0),
+                num_positive=sum(1 for d in deltas if d > 0))
             hdr.st_rps_idx = -1
             l0 = [by_poc[poc + d] for d in plan.l0 if poc + d in by_poc]
             l1 = [by_poc[poc + d] for d in plan.l1 if poc + d in by_poc]
@@ -539,7 +552,7 @@ class HevcEncoder:
         fs.poc = poc
         enc = make_enc(fs)
         if cfg.aq_mode and is_idr:
-            fa = self.la.analyses.get(display_idx)
+            fa = self.la.get(display_idx)
             if fa is not None and fa.dqp_ctu is not None:
                 enc.dqp_ctu = fa.dqp_ctu
         if cached is not None:
@@ -623,7 +636,7 @@ class HevcEncoder:
         # future needs of the GOP pattern) plus the new picture
         keep = set()
         if not is_idr:
-            keep = {poc + d for d in plan.ref_deltas}
+            keep = {poc + d for d in hdr.st_rps.delta_pocs}
         self.dpb = [rp for rp in self.dpb if rp.poc in keep]
         self.dpb.append(RefPic(fs, poc))
         recon = self._wrap_recon(fs, frame)
@@ -645,7 +658,7 @@ class HevcEncoder:
             ef.ssim = frame_ssim(frame, recon)
         # RC feedback must use the SAME complexity the decide side used
         # (lookahead cost) or the rate-factor model mis-tracks
-        fa_done = self.la.analyses.get(display_idx)
+        fa_done = self.la.get(display_idx)
         cplx_rc = (fa_done.cost if fa_done is not None
                    else getattr(enc, "frame_cplx", 1e5))
         self.rc.update(ef.slice_type, tid, qp, ef.bits, cplx_rc)

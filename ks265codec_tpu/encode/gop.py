@@ -70,9 +70,11 @@ GOP2: list[PicPlan] = [
 ]
 
 
-def gop_plan(latency: str, bframes: int) -> list[PicPlan]:
+def gop_plan(latency: str, bframes: int, refs: int = 1) -> list[PicPlan]:
     if latency == "zerolatency" or bframes == 0:
-        return LDP
+        if refs <= 1:
+            return LDP
+        return ldp_plans(refs)
     if bframes == 1:
         return GOP2
     if bframes == 2:
@@ -82,13 +84,24 @@ def gop_plan(latency: str, bframes: int) -> list[PicPlan]:
     return GOP8
 
 
+def ldp_plans(refs: int) -> list[PicPlan]:
+    """Low-delay P with a multi-reference window (-ref N,
+    qy265enc.h:141): each P references the previous `refs` pictures;
+    same +3/+2/+3/+1 QP cascade as LDP."""
+    refs = max(1, min(int(refs), 4))
+    deltas = [-(k + 1) for k in range(refs)]
+    used = [1] * refs
+    return [PicPlan(1, "P", 0, off, list(deltas), list(used),
+                    list(deltas), [])
+            for off in (3, 2, 3, 1)]
+
+
 def gop_size(latency: str, bframes: int) -> int:
     """Pictures per GOP step. LDP is 1 (its plan list holds alternate QP
     cascade entries for the SAME single-picture step, not a batch)."""
-    plans = gop_plan(latency, bframes)
-    if plans is LDP:
+    if latency == "zerolatency" or bframes == 0:
         return 1
-    return len(plans)
+    return len(gop_plan(latency, bframes))
 
 
 def reorder_depth(plans: list[PicPlan]) -> int:

@@ -45,23 +45,46 @@ class PFrameEncoder(IntraFrameEncoder):
     def _pre_analyze(self) -> None:
         from .intra_frame import decide_frame
         self._apply_lam_scale()
-        # device passes: intra analysis + dense ME against ref 0
+        # device passes: intra analysis + dense ME against every L0 ref
+        # (-ref N, qy265enc.h:141: the multi-reference window)
         (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
          _, self.icost8, self.icost16) = decide_frame(
             self.src_y, self.src_cb, self.src_cr, self.qp,
             effort=getattr(self, "decide_effort", 1))
-        ref_y = np.asarray(self.ref_lists[0][0].fs.y)
         pw, ph = self.sps.width, self.sps.height
-        self.mv16, self.inter_cost16, self.sad16 = jme.motion_search_frame(
-            self.src_y, ref_y, 16, SEARCH_RANGE, self.lam_satd)
-        self.mv8, _, self.sad8 = jme.motion_search_frame(
-            self.src_y, ref_y, 8, SEARCH_RANGE, 0.5 * self.lam_satd)
-        if self.subme:
-            from ..ops.subpel import refine_subpel_frame
-            self.mv16, self.sad16 = refine_subpel_frame(
-                self.src_y, ref_y, self.mv16 >> 2, 16, pw, ph)
-            self.mv8, self.sad8 = refine_subpel_frame(
-                self.src_y, ref_y, self.mv8 >> 2, 8, pw, ph)
+        from ..ops.subpel import refine_subpel_frame
+        best16 = best8 = None
+        for ri, rp in enumerate(self.ref_lists[0]):
+            ref_y = np.asarray(rp.fs.y)
+            mv16, _, sad16 = jme.motion_search_frame(
+                self.src_y, ref_y, 16, SEARCH_RANGE, self.lam_satd)
+            mv8, _, sad8 = jme.motion_search_frame(
+                self.src_y, ref_y, 8, SEARCH_RANGE, 0.5 * self.lam_satd)
+            if self.subme:
+                mv16, sad16 = refine_subpel_frame(
+                    self.src_y, ref_y, mv16 >> 2, 16, pw, ph)
+                mv8, sad8 = refine_subpel_frame(
+                    self.src_y, ref_y, mv8 >> 2, 8, pw, ph)
+            # ref-idx rate bias: TU bins, ~ri extra bins
+            c16 = sad16 + self.lam_satd * 2.0 * ri
+            c8 = sad8 + self.lam_satd * 2.0 * ri
+            if best16 is None:
+                best16 = [mv16, sad16, c16,
+                          np.zeros_like(sad16, np.int8)]
+                best8 = [mv8, sad8, c8, np.zeros_like(sad8, np.int8)]
+            else:
+                m = c16 < best16[2]
+                best16[0] = np.where(m[..., None], mv16, best16[0])
+                best16[1] = np.where(m, sad16, best16[1])
+                best16[2] = np.where(m, c16, best16[2])
+                best16[3] = np.where(m, ri, best16[3]).astype(np.int8)
+                m = c8 < best8[2]
+                best8[0] = np.where(m[..., None], mv8, best8[0])
+                best8[1] = np.where(m, sad8, best8[1])
+                best8[2] = np.where(m, c8, best8[2])
+                best8[3] = np.where(m, ri, best8[3]).astype(np.int8)
+        self.mv16, self.sad16, _, self.ref16 = best16
+        self.mv8, self.sad8, _, self.ref8 = best8
         self._decide_split16()
         self.frame_cplx = float(self.sad16.sum())
         self._decide_cu32()
@@ -283,10 +306,11 @@ class PFrameEncoder(IntraFrameEncoder):
         # ME/AMVP candidate: true mvd against the derived predictors
         used = [l for l in range(2) if mi.ref_idx[l] >= 0]
         mvds, mvp_flags = {}, {}
-        me_bits = 3.0
+        me_bits = 3.0 + 2.0 * sum(mi.ref_idx[l] for l in range(2)
+                                  if mi.ref_idx[l] >= 0)
         for l in used:
             amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size,
-                                           0, l, 0)
+                                           0, l, mi.ref_idx[l])
             d0 = [mi.mv[l][0] - amvp[0][0], mi.mv[l][1] - amvp[0][1]]
             d1 = [mi.mv[l][0] - amvp[1][0], mi.mv[l][1] - amvp[1][1]]
             f = 0 if (abs(d0[0]) + abs(d0[1])
@@ -378,7 +402,8 @@ class PFrameEncoder(IntraFrameEncoder):
             syn.inter_dir[y4:y4 + b4, x4:x4 + b4] = inter_dir
             for l in used:
                 (syn.ref0 if l == 0 else syn.ref1)[y4:y4 + b4,
-                                                   x4:x4 + b4] = 0
+                                                   x4:x4 + b4] = \
+                    mi.ref_idx[l]
                 mvd_map = syn.mvd0 if l == 0 else syn.mvd1
                 mvd_map[y4:y4 + b4, x4:x4 + b4, 0] = mvds[l][0]
                 mvd_map[y4:y4 + b4, x4:x4 + b4, 1] = mvds[l][1]
@@ -409,13 +434,13 @@ class PFrameEncoder(IntraFrameEncoder):
     def _block_mi(self, by, bx):
         """(MotionInfo, cost) of this block's chosen prediction."""
         mi = MotionInfo()
-        mi.ref_idx[0] = 0
+        mi.ref_idx[0] = int(self.ref16[by, bx])
         mi.mv[0] = [int(self.mv16[by, bx, 0]), int(self.mv16[by, bx, 1])]
         return mi, int(self.sad16[by, bx])
 
     def _block_mi8(self, by, bx):
         mi = MotionInfo()
-        mi.ref_idx[0] = 0
+        mi.ref_idx[0] = int(self.ref8[by, bx])
         mi.mv[0] = [int(self.mv8[by, bx, 0]), int(self.mv8[by, bx, 1])]
         return mi, int(self.sad8[by, bx])
 

@@ -42,12 +42,16 @@ class Lookahead:
         self.prev_half = None
         self.analyses: dict[int, FrameAnalysis] = {}
         self._last_cut = -(1 << 30)
+        self._pending: list[tuple[int, object]] = []   # (idx, device half)
+        self._first_done = False
 
-    def push(self, display_idx: int, y: np.ndarray) -> FrameAnalysis:
+    def push(self, display_idx: int, y: np.ndarray) -> None:
+        """Buffer the frame (downsample stays on device). Features are
+        computed lazily in ONE batched dispatch when analyses are read —
+        per-frame dispatch/fetch round-trips dominated the cost."""
         import jax.numpy as jnp
 
-        from ..ops.lookahead import (downsample2x, frame_features,
-                                     frame_features_first)
+        from ..ops.lookahead import downsample2x
         h, w = y.shape
         # pad to a 16-multiple so the half plane blocks evenly
         ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
@@ -57,39 +61,61 @@ class Lookahead:
             yp[h:, :w] = y[h - 1:]
             yp[:, w:] = yp[:, w - 1:w]
             y = yp
-        half = downsample2x(jnp.asarray(y))
-        if self.prev_half is None:
-            ic, pc, var = frame_features_first(half)
-            first = True
-        else:
-            ic, pc, var = frame_features(half, self.prev_half)
-            first = False
-        self.prev_half = half
-        ic = np.asarray(ic).astype(np.float64)
-        pc = np.asarray(pc).astype(np.float64)
-        var = np.asarray(var).astype(np.float64)
-        icost = float(ic.sum())
-        pcost = float(pc.sum()) if not first else icost
-        cost = float(np.minimum(ic, pc).sum()) if not first else icost
-        cut = False
-        if not first and display_idx - self._last_cut >= SCENECUT_MIN_GAP:
-            cut = pcost >= SCENECUT_BIAS * max(icost, 1.0) \
-                and pcost > 1.5 * self._typical_pcost()
-        if cut or first:
-            self._last_cut = display_idx
-        dqp = None
-        if self.cfg.aq_mode:
-            dqp = self._aq_offsets(var)
-        fa = FrameAnalysis(display_idx, icost, pcost, cost, cut, dqp)
-        self.analyses[display_idx] = fa
-        if len(self.analyses) > 256:
-            self.analyses.pop(min(self.analyses), None)
-        self._pcosts = getattr(self, "_pcosts", [])
-        if not first:
-            self._pcosts.append(pcost)
-            if len(self._pcosts) > 32:
-                self._pcosts.pop(0)
-        return fa
+        self._pending.append((display_idx, downsample2x(jnp.asarray(y))))
+
+    def ensure(self) -> None:
+        """Run the batched feature pass over every buffered frame."""
+        if not self._pending:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.lookahead import (frame_features_batch,
+                                     frame_features_first)
+        want_var = bool(self.cfg.aq_mode)
+        idxs = [i for i, _ in self._pending]
+        halves = [h for _, h in self._pending]
+        prevs = ([self.prev_half] if self.prev_half is not None
+                 else [halves[0]]) + halves[:-1]
+        packed = np.array(frame_features_batch(
+            jnp.stack(halves), jnp.stack(prevs), want_var))
+        if not self._first_done:
+            # recompute frame 0 without an inter reference
+            packed0 = np.asarray(frame_features_first(halves[0], want_var))
+            packed[0] = packed0
+        self.prev_half = halves[-1]
+        self._pending.clear()
+        for k, di in enumerate(idxs):
+            first = not self._first_done
+            row = packed[k].astype(np.float64)
+            icost = float(row[0])
+            pcost = float(row[1]) if not first else icost
+            cost = float(row[2]) if not first else icost
+            var = None
+            if want_var:
+                hh, hw = self.prev_half.shape
+                var = row[3:].reshape(hh // 8, hw // 8)
+            cut = False
+            if not first and di - self._last_cut >= SCENECUT_MIN_GAP:
+                cut = pcost >= SCENECUT_BIAS * max(icost, 1.0) \
+                    and pcost > 1.5 * self._typical_pcost()
+            if cut or first:
+                self._last_cut = di
+            dqp = self._aq_offsets(var) if want_var else None
+            fa = FrameAnalysis(di, icost, pcost, cost, cut, dqp)
+            self.analyses[di] = fa
+            if len(self.analyses) > 256:
+                self.analyses.pop(min(self.analyses), None)
+            self._pcosts = getattr(self, "_pcosts", [])
+            if not first:
+                self._pcosts.append(pcost)
+                if len(self._pcosts) > 32:
+                    self._pcosts.pop(0)
+            self._first_done = True
+
+    def get(self, display_idx: int):
+        self.ensure()
+        return self.analyses.get(display_idx)
 
     def _typical_pcost(self) -> float:
         pc = getattr(self, "_pcosts", [])

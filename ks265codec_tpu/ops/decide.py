@@ -273,9 +273,21 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int):
 
 @partial(jax.jit, static_argnames=("effort",))
 def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int):
-    """Batched over frames: planes (F, ph, pw) uint8; qp/qpc/lam/ls (F,)."""
-    return jax.vmap(partial(_decide_one, effort=effort))(
+    """Batched over frames: planes (F, ph, pw) uint8; qp/qpc/lam/ls (F,).
+    Returns ONE packed uint8 vector (a single D2H fetch: the per-map
+    fetches cost ~tens of ms each through the device tunnel)."""
+    outs = jax.vmap(partial(_decide_one, effort=effort))(
         planes, cbs, crs, qp, qpc, lam, ls)
+    parts = []
+    for o in outs:
+        if o.dtype == jnp.bool_:
+            o = o.astype(jnp.uint8)
+        if o.dtype == jnp.uint8:
+            parts.append(o.reshape(-1))
+        else:
+            parts.append(
+                jax.lax.bitcast_convert_type(o, jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def decide_frames(src_planes, src_cbs, src_crs, qps,
@@ -290,15 +302,31 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
            * 2.0 ** ((qpa.astype(np.float64) - 12) / 3.0))
     ls = np.sqrt(lam)
     qpc = np.asarray([chroma_qp(int(q)) for q in qpa], np.int32)
-    out = decide_frames_jit(
+    buf = np.asarray(decide_frames_jit(
         jnp.asarray(np.asarray(src_planes, np.uint8)),
         jnp.asarray(np.asarray(src_cbs, np.uint8)),
         jnp.asarray(np.asarray(src_crs, np.uint8)),
         jnp.asarray(qpa), jnp.asarray(qpc),
         jnp.asarray(lam.astype(np.float32)),
-        jnp.asarray(ls.astype(np.float32)), int(effort))
-    outs = tuple(np.asarray(o) for o in out)
-    return [(outs[0][f], outs[1][f], outs[2][f], float(outs[3][f]),
-             outs[4][f], outs[5][f], outs[6][f], outs[7][f], outs[8][f],
-             outs[9][f], outs[10][f])
+        jnp.asarray(ls.astype(np.float32)), int(effort)))
+    F, ph, pw = np.asarray(src_planes).shape
+    h32, w32 = ph // 32, pw // 32
+    h16, w16 = ph // 16, pw // 16
+    h8, w8 = ph // 8, pw // 8
+    specs = [(np.uint8, (F, h32, w32)), (np.int32, (F, h16, w16)),
+             (np.int32, (F, h32, w32)), (np.float32, (F,)),
+             (np.uint8, (F, h16, w16)), (np.int32, (F, h8, w8)),
+             (np.int32, (F, h8, w8)), (np.int32, (F, h16, w16)),
+             (np.int32, (F, h32, w32)), (np.float32, (F, h8, w8)),
+             (np.float32, (F, h16, w16))]
+    outs = []
+    off = 0
+    for dt, shape in specs:
+        n = int(np.prod(shape))
+        outs.append(np.frombuffer(buf, dt, n, off).reshape(shape))
+        off += n * np.dtype(dt).itemsize
+    assert off == buf.size, (off, buf.size)
+    return [(outs[0][f].astype(bool), outs[1][f], outs[2][f],
+             float(outs[3][f]), outs[4][f].astype(bool), outs[5][f],
+             outs[6][f], outs[7][f], outs[8][f], outs[9][f], outs[10][f])
             for f in range(len(qps))]

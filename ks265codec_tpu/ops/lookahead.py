@@ -88,15 +88,40 @@ def _inter_cost(cur, prev):
     return best.reshape(nby, nbx)
 
 
-@jax.jit
-def frame_features(half_cur, half_prev):
-    """(icost, pcost, var) per-8x8-block maps on the half-res plane."""
-    return (_intra_cost(half_cur), _inter_cost(half_cur, half_prev),
-            _block_stats(half_cur))
+def _features_core(half_cur, half_prev, want_var: bool = True):
+    """ONE packed f32 vector per frame: [icost_sum, pcost_sum,
+    min(icost,pcost)_sum, var map...] — a single tiny D2H fetch (the
+    tunnel charges ~tens of ms per fetch; per-map fetches dominated the
+    lookahead's cost)."""
+    ic = _intra_cost(half_cur)
+    pc = _inter_cost(half_cur, half_prev)
+    head = jnp.stack([ic.sum(), pc.sum(),
+                      jnp.minimum(ic, pc).sum()]).astype(jnp.float32)
+    if not want_var:
+        return head
+    var = _block_stats(half_cur).astype(jnp.float32)
+    return jnp.concatenate([head, var.reshape(-1)])
 
 
-@jax.jit
-def frame_features_first(half_cur):
+frame_features = partial(jax.jit, static_argnames=("want_var",))(
+    _features_core)
+
+
+@partial(jax.jit, static_argnames=("want_var",))
+def frame_features_batch(curs, prevs, want_var: bool = True):
+    """Batched over frames: ONE dispatch + ONE fetch per lookahead
+    flush."""
+    return jax.vmap(
+        lambda c, p: _features_core(c, p, want_var))(curs, prevs)
+
+
+@partial(jax.jit, static_argnames=("want_var",))
+def frame_features_first(half_cur, want_var: bool = True):
     """First frame: no inter reference."""
     ic = _intra_cost(half_cur)
-    return ic, jnp.full_like(ic, 1 << 30), _block_stats(half_cur)
+    s = ic.sum().astype(jnp.float32)
+    head = jnp.stack([s, s * 0 + jnp.float32(1e18), s])
+    if not want_var:
+        return head
+    var = _block_stats(half_cur).astype(jnp.float32)
+    return jnp.concatenate([head, var.reshape(-1)])
