@@ -546,6 +546,8 @@ class HevcEncoder:
             e.lam_scale = cfg.lambda_scale
             e.rdoq = bool(cfg.rdoq)
             e.decide_effort = int(cfg.decide_effort)
+            e.merange = int(cfg.merange)
+            e.me_method = int(cfg.me)
             return e
 
         fs = FrameState(self.sps)

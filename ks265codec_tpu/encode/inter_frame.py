@@ -53,13 +53,25 @@ class PFrameEncoder(IntraFrameEncoder):
             effort=getattr(self, "decide_effort", 1))
         pw, ph = self.sps.width, self.sps.height
         from ..ops.subpel import refine_subpel_frame
+        merange = int(getattr(self, "merange", 12))
+        # wide-range hierarchical search on the UMH/EPZS tiers (me >= 2);
+        # fast tiers keep the dense +-16 grid like the reference's DIA/HEX
+        hier = merange > 16 and int(getattr(self, "me_method", 1)) >= 2
         best16 = best8 = None
         for ri, rp in enumerate(self.ref_lists[0]):
             ref_y = np.asarray(rp.fs.y)
-            mv16, _, sad16 = jme.motion_search_frame(
-                self.src_y, ref_y, 16, SEARCH_RANGE, self.lam_satd)
-            mv8, _, sad8 = jme.motion_search_frame(
-                self.src_y, ref_y, 8, SEARCH_RANGE, 0.5 * self.lam_satd)
+            if hier:
+                mv16, _, sad16 = jme.motion_search_frame_hier(
+                    self.src_y, ref_y, 16, merange, self.lam_satd)
+                mv8, _, sad8 = jme.motion_search_frame_hier(
+                    self.src_y, ref_y, 8, merange, 0.5 * self.lam_satd)
+            else:
+                mv16, _, sad16 = jme.motion_search_frame(
+                    self.src_y, ref_y, 16, min(merange, 16),
+                    self.lam_satd)
+                mv8, _, sad8 = jme.motion_search_frame(
+                    self.src_y, ref_y, 8, min(merange, 16),
+                    0.5 * self.lam_satd)
             if self.subme:
                 mv16, sad16 = refine_subpel_frame(
                     self.src_y, ref_y, mv16 >> 2, 16, pw, ph)

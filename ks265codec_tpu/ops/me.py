@@ -126,3 +126,71 @@ def full_search_grid(src_blocks: jax.Array, windows: jax.Array, bs: int,
         windows[:, None].astype(jnp.float32), (bs, bs), (1, 1), "VALID")
     src = src_blocks.reshape(src_blocks.shape[0], bs * bs, 1, 1)
     return jnp.sum(jnp.abs(patches.astype(jnp.int32) - src), axis=1)
+
+
+def refine_around(src_y: np.ndarray, ref_y: np.ndarray, bs: int,
+                  centers: np.ndarray, rr: int):
+    """+-rr full-pel dense refinement around per-block centers.
+    centers (nby, nbx, 2) full-pel (dx, dy). The window gather is a host
+    vectorized fancy-index; the SAD grid stays on device.
+    Returns (mv full-pel (nby, nbx, 2), sad (nby, nbx))."""
+    h, w = src_y.shape
+    nby, nbx = h // bs, w // bs
+    win = bs + 2 * rr
+    pad = np.pad(np.asarray(ref_y, np.int32), rr + 1, mode="edge")
+    cy = (np.arange(nby) * bs)[:, None] + np.zeros((1, nbx), np.intp)
+    cx = (np.arange(nbx) * bs)[None, :] + np.zeros((nby, 1), np.intp)
+    oy = np.clip(centers[..., 1], -cy, h - cy - bs)  # windows stay in pad
+    ox = np.clip(centers[..., 0], -cx, w - cx - bs)
+    y0 = (cy + oy + 1).astype(np.intp)
+    x0 = (cx + ox + 1).astype(np.intp)
+    wins = pad[y0.reshape(-1)[:, None, None]
+               + np.arange(win)[None, :, None],
+               x0.reshape(-1)[:, None, None]
+               + np.arange(win)[None, None, :]]
+    blocks = (src_y.astype(np.int32)
+              .reshape(nby, bs, nbx, bs).swapaxes(1, 2)
+              .reshape(-1, bs, bs))
+    sad = np.asarray(full_search_grid(jnp.asarray(blocks),
+                                      jnp.asarray(wins), bs, rr))
+    n_off = 2 * rr + 1
+    flat = sad.reshape(-1, n_off * n_off)
+    best = np.argmin(flat, axis=1)
+    dy = best // n_off - rr
+    dx = best % n_off - rr
+    mv = np.stack([ox.reshape(-1) + dx, oy.reshape(-1) + dy],
+                  axis=1).astype(np.int32)
+    bsad = np.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    return mv.reshape(nby, nbx, 2), bsad.reshape(nby, nbx)
+
+
+def _down2(p):
+    p = np.asarray(p, np.int32)
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+            + p[1::2, 1::2] + 2) >> 2
+
+
+def motion_search_frame_hier(src_y: np.ndarray, ref_y: np.ndarray,
+                             bs: int, merange: int, lam: float):
+    """Wide-range pyramid search (the reference's UMH/EPZS tiers default
+    merange 57-64; a dense grid that wide is quadratic): dense full
+    search at QUARTER resolution covering ~4x the grid range, then +-3
+    refinements at half and full resolution. Returns quarter-pel MVs like
+    motion_search_frame."""
+    h, w = src_y.shape
+    nby, nbx = h // bs, w // bs
+    hs, hr = _down2(src_y), _down2(ref_y)
+    qs, qr = _down2(hs), _down2(hr)
+    sr_q = int(np.clip(merange // 4, 8, 16))
+    bq = max(bs // 4, 4)
+    mv_q, _, _ = motion_search_frame(qs, qr, bq, sr_q, lam)
+    # quarter-level blocks may be coarser than bs/4: replicate to grid
+    mv_q = (np.asarray(mv_q) >> 2)                   # full-pel @ quarter
+    qby, qbx = mv_q.shape[:2]
+    ry = max(1, nby // qby)
+    rx = max(1, nbx // qbx)
+    cen_h = np.repeat(np.repeat(mv_q * 2, ry, 0), rx, 1)[:nby, :nbx]
+    mv_h, _ = refine_around(hs, hr, max(bs // 2, 4), cen_h, 3)
+    cen_f = mv_h * 2
+    mv_f, sad = refine_around(src_y, ref_y, bs, cen_f, 3)
+    return mv_f * 4, sad.astype(np.int64).copy(), sad

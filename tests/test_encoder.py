@@ -341,3 +341,28 @@ def test_gop_shapes_reorder_latency():
     assert gop_size("offline", 2) == 3
     assert gop_size("offline", 7) == 8
     assert gop_size("zerolatency", 3) == 1
+
+
+def test_wide_merange_catches_large_motion():
+    """me>=2 presets engage the pyramid search (merange 64 default): a
+    40 px/frame pan must code dramatically cheaper than the +-16 grid
+    of the fast tiers (the reference's UMH/EPZS wide-range behavior)."""
+    rng = np.random.RandomState(2)
+    base = np.clip(rng.randn(H, W + 200) * 30 + 128, 0,
+                   255).astype(np.uint8)
+    frames = []
+    for t in range(3):
+        y = base[:, t * 40:t * 40 + W].copy()
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 140, np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+    sizes = {}
+    for preset in ("medium", "slow"):
+        cfg = EncoderConfig(width=W, height=H, preset=preset, qp=32,
+                            latency="zerolatency", sao=0)
+        bs, recons = encode_sequence(frames, cfg)
+        dec = HevcDecoder().decode_all(bs)
+        for d, r in zip(dec, recons):
+            assert d.tobytes() == r.tobytes(), preset
+        sizes[preset] = len(bs)
+    assert sizes["slow"] < 0.7 * sizes["medium"], sizes
