@@ -45,6 +45,8 @@ class EncoderConfig:
     lookahead: int = 40
     temporal_layers: int = 3
     open_gop: bool = False
+    long_term_ref: bool = False   # qy265enc.h:144 longTermRef
+    pic_timing_sei: bool = False  # per-AU pic_timing SEI + VUI field info
     headers_before_keyframe: bool = True   # -hbk
     # tools (preset-resolved)
     me: int = 1                      # 0 DIA 1 HEX 2 UMH 3 EPZS 4 CROSS

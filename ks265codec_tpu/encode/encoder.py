@@ -148,7 +148,7 @@ class HevcEncoder:
             s.log2_min_pcm_cb = 4
             s.log2_max_pcm_cb = 5
             s.pcm_loop_filter_disabled = 0
-        s.long_term_ref_pics_present = 0
+        s.long_term_ref_pics_present = 1 if cfg.long_term_ref else 0
         s.temporal_mvp_enabled = 0
         s.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
         s.st_rps = []
@@ -158,7 +158,9 @@ class HevcEncoder:
         fr = Fraction(cfg.frame_rate).limit_denominator(1001)
         s.vui = VUI(timing_info_present=1,
                     num_units_in_tick=fr.denominator,
-                    time_scale=fr.numerator)
+                    time_scale=fr.numerator,
+                    frame_field_info_present=1 if cfg.pic_timing_sei
+                    else 0)
         return s
 
     def _make_pps(self, cfg: EncoderConfig) -> PPS:
@@ -281,6 +283,7 @@ class HevcEncoder:
                                                 is_idr=True))
                 continue
             if idx0 == 0 or (iper > 0 and idx0 % iper == 0):
+                use_cra = bool(cfg.open_gop) and idx0 != 0 and iper > 1
                 if iper == 1 and cfg.latency == "offline" and cfg.fpp:
                     # all-intra: batch frames through ONE device wavefront
                     # dispatch (FPP analog) — frames are independent
@@ -298,7 +301,8 @@ class HevcEncoder:
                     continue
                 di, frame = self.queue.pop(0)
                 out.append(self._encode_picture(frame, di, None,
-                                                is_idr=True))
+                                                is_idr=True,
+                                                cra=use_cra))
                 continue
             # scene-cut check AFTER the all-intra/IDR fast path so the
             # FPP batcher never forces a 1-frame lookahead flush
@@ -455,10 +459,22 @@ class HevcEncoder:
                 sao_stats=res["sao_stats"], deblocked=res["deblocked"])
 
     def _encode_picture(self, frame: YUVFrame, display_idx: int,
-                        plan, is_idr: bool = False) -> EncodedFrame:
+                        plan, is_idr: bool = False,
+                        cra: bool = False) -> EncodedFrame:
         cfg = self.cfg
         from .config import RC_FIXQP
-        if is_idr:
+        if is_idr and cra:
+            # open-GOP intra refresh: CRA keeps the POC timeline (no
+            # leading pictures are emitted, so no RASL handling needed);
+            # the DPB is still cleared — trailing pictures must not
+            # reference across the CRA (spec 8.1 NoRaslOutputFlag rules)
+            poc = self.gop_base + 1
+            self.gop_base += 1
+            self.dpb.clear()
+            slice_type = I_SLICE
+            tid = 0
+            ftype = "I"
+        elif is_idr:
             self.poc = 0
             self.gop_base = 0
             self.dpb.clear()
@@ -486,7 +502,9 @@ class HevcEncoder:
             qp = int(np.clip(qp + self.pass2_dqp.get(display_idx, 0),
                              cfg.qp_min, cfg.qp_max))
         hdr = SliceHeader(
-            nal_type=(NalType.IDR_W_RADL if is_idr else NalType.TRAIL_R),
+            nal_type=(NalType.CRA_NUT if (is_idr and cra)
+                      else NalType.IDR_W_RADL if is_idr
+                      else NalType.TRAIL_R),
             temporal_id=tid,
             first_slice_in_pic=1,
             pps_id=0,
@@ -500,11 +518,20 @@ class HevcEncoder:
         hdr.deblocking_filter_disabled = self.pps.deblocking_filter_disabled
         hdr.beta_offset_div2 = self.pps.beta_offset_div2
         hdr.tc_offset_div2 = self.pps.tc_offset_div2
+        if is_idr and cra:
+            # CRA is IRAP but not IDR: its header carries POC + an EMPTY
+            # short-term RPS (no pictures survive the refresh)
+            hdr.st_rps = ShortTermRPS(delta_pocs=[], used=[],
+                                      num_negative=0, num_positive=0)
+            hdr.st_rps_idx = -1
         sao_on = bool(self.sps.sao_enabled)
         if sao_on:
             hdr.sao_luma = 1
             hdr.sao_chroma = 1
         by_poc = {rp.poc: rp for rp in self.dpb}
+        lt_rp = None
+        if cfg.long_term_ref and not is_idr:
+            lt_rp = next((rp for rp in self.dpb if rp.is_long_term), None)
         l0 = l1 = None
         if not is_idr:
             # trim RPS entries to pictures actually in the DPB (early
@@ -524,6 +551,18 @@ class HevcEncoder:
             hdr.st_rps_idx = -1
             l0 = [by_poc[poc + d] for d in plan.l0 if poc + d in by_poc]
             l1 = [by_poc[poc + d] for d in plan.l1 if poc + d in by_poc]
+            if lt_rp is not None and lt_rp.poc not in (
+                    rp.poc for rp in l0):
+                # long-term ref appended after the short-term entries —
+                # the decoder's RefPicListTemp order (StCurr then LtCurr)
+                mask = (1 << sps_poc_bits(self.sps)) - 1
+                hdr.num_lt_pics = 1
+                hdr.lt_poc = [lt_rp.poc & mask]
+                hdr.lt_used = [1]
+                hdr.lt_msb_present = [0]
+                hdr.lt_delta_poc_msb = [0]
+                hdr.lt_from_sps = [-1]
+                l0 = l0 + [lt_rp]
             if slice_type == B_SLICE and (not l0 or not l1):
                 # missing ref (shouldn't happen): degrade to P off any ref
                 slice_type = P_SLICE
@@ -620,6 +659,12 @@ class HevcEncoder:
         if is_idr and (not self.headers_written
                        or self.cfg.headers_before_keyframe):
             data += self.encode_headers()
+        if cfg.pic_timing_sei:
+            from ..hevc.sei import pic_timing_payload, write_sei_rbsp
+            data += write_nal(
+                NalType.PREFIX_SEI,
+                write_sei_rbsp([(1, pic_timing_payload())]),
+                temporal_id=tid)
         data += write_nal(hdr.nal_type, bytes(rbsp), temporal_id=tid)
         # SAO applies on the already-deblocked recon (normative order)
         if sao_params is not None:
@@ -639,8 +684,12 @@ class HevcEncoder:
         keep = set()
         if not is_idr:
             keep = {poc + d for d in hdr.st_rps.delta_pocs}
-        self.dpb = [rp for rp in self.dpb if rp.poc in keep]
-        self.dpb.append(RefPic(fs, poc))
+        self.dpb = [rp for rp in self.dpb
+                    if rp.poc in keep or (rp.is_long_term
+                                          and cfg.long_term_ref)]
+        self.dpb.append(RefPic(fs, poc,
+                               is_long_term=bool(cfg.long_term_ref
+                                                 and is_idr)))
         recon = self._wrap_recon(fs, frame)
         ef = EncodedFrame(data=data, recon=recon, poc=poc, qp=qp,
                           bits=len(data) * 8,
@@ -680,6 +729,10 @@ class HevcEncoder:
             fs.cb[y0 // 2:y1 // 2, x0 // 2:x1 // 2].astype(np.uint8),
             fs.cr[y0 // 2:y1 // 2, x0 // 2:x1 // 2].astype(np.uint8),
             poc=fs.poc)
+
+
+def sps_poc_bits(sps) -> int:
+    return sps.log2_max_poc_lsb
 
 
 def _psnr(a: YUVFrame, b: YUVFrame) -> tuple[float, float, float]:

@@ -199,6 +199,7 @@ class VUI:
     colour_primaries: int = 2
     transfer_characteristics: int = 2
     matrix_coeffs: int = 2
+    frame_field_info_present: int = 0
     timing_info_present: int = 0
     num_units_in_tick: int = 0
     time_scale: int = 0
@@ -227,7 +228,7 @@ def read_vui(r: BitReader, sps) -> VUI:
         r.read_ue()
     r.read_bit()  # neutral_chroma_indication_flag
     r.read_bit()  # field_seq_flag
-    r.read_bit()  # frame_field_info_present_flag
+    v.frame_field_info_present = r.read_bit()
     if r.read_bit():  # default_display_window_flag
         for _ in range(4):
             r.read_ue()
@@ -261,7 +262,7 @@ def write_vui(w: BitWriter, v: VUI) -> None:
     w.write_bit(0)   # chroma_loc_info_present
     w.write_bit(0)   # neutral_chroma_indication
     w.write_bit(0)   # field_seq
-    w.write_bit(0)   # frame_field_info_present
+    w.write_bit(v.frame_field_info_present)
     w.write_bit(0)   # default_display_window
     w.write_bit(v.timing_info_present)
     if v.timing_info_present:

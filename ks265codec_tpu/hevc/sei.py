@@ -137,3 +137,13 @@ def recovery_point_payload(poc_cnt: int, exact: int = 1,
     w.write_bit(broken_link)
     w.rbsp_trailing_bits()
     return w.getvalue()
+
+
+def pic_timing_payload(pic_struct: int = 0,
+                       source_scan_type: int = 1,
+                       duplicate: int = 0) -> bytes:
+    """pic_timing SEI payload (Annex D.2.3) for streams whose VUI sets
+    frame_field_info_present (no HRD: only the frame-field fields).
+    pic_struct 0 = progressive frame."""
+    acc = (pic_struct << 4) | (source_scan_type << 2) | (duplicate << 1) | 1
+    return bytes([acc])

@@ -366,3 +366,42 @@ def test_wide_merange_catches_large_motion():
             assert d.tobytes() == r.tobytes(), preset
         sizes[preset] = len(bs)
     assert sizes["slow"] < 0.7 * sizes["medium"], sizes
+
+
+def test_open_gop_cra_and_long_term_refs(tmp_path):
+    """Open-GOP CRA intra refresh (POC continues, nal CRA_NUT) and
+    long-term reference marking/use both round-trip and decode under the
+    reference decoder (qy265enc.h:144,147 analogs)."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    from ks265codec_tpu.bitstream.nal import NalType, parse_nals
+    frames = _frames(8, seed=77)
+    for name, kw in (
+            ("cra", dict(intra_period=3, open_gop=True)),
+            ("lt", dict(long_term_ref=True)),
+            ("pic_timing", dict(pic_timing_sei=True))):
+        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=32,
+                            latency="zerolatency", **kw)
+        bs, recons = encode_sequence(frames, cfg)
+        dec = HevcDecoder().decode_all(bs)
+        assert len(dec) == 8, name
+        for d, r in zip(dec, recons):
+            assert d.tobytes() == r.tobytes(), name
+        types = [n.nal_type for n in parse_nals(bs)]
+        if name == "cra":
+            assert NalType.CRA_NUT in types
+            pocs = [d.poc for d in dec]
+            assert pocs == sorted(pocs) and len(set(pocs)) == 8, pocs
+        if name == "pic_timing":
+            assert types.count(NalType.PREFIX_SEI) >= 8
+        if have_reference():
+            bsf = tmp_path / f"{name}.265"
+            bsf.write_bytes(bs)
+            outf = tmp_path / "out.yuv"
+            r = subprocess.run(
+                [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+                 str(outf), "-threads", "1"], capture_output=True)
+            assert r.returncode == 0, name
+            assert outf.read_bytes() == b"".join(
+                rc.tobytes() for rc in recons), name
