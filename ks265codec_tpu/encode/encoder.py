@@ -626,8 +626,12 @@ class HevcEncoder:
                                         enc.src_cr, qp, max(cfg.sao, 1))
         # stage 2: entropy-code the slice from the maps
         from .map_writer import write_slice_data
+        import os as _os
+        nthreads = (cfg.threads if cfg.threads > 0
+                    else min(_os.cpu_count() or 1, 8))
         slice_data, raw_entries = write_slice_data(
-            fs, enc.syn, self.sps, self.pps, hdr, sao_params)
+            fs, enc.syn, self.sps, self.pps, hdr, sao_params,
+            threads=nthreads)
         if self.pps.entropy_coding_sync_enabled or self.pps.tiles_enabled:
             hdr.num_entry_points = len(raw_entries)
             hdr.entry_points = list(raw_entries)

@@ -70,7 +70,8 @@ def _sao_off_grid(sps):
 
 
 def write_slice_data(fs, syn: EncSyntax, sps, pps, hdr,
-                     sao_params=None) -> tuple[bytes, list[int]]:
+                     sao_params=None,
+                     threads: int = 1) -> tuple[bytes, list[int]]:
     """Entropy-code one slice from the maps. Returns (slice data bytes with
     all substreams flushed/aligned incl. the rbsp stop bit, raw substream
     byte sizes for all but the last substream).
@@ -83,7 +84,8 @@ def write_slice_data(fs, syn: EncSyntax, sps, pps, hdr,
     except Exception:                  # pragma: no cover
         _native = None
     if _native is not None and _native.HAVE_NATIVE:
-        r = _native.write_slice_native(fs, syn, sps, pps, hdr, sao_params)
+        r = _native.write_slice_native(fs, syn, sps, pps, hdr, sao_params,
+                                       threads=threads)
         if r is not None:
             return r
     return write_slice_data_py(fs, syn, sps, pps, hdr, sao_params)

@@ -32,7 +32,7 @@ def _build() -> bool:
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-fPIC", "-shared", _src, "-o", _so],
+                [cc, "-O3", "-fPIC", "-shared", "-pthread", _src, "-o", _so],
                 capture_output=True, timeout=120)
             if r.returncode == 0:
                 return True
@@ -150,9 +150,12 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
+def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
     """Native whole-slice entropy coder (mirror of map_writer.py).
 
+    threads > 1 with tiles uses the pthread tile pool
+    (ks_write_slice_tiles_mt) — tiles restart contexts, so workers are
+    independent and the output is byte-identical to the serial writer.
     Returns (slice_data_bytes, entry_sizes list) or None when the native
     path cannot code this configuration (caller falls back to Python)."""
     global _SLICE_BASES
@@ -224,7 +227,7 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
             _u8(syn.cbf_cb), _u8(syn.cbf_cr), _u8(syn.merge_flag),
             _u8(syn.merge_idx), _u8(syn.inter_dir), _u8(syn.ref0),
             _u8(syn.ref1), _u8(syn.mvp0), _u8(syn.mvp1), _u8(fs.qp)]
-    ret = _lib.ks_write_slice(
+    args = [
         _ptr(params, ctypes.c_int32), _SLICE_BASES, _ptr(init_ctx, u8),
         *[_ptr(m, u8) for m in maps],
         _ptr(mvd0, ctypes.c_int16), _ptr(mvd1, ctypes.c_int16),
@@ -238,7 +241,15 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params):
         else ctypes.POINTER(ctypes.c_int32)(),
         _ptr(out, u8), ctypes.c_long(cap),
         _ptr(entry_sizes, ctypes.c_int32), ctypes.byref(n_entries),
-        _ptr(work, u8))
+        _ptr(work, u8)]
+    if (threads > 1 and ts_to_rs is not None
+            and not pps.entropy_coding_sync_enabled):
+        _lib.ks_write_slice_tiles_mt.restype = ctypes.c_long
+        ret = _lib.ks_write_slice_tiles_mt(*args, ctypes.c_int(threads))
+        if ret == -3:        # config not coverable by the MT path
+            ret = _lib.ks_write_slice(*args)
+    else:
+        ret = _lib.ks_write_slice(*args)
     del maps
     if ret < 0:
         return None

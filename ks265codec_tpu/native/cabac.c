@@ -969,6 +969,185 @@ static void sw_finish_substream(Enc *e) {
     e->num_buffered = 0; e->buffered_byte = 0xFF;
 }
 
+/* ==========================================================================
+ * Tile-parallel slice writer (the reference's task-manager / thread-pool
+ * analog, SURVEY.md 2.3 CEncTaskManage): tiles restart CABAC contexts and
+ * neighbor availability is tile-gated, so each tile's entropy coding is
+ * fully independent -- a pthread pool writes tiles concurrently into
+ * per-tile buffers which the caller's thread concatenates in tile-scan
+ * order. The shared `coded` progression map is written at disjoint cells
+ * (each worker only touches its own tile's region).
+ * ========================================================================== */
+#include <pthread.h>
+
+typedef struct {
+    SW tmpl;                       /* template SW (shared input pointers) */
+    const uint8_t *init_ctx;
+    const int32_t *ts_to_rs;
+    const int32_t *ctb_tile;
+    int nctx, nctb, wctb, log2_ctb, sao_on;
+    int ntiles;
+    const int *tile_start;         /* ts index of each tile's first CTU */
+    const int *tile_end;           /* exclusive */
+    uint8_t **bufs; long *caps; long *lens; uint8_t **ctxs;
+    int *errs;
+    volatile int next;             /* work queue cursor */
+    pthread_mutex_t mu;
+} MTJob;
+
+static void mt_write_tile(MTJob *j, int t) {
+    SW sw = j->tmpl;
+    uint8_t *ctx = j->ctxs[t];
+    memcpy(ctx, j->init_ctx, (size_t)j->nctx);
+    sw.e.low = 0; sw.e.range = 510; sw.e.bits_left = 23;
+    sw.e.num_buffered = 0; sw.e.buffered_byte = 0xFF;
+    sw.e.out = j->bufs[t]; sw.e.out_len = 0; sw.e.out_cap = j->caps[t];
+    sw.e.ctx = ctx; sw.e.overflow = 0; sw.err = 0;
+    sw.cur_tile = j->ctb_tile[j->ts_to_rs[j->tile_start[t]]];
+    int last_tile = (t == j->ntiles - 1);
+    for (int ts = j->tile_start[t]; ts < j->tile_end[t]; ts++) {
+        int addr = j->ts_to_rs[ts];
+        int rx = addr % j->wctb, ry = addr / j->wctb;
+        if (j->sao_on) sw_write_sao(&sw, rx, ry);
+        sw_write_cq(&sw, rx << j->log2_ctb, ry << j->log2_ctb,
+                    j->log2_ctb, 0);
+        if (sw.err) { j->errs[t] = sw.err; return; }
+        int last = last_tile && ts == j->tile_end[t] - 1;
+        sw_terminate(&sw.e, last ? 1 : 0);
+    }
+    if (!last_tile)
+        sw_terminate(&sw.e, 1);        /* end_of_subset */
+    sw_finish_substream(&sw.e);
+    if (sw.e.overflow) { j->errs[t] = -2; return; }
+    j->lens[t] = sw.e.out_len;
+}
+
+static void *mt_worker(void *arg) {
+    MTJob *j = (MTJob *)arg;
+    for (;;) {
+        pthread_mutex_lock(&j->mu);
+        int t = j->next++;
+        pthread_mutex_unlock(&j->mu);
+        if (t >= j->ntiles) break;
+        mt_write_tile(j, t);
+    }
+    return NULL;
+}
+
+long ks_write_slice_tiles_mt(const int32_t *params, const int *bases,
+                             const uint8_t *init_ctx,
+                             const uint8_t *depth, const uint8_t *skip,
+                             const uint8_t *pred_mode,
+                             const uint8_t *intra_mode,
+                             const uint8_t *chroma_mode,
+                             const uint8_t *cbf_y, const uint8_t *cbf_cb,
+                             const uint8_t *cbf_cr,
+                             const uint8_t *merge_flag,
+                             const uint8_t *merge_idx,
+                             const uint8_t *inter_dir, const uint8_t *ref0,
+                             const uint8_t *ref1, const uint8_t *mvp0,
+                             const uint8_t *mvp1, const uint8_t *qpmap,
+                             const int16_t *mvd0, const int16_t *mvd1,
+                             const int16_t *cy, const int16_t *ccb,
+                             const int16_t *ccr,
+                             const uint8_t *sao_type,
+                             const int8_t *sao_off,
+                             const uint8_t *sao_band,
+                             const uint8_t *sao_eo,
+                             const int32_t *ts_to_rs,
+                             const int32_t *ctb_tile,
+                             uint8_t *out, long out_cap,
+                             int32_t *entry_sizes, int32_t *n_entries,
+                             uint8_t *work, int nthreads) {
+    tables_init(); scans_init();
+    if (params[P_DQP_ENABLED] || params[P_WPP] || !ts_to_rs || !ctb_tile)
+        return -3;
+    SW sw;
+    memset(&sw, 0, sizeof(sw));
+    sw.p = params; sw.bases = bases;
+    sw.depth = depth; sw.skip = skip; sw.pred_mode = pred_mode;
+    sw.intra_mode = intra_mode; sw.chroma_mode = chroma_mode;
+    sw.cbf_y = cbf_y; sw.cbf_cb = cbf_cb; sw.cbf_cr = cbf_cr;
+    sw.merge_flag = merge_flag; sw.merge_idx = merge_idx;
+    sw.inter_dir = inter_dir; sw.ref0 = ref0; sw.ref1 = ref1;
+    sw.mvp0 = mvp0; sw.mvp1 = mvp1; sw.qpmap = qpmap;
+    sw.mvd0 = mvd0; sw.mvd1 = mvd1;
+    sw.cy = cy; sw.ccb = ccb; sw.ccr = ccr;
+    sw.sao_type = sao_type; sw.sao_off = sao_off;
+    sw.sao_band = sao_band; sw.sao_eo = sao_eo;
+    sw.w4 = params[P_PW] >> 2; sw.h4 = params[P_PH] >> 2;
+    int log2_ctb = params[P_LOG2_CTB];
+    sw.wctb = (params[P_WIDTH] + (1 << log2_ctb) - 1) >> log2_ctb;
+    sw.hctb = (params[P_HEIGHT] + (1 << log2_ctb) - 1) >> log2_ctb;
+    int nctx = params[P_NCTX];
+    sw.coded = work + 2 * nctx;
+    memset(sw.coded, 0, (size_t)(sw.w4 * sw.h4));
+    sw.ctb_tile = ctb_tile;
+    sw.log2_ctb = log2_ctb;
+    int nctb = sw.wctb * sw.hctb;
+    /* tile ranges from the scan map */
+    int tile_start[256], tile_end[256];
+    int ntiles = 0;
+    for (int ts = 0; ts < nctb; ts++) {
+        int tid = ctb_tile[ts_to_rs[ts]];
+        if (ts == 0 || tid != ctb_tile[ts_to_rs[ts - 1]]) {
+            if (ntiles == 256) return -3;
+            tile_start[ntiles] = ts;
+            if (ntiles) tile_end[ntiles - 1] = ts;
+            ntiles++;
+        }
+    }
+    tile_end[ntiles - 1] = nctb;
+    MTJob j;
+    j.tmpl = sw; j.init_ctx = init_ctx; j.ts_to_rs = ts_to_rs;
+    j.ctb_tile = ctb_tile; j.nctx = nctx; j.nctb = nctb;
+    j.wctb = sw.wctb; j.log2_ctb = log2_ctb;
+    j.sao_on = params[P_SAO_LUMA] || params[P_SAO_CHROMA];
+    j.ntiles = ntiles; j.tile_start = tile_start; j.tile_end = tile_end;
+    j.next = 0;
+    pthread_mutex_init(&j.mu, NULL);
+    uint8_t *bufs[256]; long caps[256]; long lens[256]; int errs[256];
+    uint8_t *ctxs[256];
+    int ctb_px = 1 << log2_ctb;
+    for (int t = 0; t < ntiles; t++) {
+        long nct = tile_end[t] - tile_start[t];
+        caps[t] = nct * (long)ctb_px * ctb_px * 3 + (1 << 16);
+        bufs[t] = (uint8_t *)malloc((size_t)caps[t]);
+        ctxs[t] = (uint8_t *)malloc((size_t)nctx);
+        lens[t] = 0; errs[t] = 0;
+        if (!bufs[t] || !ctxs[t]) return -4;
+    }
+    j.bufs = bufs; j.caps = caps; j.lens = lens; j.ctxs = ctxs;
+    j.errs = errs;
+    int nw = nthreads < ntiles ? nthreads : ntiles;
+    if (nw < 1) nw = 1;
+    pthread_t th[64];
+    if (nw > 64) nw = 64;
+    for (int i = 0; i < nw; i++)
+        pthread_create(&th[i], NULL, mt_worker, &j);
+    for (int i = 0; i < nw; i++)
+        pthread_join(th[i], NULL);
+    pthread_mutex_destroy(&j.mu);
+    long total = 0;
+    int err = 0, ne = 0;
+    for (int t = 0; t < ntiles; t++) {
+        if (errs[t]) err = errs[t];
+        total += lens[t];
+    }
+    if (!err && total > out_cap) err = -2;
+    if (!err) {
+        long off = 0;
+        for (int t = 0; t < ntiles; t++) {
+            memcpy(out + off, bufs[t], (size_t)lens[t]);
+            off += lens[t];
+            if (t < ntiles - 1) entry_sizes[ne++] = (int32_t)lens[t];
+        }
+        *n_entries = ne;
+    }
+    for (int t = 0; t < ntiles; t++) { free(bufs[t]); free(ctxs[t]); }
+    return err ? err : total;
+}
+
 long ks_write_slice(const int32_t *params, const int *bases,
                     const uint8_t *init_ctx,
                     const uint8_t *depth, const uint8_t *skip,

@@ -101,12 +101,16 @@ def test_tiles_native_writer_matches_python(monkeypatch):
     real = MW.write_slice_data
     checked = []
 
-    def both(fs, syn, sps, pps, hdr, sao_params=None):
+    def both(fs, syn, sps, pps, hdr, sao_params=None, threads=1):
         got_n = native.write_slice_native(fs, syn, sps, pps, hdr, sao_params)
         got_p = MW.write_slice_data_py(fs, syn, sps, pps, hdr, sao_params)
+        got_mt = native.write_slice_native(fs, syn, sps, pps, hdr,
+                                           sao_params, threads=4)
         assert got_n is not None
         assert got_n[0] == got_p[0]
         assert got_n[1] == got_p[1]
+        # pthread tile pool must be byte-identical to the serial writer
+        assert got_mt == got_n
         checked.append(1)
         return got_n
 
