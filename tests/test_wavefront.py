@@ -72,7 +72,7 @@ def test_native_slice_writer_matches_python():
     calls = []
     orig = mw.write_slice_data
 
-    def checked(fs, syn, sps, pps, hdr, sao_params=None):
+    def checked(fs, syn, sps, pps, hdr, sao_params=None, threads=1):
         py = mw.write_slice_data_py(fs, syn, sps, pps, hdr, sao_params)
         nat = native.write_slice_native(fs, syn, sps, pps, hdr, sao_params)
         assert nat is not None
