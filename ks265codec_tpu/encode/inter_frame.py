@@ -54,12 +54,17 @@ class PFrameEncoder(IntraFrameEncoder):
         pw, ph = self.sps.width, self.sps.height
         from ..ops.subpel import refine_subpel_frame
         merange = int(getattr(self, "merange", 12))
-        # wide-range hierarchical search on the UMH/EPZS tiers (me >= 2);
-        # fast tiers keep the dense +-16 grid like the reference's DIA/HEX
-        hier = merange > 16 and int(getattr(self, "me_method", 1)) >= 2
+        # wide-range hierarchical search on the UMH/EPZS tiers (me >= 2)
+        # and ALWAYS for distant references (a GOP-8 P sits 8 frames from
+        # its ref: accumulated motion blows past the +-16 grid and the
+        # block falls back to intra — measured 96% intra on the harness
+        # clip's distance-8 P before this)
+        hier_all = merange > 16 and int(getattr(self, "me_method", 1)) >= 2
         best16 = best8 = None
         for ri, rp in enumerate(self.ref_lists[0]):
             ref_y = np.asarray(rp.fs.y)
+            dist = abs(int(getattr(self.hdr, "poc", 0)) - int(rp.poc))
+            hier = hier_all or (merange > 16 and dist > 2)
             if hier:
                 mv16, _, sad16 = jme.motion_search_frame_hier(
                     self.src_y, ref_y, 16, merange, self.lam_satd)
@@ -602,16 +607,24 @@ class BFrameEncoder(PFrameEncoder):
             effort=getattr(self, "decide_effort", 1))
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)
         ref1 = np.asarray(self.ref_lists[1][0].fs.y)
-        mv0, c0, s0 = jme.motion_search_frame(self.src_y, ref0, 16,
-                                              SEARCH_RANGE, self.lam_satd)
-        mv1, c1, s1 = jme.motion_search_frame(self.src_y, ref1, 16,
-                                              SEARCH_RANGE, self.lam_satd)
-        mv0_8, _, s0_8 = jme.motion_search_frame(self.src_y, ref0, 8,
-                                                 SEARCH_RANGE,
-                                                 0.5 * self.lam_satd)
-        mv1_8, _, s1_8 = jme.motion_search_frame(self.src_y, ref1, 8,
-                                                 SEARCH_RANGE,
-                                                 0.5 * self.lam_satd)
+        merange = int(getattr(self, "merange", 12))
+        poc = int(getattr(self.hdr, "poc", 0))
+
+        def search(ref, rp, bs, lam):
+            dist = abs(poc - int(rp.poc))
+            if merange > 16 and (dist > 2 or int(getattr(
+                    self, "me_method", 1)) >= 2):
+                return jme.motion_search_frame_hier(self.src_y, ref, bs,
+                                                    merange, lam)
+            return jme.motion_search_frame(self.src_y, ref, bs,
+                                           min(merange, 16), lam)
+
+        mv0, c0, s0 = search(ref0, self.ref_lists[0][0], 16, self.lam_satd)
+        mv1, c1, s1 = search(ref1, self.ref_lists[1][0], 16, self.lam_satd)
+        mv0_8, _, s0_8 = search(ref0, self.ref_lists[0][0], 8,
+                                0.5 * self.lam_satd)
+        mv1_8, _, s1_8 = search(ref1, self.ref_lists[1][0], 8,
+                                0.5 * self.lam_satd)
         pw, ph = self.sps.width, self.sps.height
         if self.subme:
             from ..ops.subpel import bi_pred_cost, refine_subpel_frame
