@@ -587,6 +587,7 @@ class HevcEncoder:
             e.decide_effort = int(cfg.decide_effort)
             e.merange = int(cfg.merange)
             e.me_method = int(cfg.me)
+            e.partitions = int(cfg.partitions)
             return e
 
         fs = FrameState(self.sps)

@@ -277,7 +277,184 @@ class PFrameEncoder(IntraFrameEncoder):
             return
         mi, inter_sad = self._block_mi(by, bx)
         intra_mode = int(self.mode16[by, bx])
+        if getattr(self, "partitions", 0) and log2 == 4:
+            part, pu_mis = self._choose_partition(x0, y0, mi, inter_sad)
+            if part:
+                self._code_inter_cu_part(x0, y0, log2, depth, part,
+                                         pu_mis)
+                return
         self._code_inter_cu(x0, y0, log2, depth, mi, inter_sad, intra_mode)
+
+    # --------------------------------------- rectangular partitions (PUs)
+    def _pu_pred(self, xp, yp, nw, nh, mi):
+        """Luma prediction block for one PU candidate (uni or bi)."""
+        from ..decode.inter import interp_luma
+        pw, ph = self.sps.width, self.sps.height
+        preds = []
+        for l in range(2):
+            if mi.ref_idx[l] < 0:
+                continue
+            ref = np.asarray(self.ref_lists[l][mi.ref_idx[l]].fs.y)
+            preds.append(interp_luma(ref, xp, yp, nw, nh, mi.mv[l][0],
+                                     mi.mv[l][1], pw, ph))
+        if len(preds) == 2:
+            return np.clip((preds[0] + preds[1] + 64) >> 7, 0, 255)
+        return np.clip((preds[0] + 32) >> 6, 0, 255)
+
+    def _choose_partition(self, x0, y0, mi2n, sad2n):
+        """2NxN / Nx2N probe (the -partitions ladder flag,
+        qy265enc.h InterPartMode): per PU, candidate motion comes from
+        the covering 8-blocks' field winners plus the 2Nx2N motion; the
+        partition wins when its summed PU SAD beats 2Nx2N by more than
+        the extra PU header cost."""
+        src = self.src_y
+        best_part, best_mis = 0, None
+        best_cost = sad2n + self.lam_satd * 4.0
+        for part, pus in ((1, ((x0, y0, 16, 8), (x0, y0 + 8, 16, 8))),
+                          (2, ((x0, y0, 8, 16), (x0 + 8, y0, 8, 16)))):
+            tot = 0.0
+            mis = []
+            for (xp, yp, nw, nh) in pus:
+                cands = [mi2n]
+                for (bx8, by8) in ((xp >> 3, yp >> 3),
+                                   ((xp + nw - 8) >> 3,
+                                    (yp + nh - 8) >> 3)):
+                    c, _ = self._block_mi8(by8, bx8)
+                    cands.append(c)
+                bsad, bmi = None, None
+                for c in cands:
+                    p = self._pu_pred(xp, yp, nw, nh, c)
+                    sad = int(np.abs(
+                        src[yp:yp + nh, xp:xp + nw] - p).sum())
+                    if bsad is None or sad < bsad:
+                        bsad, bmi = sad, c
+                tot += bsad
+                mis.append(bmi)
+            cost = tot + self.lam_satd * 14.0   # extra PU + part bins
+            if cost < best_cost:
+                best_part, best_mis, best_cost = part, mis, cost
+        return best_part, best_mis
+
+    def _code_inter_cu_part(self, x0, y0, log2, depth, part, pu_mis):
+        """Code a 2NxN / Nx2N inter CU: per-PU merge-or-AMVP, MC, then
+        the IMPLICIT depth-0 TU split (four quadrant TUs, spec 7.3.8.8 —
+        mirrored by map_writer._write_inter_cu_part)."""
+        fs, syn = self.fs, self.syn
+        size = 1 << log2
+        b4 = size >> 2
+        x4, y4 = x0 >> 2, y0 >> 2
+        fs.cu_depth[y4:y4 + b4, x4:x4 + b4] = depth
+        fs.qp[y4:y4 + b4, x4:x4 + b4] = self.qp
+        for g in (fs.cu_edge_v, fs.tu_edge_v):
+            g[y4:y4 + b4, x4] = True
+        for g in (fs.cu_edge_h, fs.tu_edge_h):
+            g[y4, x4:x4 + b4] = True
+        fs.skip[y4:y4 + b4, x4:x4 + b4] = False
+        syn.part[y4:y4 + b4, x4:x4 + b4] = part
+        h = size >> 1
+        # implicit TU split: internal TU edges for deblocking
+        fs.tu_edge_v[y4:y4 + b4, x4 + (b4 >> 1)] = True
+        fs.tu_edge_h[y4 + (b4 >> 1), x4:x4 + b4] = True
+        pus = ([(x0, y0, size, h), (x0, y0 + h, size, h)] if part == 1
+               else [(x0, y0, h, size), (x0 + h, y0, h, size)])
+        src = self.src_y
+        for pidx, (xp, yp, nw, nh) in enumerate(pus):
+            px4, py4 = xp >> 2, yp >> 2
+            fs.pu_edge_v[py4:py4 + (nh >> 2), px4] = True
+            fs.pu_edge_h[py4, px4:px4 + (nw >> 2)] = True
+            mi = pu_mis[pidx]
+            # merge evaluation with decoder-identical candidates
+            cands = self.md.merge_candidates(x0, y0, size, xp, yp, nw, nh,
+                                             pidx, part)
+            best_i, best_cost, best_c = -1, float("inf"), None
+            seen = set()
+            for i, c in enumerate(cands):
+                key = tuple((l, c.ref_idx[l], tuple(c.mv[l]))
+                            for l in range(2) if c.ref_idx[l] >= 0)
+                if not key or key in seen:
+                    continue
+                seen.add(key)
+                p = self._pu_pred(xp, yp, nw, nh, c)
+                sad = int(np.abs(src[yp:yp + nh, xp:xp + nw] - p).sum())
+                cost = sad + self.lam_satd * (2.0 + i)
+                if cost < best_cost:
+                    best_i, best_cost, best_c = i, cost, c
+            used = [l for l in range(2) if mi.ref_idx[l] >= 0]
+            mvds, mvp_flags = {}, {}
+            me_bits = 3.0
+            for l in used:
+                amvp = self.md.amvp_candidates(x0, y0, size, xp, yp, nw,
+                                               nh, pidx, l, mi.ref_idx[l])
+                d0 = [mi.mv[l][0] - amvp[0][0], mi.mv[l][1] - amvp[0][1]]
+                d1 = [mi.mv[l][0] - amvp[1][0], mi.mv[l][1] - amvp[1][1]]
+                f = 0 if (abs(d0[0]) + abs(d0[1])
+                          <= abs(d1[0]) + abs(d1[1])) else 1
+                mvp_flags[l] = f
+                mvds[l] = d0 if f == 0 else d1
+                me_bits += (2.0 + 2.0 * np.log2(1.0 + abs(mvds[l][0]))
+                            + 2.0 * np.log2(1.0 + abs(mvds[l][1])))
+            p = self._pu_pred(xp, yp, nw, nh, mi)
+            me_cost = int(np.abs(src[yp:yp + nh, xp:xp + nw] - p).sum())                 + self.lam_satd * me_bits
+            if best_c is not None and best_cost <= me_cost:
+                mi = best_c
+                syn.merge_flag[py4:py4 + (nh >> 2),
+                               px4:px4 + (nw >> 2)] = 1
+                syn.merge_idx[py4:py4 + (nh >> 2),
+                              px4:px4 + (nw >> 2)] = best_i
+            else:
+                syn.merge_flag[py4:py4 + (nh >> 2),
+                               px4:px4 + (nw >> 2)] = 0
+                used = [l for l in range(2) if mi.ref_idx[l] >= 0]
+                inter_dir = 2 if len(used) == 2 else used[0]
+                syn.inter_dir[py4:py4 + (nh >> 2),
+                              px4:px4 + (nw >> 2)] = inter_dir
+                for l in used:
+                    (syn.ref0 if l == 0 else syn.ref1)[
+                        py4:py4 + (nh >> 2), px4:px4 + (nw >> 2)] =                         mi.ref_idx[l]
+                    mvd_map = syn.mvd0 if l == 0 else syn.mvd1
+                    mvd_map[py4:py4 + (nh >> 2), px4:px4 + (nw >> 2),
+                            0] = mvds[l][0]
+                    mvd_map[py4:py4 + (nh >> 2), px4:px4 + (nw >> 2),
+                            1] = mvds[l][1]
+                    (syn.mvp0 if l == 0 else syn.mvp1)[
+                        py4:py4 + (nh >> 2), px4:px4 + (nw >> 2)] =                         mvp_flags[l]
+            self._store_motion_rect(xp, yp, nw, nh, mi)
+            motion_compensate(fs, self.hdr, self.ref_lists, xp, yp, nw,
+                              nh, mi)
+        # residuals: four quadrant TUs (implicit split), chroma per child
+        q = h
+        c_log2 = log2 - 1
+        for (dx, dy) in ((0, 0), (q, 0), (0, q), (q, q)):
+            xq, yq = x0 + dx, y0 + dy
+            q4x, q4y = xq >> 2, yq >> 2
+            qb4 = q >> 2
+            ry = src[yq:yq + q, xq:xq + q] - fs.y[yq:yq + q, xq:xq + q]
+            cyq = self._transform_quant_inter(ry, c_log2, self.qp)
+            csz = q >> 1
+            cxq, cyq0 = xq >> 1, yq >> 1
+            rcb = self.src_cb[cyq0:cyq0 + csz, cxq:cxq + csz]                 - fs.cb[cyq0:cyq0 + csz, cxq:cxq + csz]
+            rcr = self.src_cr[cyq0:cyq0 + csz, cxq:cxq + csz]                 - fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz]
+            ccbq = self._transform_quant_inter(rcb, c_log2 - 1, self.qp_cb)
+            ccrq = self._transform_quant_inter(rcr, c_log2 - 1, self.qp_cr)
+            syn.cy[yq:yq + q, xq:xq + q] = cyq
+            syn.ccb[cyq0:cyq0 + csz, cxq:cxq + csz] = ccbq
+            syn.ccr[cyq0:cyq0 + csz, cxq:cxq + csz] = ccrq
+            fs.cbf_luma[q4y:q4y + qb4, q4x:q4x + qb4] = bool(cyq.any())
+            syn.cbf_cb[q4y:q4y + qb4, q4x:q4x + qb4] = int(ccbq.any())
+            syn.cbf_cr[q4y:q4y + qb4, q4x:q4x + qb4] = int(ccrq.any())
+            if cyq.any():
+                r = self._recon_residual(cyq, c_log2, self.qp)
+                fs.y[yq:yq + q, xq:xq + q] = np.clip(
+                    fs.y[yq:yq + q, xq:xq + q] + r, 0, 255)
+            if ccbq.any():
+                r = self._recon_residual(ccbq, c_log2 - 1, self.qp_cb)
+                fs.cb[cyq0:cyq0 + csz, cxq:cxq + csz] = np.clip(
+                    fs.cb[cyq0:cyq0 + csz, cxq:cxq + csz] + r, 0, 255)
+            if ccrq.any():
+                r = self._recon_residual(ccrq, c_log2 - 1, self.qp_cr)
+                fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz] = np.clip(
+                    fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz] + r, 0, 255)
+        fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
 
     def _code_inter_cu(self, x0, y0, log2, depth, mi, inter_sad,
                        intra_mode):
@@ -524,20 +701,23 @@ class PFrameEncoder(IntraFrameEncoder):
                              size, 8, True)
 
     def _store_motion(self, xp, yp, size, mi: MotionInfo):
+        self._store_motion_rect(xp, yp, size, size, mi)
+
+    def _store_motion_rect(self, xp, yp, nw, nh, mi: MotionInfo):
         fs = self.fs
         x4, y4 = xp >> 2, yp >> 2
-        b4 = size >> 2
-        fs.pred_mode[y4:y4 + b4, x4:x4 + b4] = MODE_INTER
+        w4, h4 = nw >> 2, nh >> 2
+        fs.pred_mode[y4:y4 + h4, x4:x4 + w4] = MODE_INTER
         for l in range(2):
             ri = mi.ref_idx[l]
-            fs.ref_idx[l, y4:y4 + b4, x4:x4 + b4] = ri
+            fs.ref_idx[l, y4:y4 + h4, x4:x4 + w4] = ri
             if 0 <= ri < len(self.ref_lists[l]):
-                fs.mv[l, y4:y4 + b4, x4:x4 + b4, 0] = mi.mv[l][0]
-                fs.mv[l, y4:y4 + b4, x4:x4 + b4, 1] = mi.mv[l][1]
+                fs.mv[l, y4:y4 + h4, x4:x4 + w4, 0] = mi.mv[l][0]
+                fs.mv[l, y4:y4 + h4, x4:x4 + w4, 1] = mi.mv[l][1]
                 rp = self.ref_lists[l][ri]
-                fs.ref_poc[l, y4:y4 + b4, x4:x4 + b4] = rp.poc
-                fs.ref_lt[l, y4:y4 + b4, x4:x4 + b4] = rp.is_long_term
-        fs.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
+                fs.ref_poc[l, y4:y4 + h4, x4:x4 + w4] = rp.poc
+                fs.ref_lt[l, y4:y4 + h4, x4:x4 + w4] = rp.is_long_term
+        fs.mi_parsed[y4:y4 + h4, x4:x4 + w4] = True
 
     def _inter_residuals(self, x0, y0, log2):
         fs = self.fs

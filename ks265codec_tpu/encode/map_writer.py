@@ -153,6 +153,79 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
     return b"".join(substreams) + final, entry_points
 
 
+def _write_inter_cu_part(w, ws, syn, sps, hdr, x0, y0, log2, depth,
+                         part):
+    """Partitioned inter CU (2NxN / Nx2N): two PUs, then the transform
+    tree with the IMPLICIT depth-0 split (spec 7.3.8.8 interSplitFlag:
+    max_transform_hierarchy_depth_inter == 0 and part != 2Nx2N)."""
+    size = 1 << log2
+    b4 = size >> 2
+    x4, y4 = x0 >> 2, y0 >> 2
+    w.note_cu_qp(int(ws.qp[y4, x4]))
+    w.write_part_mode_inter(part, log2)
+    s, h = size, size >> 1
+    pus = ([(x0, y0, s, h), (x0, y0 + h, s, h)] if part == 1
+           else [(x0, y0, h, s), (x0 + h, y0, h, s)])
+    for pidx, (xp, yp, nw, nh) in enumerate(pus):
+        px4, py4 = xp >> 2, yp >> 2
+        merge = bool(syn.merge_flag[py4, px4])
+        w.write_merge_flag(1 if merge else 0)
+        if merge:
+            w.write_merge_idx(int(syn.merge_idx[py4, px4]))
+        else:
+            inter_dir = int(syn.inter_dir[py4, px4])
+            if hdr.slice_type == 0:          # B
+                w.write_inter_dir(inter_dir, depth, nw + nh)
+            used = (0, 1) if inter_dir == 2 else (inter_dir,)
+            for lst in used:
+                ridx = int((syn.ref0 if lst == 0
+                            else syn.ref1)[py4, px4])
+                w.write_ref_idx(lst, ridx)
+                mvd = (syn.mvd0 if lst == 0 else syn.mvd1)[py4, px4]
+                w.write_mvd((int(mvd[0]), int(mvd[1])))
+                w.write_mvp_flag(int((syn.mvp0 if lst == 0
+                                      else syn.mvp1)[py4, px4]))
+        ws.mi_parsed[py4:py4 + (nh >> 2), px4:px4 + (nw >> 2)] = True
+    root_cbf = bool(
+        ws.cbf_luma[y4:y4 + b4, x4:x4 + b4].any()
+        or syn.cbf_cb[y4:y4 + b4, x4:x4 + b4].any()
+        or syn.cbf_cr[y4:y4 + b4, x4:x4 + b4].any())
+    w.write_rqt_root_cbf(1 if root_cbf else 0)
+    if not root_cbf:
+        return
+    # transform tree: depth-0 parent chroma flags, implicit 4-way split
+    parent_cb = int(syn.cbf_cb[y4:y4 + b4, x4:x4 + b4].any())
+    parent_cr = int(syn.cbf_cr[y4:y4 + b4, x4:x4 + b4].any())
+    w.write_cbf_chroma(parent_cb, 0)
+    w.write_cbf_chroma(parent_cr, 0)
+    c_log2 = log2 - 1
+    for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+        xq, yq = x0 + dx, y0 + dy
+        q4x, q4y = xq >> 2, yq >> 2
+        ccb = int(syn.cbf_cb[q4y, q4x]) if parent_cb else 0
+        ccr = int(syn.cbf_cr[q4y, q4x]) if parent_cr else 0
+        if parent_cb:
+            w.write_cbf_chroma(ccb, 1)
+        if parent_cr:
+            w.write_cbf_chroma(ccr, 1)
+        cbf_y = int(ws.cbf_luma[q4y, q4x])
+        w.write_cbf_luma(cbf_y, 1)
+        if cbf_y or ccb or ccr:
+            w.maybe_write_dqp(int(ws.qp[y4, x4]))
+        qs = 1 << c_log2
+        if cbf_y:
+            cf = syn.cy[yq:yq + qs, xq:xq + qs].astype(np.int32)
+            w.write_residual(cf, c_log2, 0, None)
+        csz = qs >> 1
+        cxq, cyq = xq >> 1, yq >> 1
+        if ccb:
+            cf = syn.ccb[cyq:cyq + csz, cxq:cxq + csz].astype(np.int32)
+            w.write_residual(cf, c_log2 - 1, 1, None)
+        if ccr:
+            cf = syn.ccr[cyq:cyq + csz, cxq:cxq + csz].astype(np.int32)
+            w.write_residual(cf, c_log2 - 1, 2, None)
+
+
 def apply_effective_qp(fs, syn, sps, pps, hdr) -> None:
     """Rewrite fs.qp to the DECODER-side effective per-cell QP under
     cu_qp_delta (QG = CTB): CUs before the first residual-bearing CU of a
@@ -286,8 +359,13 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
             cf = syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz].astype(np.int32)
             w.write_residual(cf, c_log2, 2, cmode)
         return
-    # ----- inter CU (2Nx2N)
+    # ----- inter CU
     w.write_pred_mode(False)
+    part = int(syn.part[y4, x4])
+    if part != 0:
+        _write_inter_cu_part(w, ws, syn, sps, hdr, x0, y0, log2, depth,
+                             part)
+        return
     w.write_part_2Nx2N_inter()
     merge = bool(syn.merge_flag[y4, x4])
     cbf_y = int(ws.cbf_luma[y4, x4])

@@ -193,6 +193,25 @@ class CtuSyntaxWriter:
     def write_part_2Nx2N_inter(self) -> None:
         self.enc.encode_bin(1, CTX_OFFSET["part_size"])
 
+    def write_part_mode_inter(self, part: int, log2: int) -> None:
+        """part_mode for inter CUs (mirror of the decoder's 9.3.3.7
+        parse; AMP off, NxN never emitted)."""
+        base = CTX_OFFSET["part_size"]
+        enc = self.enc
+        if part == 0:                      # 2Nx2N
+            enc.encode_bin(1, base)
+            return
+        enc.encode_bin(0, base)
+        if part == 1:                      # 2NxN
+            enc.encode_bin(1, base + 1)
+            return
+        enc.encode_bin(0, base + 1)        # Nx2N
+        if log2 == self.min_cb:
+            if log2 != 3:
+                enc.encode_bin(1, base + 2)
+        elif self.sps.amp_enabled:
+            enc.encode_bin(1, base + 3)
+
     def write_merge_flag(self, flag: int) -> None:
         self.enc.encode_bin(flag, CTX_OFFSET["merge_flag"])
 

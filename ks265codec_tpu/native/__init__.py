@@ -165,6 +165,8 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         return None      # PCM raw-sample interleaving: Python writer
     if getattr(pps, "cu_qp_delta_enabled", 0):
         return None      # cu_qp_delta chain: Python writer (AQ path)
+    if syn.part.any():
+        return None      # partitioned inter CUs: Python writer
     from ..hevc.cabac_tables import CTX_OFFSET, NUM_CTX, init_contexts
     if _SLICE_BASES is None:
         _SLICE_BASES = (ctypes.c_int * len(_SLICE_CTX_NAMES))(

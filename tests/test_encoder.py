@@ -405,3 +405,45 @@ def test_open_gop_cra_and_long_term_refs(tmp_path):
             assert r.returncode == 0, name
             assert outf.read_bytes() == b"".join(
                 rc.tobytes() for rc in recons), name
+
+
+def test_inter_partitions_roundtrip(tmp_path):
+    """2NxN / Nx2N inter PUs (slower+ ladder or explicit -partitions):
+    per-PU motion + the implicit depth-0 TU split, bit-exact under the
+    reference decoder."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    frames = _frames(5, seed=55)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=32,
+                        latency="zerolatency", partitions=1, sao=0)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 5
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    # partitions must actually fire on this clip
+    import ks265codec_tpu.decode.slice_dec as SD
+    seen = []
+    orig = SD.SliceDecoder._parse_part_mode_inter
+
+    def spy(self, log2):
+        p = orig(self, log2)
+        seen.append(p)
+        return p
+
+    SD.SliceDecoder._parse_part_mode_inter = spy
+    try:
+        HevcDecoder().decode_all(bs)
+    finally:
+        SD.SliceDecoder._parse_part_mode_inter = orig
+    assert any(p in (1, 2) for p in seen), "no rectangular PU coded"
+    if have_reference():
+        bsf = tmp_path / "part.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "out.yuv"
+        r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf),
+                            "-o", str(outf), "-threads", "1"],
+                           capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
