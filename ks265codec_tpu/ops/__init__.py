@@ -2,13 +2,41 @@
 persistent XLA compilation cache — codec kernel shapes are stable across
 runs, so caching removes the first-compile latency per process."""
 
+import hashlib as _hashlib
 import os as _os
 
 import jax as _jax
 
+# The cache directory is keyed by (platform, host CPU fingerprint): the
+# repo (and ~/.cache) persists across container hosts, and CPU AOT
+# artifacts embed the compiling host's machine features (AMX,
+# prefer-no-scatter, ...). Loading an artifact produced on a different
+# host raises cpu_aot_loader warnings and can SIGILL/SEGV mid-run
+# (observed as random full-suite crashes). Fingerprinting the flags line
+# of /proc/cpuinfo keeps each host's artifacts in its own universe while
+# preserving warm-cache startup on the same host.
+try:
+    _platform = str(_jax.config.jax_platforms or "auto")
+except Exception:                       # pragma: no cover
+    _platform = "auto"
+
+
+def _host_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return _hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:                     # pragma: no cover - non-Linux
+        pass
+    return "nofp"
+
+
 _cache_dir = _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
-    _os.path.expanduser("~/.cache/ks265codec_tpu_xla"))
+    _os.path.expanduser("~/.cache/ks265codec_tpu_xla_%s_%s"
+                        % (_platform.replace(",", "_"),
+                           _host_fingerprint())))
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -9,7 +9,40 @@ import os
 # cache dir must go through jax.config (this jax build IGNORES the
 # JAX_PLATFORMS / JAX_COMPILATION_CACHE_DIR env vars — the axon TPU-tunnel
 # plugin would otherwise claim every test process).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import hashlib as _hashlib
+
+
+def _host_fp() -> str:
+    # /tmp (and this cache) can outlive the container HOST: CPU AOT
+    # artifacts embed machine features of the compiling host and SEGV
+    # when deserialized on a different one (observed mid-suite). Key the
+    # cache dir by the cpuinfo flags line so each host gets its own.
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return _hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return "nofp"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_cache_" + _host_fp())
+
+# The full suite compiles hundreds of XLA CPU executables in ONE process;
+# each contributes hundreds of vm mappings, crossing the kernel default
+# vm.max_map_count=65530 around suite position ~95% — at which point any
+# mmap inside XLA (compile, (de)serialize, buffer alloc) fails and the
+# process aborts/SEGVs with no Python-visible error. Raise the limit
+# (we run as root in the container; harmless if already higher).
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:  # pragma: no cover - non-root / non-Linux
+    pass
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
