@@ -367,9 +367,13 @@ def _assemble(tiles, recs, xs, ys, valid, n8: int, t: int, w8: int):
     return tiles.at[idx.reshape(-1)].set(v.astype(tiles.dtype), mode="drop")
 
 
-def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
+def _code_intra_frame_core(src_y, src_cb, src_cr, segs,
                            strong: bool, sbh: bool = False,
                            rdoq: bool = False):
+    """segs: tuple of level-axis SEGMENTS, each (sched8, sched16,
+    sched32) 11-field packs. Segmenting lets each chunk of levels carry
+    its own K width — the wavefront frontier is diamond-shaped, so one
+    global K pads the narrow head/tail levels several-fold."""
     # sources may arrive as uint8 (cheap transfer); compute in int32
     ph, pw = src_y.shape
     h8, w8 = ph >> 3, pw >> 3
@@ -377,12 +381,12 @@ def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
     sty = _tile(src_y.astype(jnp.int32), 8)
     stcb = _tile(src_cb.astype(jnp.int32), 4)
     stcr = _tile(src_cr.astype(jnp.int32), 4)
-    carry0 = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
-              jnp.zeros((N,), jnp.int32),
-              jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
-              jnp.zeros((N,), jnp.int32),
-              jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
-              jnp.zeros((N,), jnp.int32))
+    carry = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
+             jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+             jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+             jnp.zeros((N,), jnp.int32))
 
     def body(carry, level_fields):
         outs = []
@@ -392,39 +396,43 @@ def _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16, sched32,
             outs.append(o)
         return carry, tuple(outs)
 
-    _, ys = jax.lax.scan(body, carry0, (sched8, sched16, sched32))
+    ys_segs = []
+    for seg in segs:
+        carry, ys = jax.lax.scan(body, carry, seg)
+        ys_segs.append(ys)
     planes = []
     for (pi, t_l, t_c, dt) in ((0, 8, 4, jnp.uint8),    # recon
                                (1, 8, 4, jnp.int16)):   # coeff levels
         for ci, t in ((0, t_l), (2, t_c), (4, t_c)):    # Y, Cb, Cr slots
             tiles = jnp.zeros((N, t, t), dt)
-            for k, (sched, n) in enumerate(
-                    ((sched8, 8), (sched16, 16), (sched32, 32))):
-                tiles = _assemble(tiles, ys[k][ci + pi], sched[0], sched[1],
-                                  sched[10], n // 8, t, w8)
+            for seg, ys in zip(segs, ys_segs):
+                for k, n in enumerate((8, 16, 32)):
+                    sched = seg[k]
+                    tiles = _assemble(tiles, ys[k][ci + pi], sched[0],
+                                      sched[1], sched[10], n // 8, t, w8)
             planes.append(_untile(tiles, h8, w8))
     # order: recon Y/Cb/Cr then coeff Y/Cb/Cr (the existing API contract)
     return tuple(planes)
 
 
 @partial(jax.jit, static_argnames=("strong", "sbh", "rdoq"))
-def _code_intra_frame(src_y, src_cb, src_cr, sched8, sched16, sched32,
+def _code_intra_frame(src_y, src_cb, src_cr, segs,
                       strong: bool, sbh: bool = False, rdoq: bool = False):
-    return _code_intra_frame_core(src_y, src_cb, src_cr, sched8, sched16,
-                                  sched32, strong, sbh, rdoq)
+    return _code_intra_frame_core(src_y, src_cb, src_cr, segs,
+                                  strong, sbh, rdoq)
 
 
 @partial(jax.jit, static_argnames=("strong", "sbh", "rdoq"))
-def _code_intra_frames_batch(src_y, src_cb, src_cr, sched8, sched16,
-                             sched32, strong: bool, sbh: bool = False,
+def _code_intra_frames_batch(src_y, src_cb, src_cr, segs,
+                             strong: bool, sbh: bool = False,
                              rdoq: bool = False):
     """FPP analog (SURVEY.md 7.3#2): vmap the wavefront over F independent
     intra frames so each level-step batches F frames' CUs — the step
     work amortizes across frames at identical sequential depth."""
     return jax.vmap(
-        lambda a, b, c, s8, s16, s32: _code_intra_frame_core(
-            a, b, c, s8, s16, s32, strong, sbh, rdoq)
-    )(src_y, src_cb, src_cr, sched8, sched16, sched32)
+        lambda a, b, c, sg: _code_intra_frame_core(
+            a, b, c, sg, strong, sbh, rdoq)
+    )(src_y, src_cb, src_cr, segs)
 
 
 def _bitcast_rows(a):
@@ -435,8 +443,8 @@ def _bitcast_rows(a):
     return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(F, -1)
 
 
-def _fused_rows_core(src_y, src_cb, src_cr, sched8, sched16,
-                     sched32, bs_v, bs_h, qp4, strong: bool,
+def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
+                     strong: bool,
                      sbh: bool, rdoq: bool, boff: int, toff: int,
                      cbo: int, cro: int, width: int, height: int,
                      sao: bool, cs: int):
@@ -451,9 +459,9 @@ def _fused_rows_core(src_y, src_cb, src_cr, sched8, sched16,
     from .deblock import deblock_planes
     from .saostats import sao_stats_plane_core
     ry, rcb, rcr, cy, ccb, ccr = jax.vmap(
-        lambda a, b, c, s8, s16, s32: _code_intra_frame_core(
-            a, b, c, s8, s16, s32, strong, sbh, rdoq)
-    )(src_y, src_cb, src_cr, sched8, sched16, sched32)
+        lambda a, b, c, sg: _code_intra_frame_core(
+            a, b, c, sg, strong, sbh, rdoq)
+    )(src_y, src_cb, src_cr, segs)
     dy, dcb, dcr = jax.vmap(
         lambda y, cb, cr, bv, bh, q4: deblock_planes(
             y.astype(jnp.int32), cb.astype(jnp.int32),
@@ -610,69 +618,90 @@ class WavefrontIntraCoder:
         return (ox[:count], oy[:count], osz[:count], olv[:count],
                 oal[:count], oac[:count], oat[:count])
 
-    def pack(self, sched, modes8, cmodes8, qp_map8, h8, w8,
-             n_tile_cols: int = 1):
-        """Group CU records by level into padded [L, K] arrays per class.
+    N_SEG = 4       # level-axis segments, each with its own K width
 
-        Shapes are RESOLUTION-deterministic (not content-dependent): K is
-        capped by the row count of each size class times the tile-column
-        count (same-row CUs chain through their left reference only within
-        a tile, so an antichain holds at most one CU per row per tile
-        column), L by the longest monotone cell path. One XLA compile per
-        resolution instead of one per frame."""
+    @classmethod
+    def seg_bounds(cls, n_levels: int):
+        lpad = _round_up(max(n_levels, 1), 8)
+        seg_len = _round_up((lpad + cls.N_SEG - 1) // cls.N_SEG, 8)
+        bounds = []
+        l0 = 0
+        while l0 < lpad:
+            bounds.append((l0, min(l0 + seg_len, lpad)))
+            l0 += seg_len
+        return bounds
+
+    def pack(self, sched, modes8, cmodes8, qp_map8, h8, w8,
+             n_tile_cols: int = 1, bounds=None):
+        """Group CU records by level into SEGMENTED padded [Ls, Ks]
+        arrays per class: the wavefront frontier is diamond-shaped, so a
+        single global K width pads the narrow head/tail levels
+        several-fold — measured ~2x slot overwork at 720p even after
+        occupancy-tight global K. Each of N_SEG level chunks gets its own
+        K (bucketed to 16 to bound compile variants).
+        Returns (segments, n_levels): segments is a list of per-segment
+        dicts size -> 11-field pack."""
         ox, oy, osz, olv, oal, oac, oat = sched
         n_levels = int(olv.max()) + 1 if len(olv) else 0
-        # bucket the level-axis length so few kernel variants exist per
-        # resolution regardless of content (scan length is static; padded
-        # levels are all-invalid no-ops that still cost compute).
-        # bucket 16: measured 87-level schedules padded to 128 with the
-        # old 64-bucket — 47% wasted scan steps
-        lpad = _round_up(max(n_levels, 1), 16)
-        out = {}
+        if bounds is None:
+            bounds = self.seg_bounds(n_levels)
+        fields = {}
         for size in (8, 16, 32):
             sel = osz == size
             if not sel.any():
-                # keep the pytree structure frame-invariant: all-invalid
-                shape = (lpad, 8)
-                z = lambda dt: np.zeros(shape, dt)
-                out[size] = (z(np.int32), z(np.int32), z(np.int32),
-                             z(np.int32), z(np.int32), z(np.int32),
-                             z(np.int32), z(np.uint32), z(np.uint32),
-                             z(np.uint32), z(bool))
+                fields[size] = None
                 continue
             x, y, lv = ox[sel], oy[sel], olv[sel]
             al, ac, at = oal[sel], oac[sel], oat[sel]
             mode = modes8[y >> 3, x >> 3]
             cmode = cmodes8[y >> 3, x >> 3]
             qp = qp_map8[y >> 3, x >> 3]
-            # per-level slot assignment
             order = np.argsort(lv, kind="stable")
             lv_s = lv[order]
             slot = np.arange(len(lv_s)) - np.searchsorted(lv_s, lv_s)
-            kmax = int(slot.max()) + 1
-            # K sized to the OCCUPIED maximum, bucketed to multiples of
-            # 16: padding to the theoretical antichain bound (or pow2)
-            # wastes several x once tiles widen the frontier; measured
-            # overwork at 720p/8x6 tiles dropped 2.1x with this bucket
-            kpad = max(8, _round_up(kmax, 16))
-            shape = (lpad, kpad)
+            fields[size] = (lv_s, slot, order, x, y, mode, cmode, qp,
+                            al, ac, at)
+        segments = []
+        for (s0, s1) in bounds:
+            seg = {}
+            for size in (8, 16, 32):
+                f = fields[size]
+                ls = s1 - s0
+                if f is None:
+                    shape = (ls, 8)
+                    z = lambda dt: np.zeros(shape, dt)
+                    seg[size] = (z(np.int32), z(np.int32), z(np.int32),
+                                 z(np.int32), z(np.int32), z(np.int32),
+                                 z(np.int32), z(np.uint32), z(np.uint32),
+                                 z(np.uint32), z(bool))
+                    continue
+                (lv_s, slot, order, x, y, mode, cmode, qp,
+                 al, ac, at) = f
+                m = (lv_s >= s0) & (lv_s < s1)
+                kmax = int(slot[m].max()) + 1 if m.any() else 1
+                kpad = max(8, _round_up(kmax, 16))
+                shape = (ls, kpad)
+                lrel = lv_s[m] - s0
+                srel = slot[m]
+                om = order[m]
 
-            def packed(vals, dtype, fill=0):
-                a = np.full(shape, fill, dtype)
-                a[lv_s, slot] = vals[order].astype(dtype)
-                return a
+                def packed(vals, dtype, fill=0):
+                    a = np.full(shape, fill, dtype)
+                    a[lrel, srel] = vals[om].astype(dtype)
+                    return a
 
-            out[size] = (
-                packed(x, np.int32), packed(y, np.int32),
-                packed(mode, np.int32), packed(cmode, np.int32),
-                packed(qp, np.int32),
-                packed(self._cqp_cb[qp], np.int32),
-                packed(self._cqp_cr[qp], np.int32),
-                packed(al.astype(np.int64), np.uint32),
-                packed(ac, np.uint32), packed(at.astype(np.int64),
-                                              np.uint32),
-                packed(np.ones(len(x), bool), bool))
-        return out, n_levels
+                seg[size] = (
+                    packed(x, np.int32), packed(y, np.int32),
+                    packed(mode, np.int32), packed(cmode, np.int32),
+                    packed(qp, np.int32),
+                    packed(self._cqp_cb[qp], np.int32),
+                    packed(self._cqp_cr[qp], np.int32),
+                    packed(al.astype(np.int64), np.uint32),
+                    packed(ac, np.uint32),
+                    packed(at.astype(np.int64), np.uint32),
+                    packed(np.ones(len(x), bool), bool))
+            segments.append(seg)
+        return segments, n_levels
 
     def code_frames(self, items, qp_cb_off, qp_cr_off, sps,
                     sbh: bool = False, rdoq: bool = False, post=None):
@@ -686,37 +715,43 @@ class WavefrontIntraCoder:
             [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)], np.int32)
         self._cqp_cr = np.array(
             [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)], np.int32)
-        packs = []
+        scheds = []
         n_levels = 0
         for it in items:
-            h8, w8 = it["log2m"].shape
-            t8 = it.get("tile8")
-            ntc = it.get("n_tile_cols", 1)
             sched = self.build_schedule(it["log2m"], sps.width, sps.height,
                                         sps.log2_ctb, sps.log2_min_cb,
-                                        tile8=t8)
-            pk, nl = self.pack(sched, it["modes8"], it["cmodes8"],
-                               it["qp_map8"], h8, w8, n_tile_cols=ntc)
+                                        tile8=it.get("tile8"))
+            scheds.append(sched)
+            if len(sched[3]):
+                n_levels = max(n_levels, int(sched[3].max()) + 1)
+        bounds = self.seg_bounds(n_levels)
+        packs = []
+        for it, sched in zip(items, scheds):
+            h8, w8 = it["log2m"].shape
+            pk, _ = self.pack(sched, it["modes8"], it["cmodes8"],
+                              it["qp_map8"], h8, w8,
+                              n_tile_cols=it.get("n_tile_cols", 1),
+                              bounds=bounds)
             packs.append(pk)
-            n_levels = max(n_levels, nl)
-        # common (level, slot) buckets across the batch
-        lpad = max(p[8][0].shape[0] for p in packs)
-        kpad = {size: max(p[size][0].shape[1] for p in packs)
-                for size in (8, 16, 32)}
-        for p in packs:
+        # per-segment per-class common K across the batch
+        segs = []
+        for si in range(len(bounds)):
+            seg_cls = []
             for size in (8, 16, 32):
-                a0 = p[size][0]
-                dl, dk = lpad - a0.shape[0], kpad[size] - a0.shape[1]
-                if dl or dk:
-                    p[size] = tuple(
-                        np.pad(a, ((0, dl), (0, dk)))
-                        for a in p[size])
-        args = []
-        for size in (8, 16, 32):
-            stacked = tuple(
-                jnp.asarray(np.stack([p[size][fi] for p in packs]))
-                for fi in range(11))
-            args.append(stacked)
+                kpad = max(p[si][size][0].shape[1] for p in packs)
+                stacked = []
+                for fi in range(11):
+                    arrs = []
+                    for p in packs:
+                        a = p[si][size][fi]
+                        dk = kpad - a.shape[1]
+                        if dk:
+                            a = np.pad(a, ((0, 0), (0, dk)))
+                        arrs.append(a)
+                    stacked.append(jnp.asarray(np.stack(arrs)))
+                seg_cls.append(tuple(stacked))
+            segs.append(tuple(seg_cls))
+        segs = tuple(segs)
         sy = jnp.asarray(np.stack([it["src_y"] for it in items])
                          .astype(np.uint8))
         scb = jnp.asarray(np.stack([it["src_cb"] for it in items])
@@ -725,14 +760,14 @@ class WavefrontIntraCoder:
                           .astype(np.uint8))
         if post is None:
             out = _code_intra_frames_batch(
-                sy, scb, scr, args[0], args[1], args[2],
+                sy, scb, scr, segs,
                 bool(sps.strong_intra_smoothing), bool(sbh), bool(rdoq))
             outs = tuple(np.asarray(o) for o in out)
             return [tuple(o[f] for o in outs) for f in range(len(items))]
-        return self._fused(items, args, sy, scb, scr, sps, sbh, rdoq,
+        return self._fused(items, segs, sy, scb, scr, sps, sbh, rdoq,
                            post)
 
-    def _fused(self, items, args, sy, scb, scr, sps, sbh, rdoq, post):
+    def _fused(self, items, segs, sy, scb, scr, sps, sbh, rdoq, post):
         from .deblock import intra_bs_maps
         F = len(items)
         ph, pw = items[0]["src_y"].shape
@@ -753,7 +788,7 @@ class WavefrontIntraCoder:
                        cbo=int(post["cbo"]), cro=int(post["cro"]),
                        width=sps.width, height=sps.height, sao=sao,
                        cs=sps.ctb_size)
-        arrays = (sy, scb, scr, args[0], args[1], args[2], bsv, bsh, qp4)
+        arrays = (sy, scb, scr, segs, bsv, bsh, qp4)
         mesh = _frame_mesh(F)
         if mesh is not None:
             buf = fused_rows_sharded(mesh, arrays, statics)
@@ -821,12 +856,14 @@ class WavefrontIntraCoder:
         h8, w8 = log2map8.shape
         packed, n_levels = self.pack(sched, modes8, cmodes8, qp_map8,
                                      h8, w8, n_tile_cols=n_tile_cols)
-        args = [tuple(jnp.asarray(a) for a in packed[size])
-                for size in (8, 16, 32)]
+        segs = tuple(
+            tuple(tuple(jnp.asarray(a) for a in seg[size])
+                  for size in (8, 16, 32))
+            for seg in packed)
         out = _code_intra_frame(
             jnp.asarray(np.asarray(src_y, np.uint8)),
             jnp.asarray(np.asarray(src_cb, np.uint8)),
             jnp.asarray(np.asarray(src_cr, np.uint8)),
-            args[0], args[1], args[2],
+            segs,
             bool(sps.strong_intra_smoothing), bool(sbh), bool(rdoq))
         return tuple(np.asarray(o) for o in out)
