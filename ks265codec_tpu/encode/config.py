@@ -66,6 +66,7 @@ class EncoderConfig:
     pcm: bool = False                # enable PCM fallback for 16/32 CUs
     aq_mode: int = 0
     aq_strength: float = 1.0
+    cutree: int = 0                  # lookahead CU-tree propagation
     wpp: bool = True
     fpp: bool = True
     threads: int = 0

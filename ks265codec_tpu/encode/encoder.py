@@ -135,7 +135,8 @@ class HevcEncoder:
         s.log2_ctb = 6             # 64x64 CTBs
         s.log2_min_tb = 2
         s.log2_max_tb = 5
-        s.max_transform_hierarchy_depth_inter = 0
+        s.max_transform_hierarchy_depth_inter = \
+            1 if cfg.inter_tu_depth > 0 else 0
         s.max_transform_hierarchy_depth_intra = 0
         s.scaling_list_enabled = 0
         s.amp_enabled = 0
@@ -174,7 +175,7 @@ class HevcEncoder:
         p.init_qp = 26
         p.constrained_intra_pred = 0
         p.transform_skip_enabled = 0
-        p.cu_qp_delta_enabled = 1 if cfg.aq_mode else 0
+        p.cu_qp_delta_enabled = 1 if (cfg.aq_mode or cfg.cutree) else 0
         p.diff_cu_qp_delta_depth = 0
         p.cb_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
         p.cr_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
@@ -306,7 +307,7 @@ class HevcEncoder:
                 continue
             # scene-cut check AFTER the all-intra/IDR fast path so the
             # FPP batcher never forces a 1-frame lookahead flush
-            fa0 = self.la.get(idx0)
+            fa0 = self.la.get(idx0, force=flushing)
             if fa0 is not None and fa0.scenecut and idx0 != 0:
                 # lookahead scene cut -> start a new IDR here (the
                 # reference's EncPreAnalyze scenecut -> I placement)
@@ -319,7 +320,7 @@ class HevcEncoder:
             # a scene cut inside the upcoming GOP shortens it the same
             # way an approaching IDR does
             for k in range(1, min(gop_n, len(self.queue))):
-                fa = self.la.get(idx0 + k)
+                fa = self.la.get(idx0 + k, force=flushing)
                 if fa is not None and fa.scenecut:
                     till_idr = min(till_idr, k)
                     break
@@ -392,7 +393,7 @@ class HevcEncoder:
         CEncRcAbrSync analog for frame-parallel encoding."""
         import os
         if os.environ.get("KS265_SEQ_COMPUTE") or self.sps.pcm_enabled \
-                or self.cfg.aq_mode:
+                or self.cfg.aq_mode or self.cfg.cutree:
             # AQ: effective-QP inference must run before deblock, so the
             # per-frame (host deblock) path is used
             return
@@ -588,12 +589,13 @@ class HevcEncoder:
             e.merange = int(cfg.merange)
             e.me_method = int(cfg.me)
             e.partitions = int(cfg.partitions)
+            e.inter_tu_depth = int(cfg.inter_tu_depth)
             return e
 
         fs = FrameState(self.sps)
         fs.poc = poc
         enc = make_enc(fs)
-        if cfg.aq_mode and is_idr:
+        if cfg.aq_mode or cfg.cutree:
             fa = self.la.get(display_idx)
             if fa is not None and fa.dqp_ctu is not None:
                 enc.dqp_ctu = fa.dqp_ctu

@@ -25,6 +25,24 @@ MODE_INTER, MODE_INTRA = 0, 1
 SEARCH_RANGE = 12
 
 
+def mv_pred_field(mv_q: np.ndarray) -> np.ndarray:
+    """Median-of-neighbors (left/top/top-right) predictor field for a
+    dense per-block MV grid — the pre-pass stand-in for AMVP (which
+    needs final neighbor decisions that don't exist yet). Units follow
+    the input (quarter-pel here)."""
+    left = np.empty_like(mv_q)
+    left[:, 1:] = mv_q[:, :-1]
+    left[:, :1] = mv_q[:, :1]
+    top = np.empty_like(mv_q)
+    top[1:] = mv_q[:-1]
+    top[:1] = mv_q[:1]
+    tr = np.empty_like(mv_q)
+    tr[1:, :-1] = mv_q[:-1, 1:]
+    tr[:1] = mv_q[:1]
+    tr[1:, -1:] = mv_q[:-1, -1:]
+    return np.median(np.stack([left, top, tr]), axis=0).astype(mv_q.dtype)
+
+
 class PFrameEncoder(IntraFrameEncoder):
     """Codes one P frame (single slice, 16x16 CUs, 2Nx2N PUs)."""
 
@@ -79,9 +97,11 @@ class PFrameEncoder(IntraFrameEncoder):
                     0.5 * self.lam_satd)
             if self.subme:
                 mv16, sad16 = refine_subpel_frame(
-                    self.src_y, ref_y, mv16 >> 2, 16, pw, ph)
+                    self.src_y, ref_y, mv16 >> 2, 16, pw, ph,
+                    mv_pred_q=mv_pred_field(mv16), lam=self.lam_satd)
                 mv8, sad8 = refine_subpel_frame(
-                    self.src_y, ref_y, mv8 >> 2, 8, pw, ph)
+                    self.src_y, ref_y, mv8 >> 2, 8, pw, ph,
+                    mv_pred_q=mv_pred_field(mv8), lam=0.5 * self.lam_satd)
             # ref-idx rate bias: TU bins, ~ri extra bins
             c16 = sad16 + self.lam_satd * 2.0 * ri
             c8 = sad8 + self.lam_satd * 2.0 * ri
@@ -238,8 +258,30 @@ class PFrameEncoder(IntraFrameEncoder):
         return False
 
     # --------------------------------------------------------------- CTU
+    def _set_ctu_qp(self, x0, y0) -> None:
+        """Per-CTU QP from the lookahead AQ/CU-tree offsets (dqp_ctu):
+        switch qp / chroma qps / lambdas for the CTU being coded; the
+        map-writer's cu_qp_delta chain serializes the differences."""
+        dq = getattr(self, "dqp_ctu", None)
+        if dq is None:
+            return
+        from ..hevc.tables import chroma_qp
+        if not hasattr(self, "_base_qp"):
+            self._base_qp = self.qp
+        cs = 1 << self.sps.log2_ctb
+        d = int(dq[min(y0 // cs, dq.shape[0] - 1),
+                   min(x0 // cs, dq.shape[1] - 1)])
+        self.qp = int(np.clip(self._base_qp + d, 0, 51))
+        pps, hdr = self.pps, self.hdr
+        self.qp_cb = chroma_qp(self.qp + pps.cb_qp_offset
+                               + hdr.cb_qp_offset)
+        self.qp_cr = chroma_qp(self.qp + pps.cr_qp_offset
+                               + hdr.cr_qp_offset)
+        self._apply_lam_scale()
+
     def _code_ctu_p(self, x0, y0):
         """Quadtree walk: whole-CTB skip probe first, then 32/16 CUs."""
+        self._set_ctu_qp(x0, y0)
         if self._try_skip64(x0, y0):
             return
         self._split_to_16(x0, y0, self.sps.log2_ctb, 0)
@@ -277,7 +319,11 @@ class PFrameEncoder(IntraFrameEncoder):
             return
         mi, inter_sad = self._block_mi(by, bx)
         intra_mode = int(self.mode16[by, bx])
-        if getattr(self, "partitions", 0) and log2 == 4:
+        if getattr(self, "partitions", 0) and log2 == 4 \
+                and int(getattr(self.hdr, "temporal_id", 0)) <= 1:
+            # deep-B frames (high QP cascade) quantize away the prediction
+            # gain while still paying the PU header bits — measured net
+            # negative there, so rectangular PUs stay on ref-ish layers
             part, pu_mis = self._choose_partition(x0, y0, mi, inter_sad)
             if part:
                 self._code_inter_cu_part(x0, y0, log2, depth, part,
@@ -421,27 +467,44 @@ class PFrameEncoder(IntraFrameEncoder):
             self._store_motion_rect(xp, yp, nw, nh, mi)
             motion_compensate(fs, self.hdr, self.ref_lists, xp, yp, nw,
                               nh, mi)
-        # residuals: four quadrant TUs (implicit split), chroma per child
-        q = h
+        # residuals: four quadrant TUs (split tree), chroma per child
+        self._code_quadrant_tus(x0, y0, log2)
+        fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+
+    def _code_quadrant_tus(self, x0, y0, log2):
+        """Quantize + store + reconstruct the four child TUs of a
+        split inter transform tree (prediction already in fs
+        planes)."""
+        fs, syn = self.fs, self.syn
+        src = self.src_y
+        size = 1 << log2
+        q = size >> 1
         c_log2 = log2 - 1
         for (dx, dy) in ((0, 0), (q, 0), (0, q), (q, q)):
             xq, yq = x0 + dx, y0 + dy
             q4x, q4y = xq >> 2, yq >> 2
             qb4 = q >> 2
-            ry = src[yq:yq + q, xq:xq + q] - fs.y[yq:yq + q, xq:xq + q]
+            ry = src[yq:yq + q, xq:xq + q] \
+                - fs.y[yq:yq + q, xq:xq + q]
             cyq = self._transform_quant_inter(ry, c_log2, self.qp)
             csz = q >> 1
             cxq, cyq0 = xq >> 1, yq >> 1
-            rcb = self.src_cb[cyq0:cyq0 + csz, cxq:cxq + csz]                 - fs.cb[cyq0:cyq0 + csz, cxq:cxq + csz]
-            rcr = self.src_cr[cyq0:cyq0 + csz, cxq:cxq + csz]                 - fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz]
-            ccbq = self._transform_quant_inter(rcb, c_log2 - 1, self.qp_cb)
-            ccrq = self._transform_quant_inter(rcr, c_log2 - 1, self.qp_cr)
+            rcb = self.src_cb[cyq0:cyq0 + csz, cxq:cxq + csz] \
+                - fs.cb[cyq0:cyq0 + csz, cxq:cxq + csz]
+            rcr = self.src_cr[cyq0:cyq0 + csz, cxq:cxq + csz] \
+                - fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz]
+            ccbq = self._transform_quant_inter(rcb, c_log2 - 1,
+                                               self.qp_cb)
+            ccrq = self._transform_quant_inter(rcr, c_log2 - 1,
+                                               self.qp_cr)
             syn.cy[yq:yq + q, xq:xq + q] = cyq
             syn.ccb[cyq0:cyq0 + csz, cxq:cxq + csz] = ccbq
             syn.ccr[cyq0:cyq0 + csz, cxq:cxq + csz] = ccrq
             fs.cbf_luma[q4y:q4y + qb4, q4x:q4x + qb4] = bool(cyq.any())
             syn.cbf_cb[q4y:q4y + qb4, q4x:q4x + qb4] = int(ccbq.any())
             syn.cbf_cr[q4y:q4y + qb4, q4x:q4x + qb4] = int(ccrq.any())
+            fs.tu_edge_v[q4y:q4y + qb4, q4x] = True
+            fs.tu_edge_h[q4y, q4x:q4x + qb4] = True
             if cyq.any():
                 r = self._recon_residual(cyq, c_log2, self.qp)
                 fs.y[yq:yq + q, xq:xq + q] = np.clip(
@@ -454,7 +517,6 @@ class PFrameEncoder(IntraFrameEncoder):
                 r = self._recon_residual(ccrq, c_log2 - 1, self.qp_cr)
                 fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz] = np.clip(
                     fs.cr[cyq0:cyq0 + csz, cxq:cxq + csz] + r, 0, 255)
-        fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
 
     def _code_inter_cu(self, x0, y0, log2, depth, mi, inter_sad,
                        intra_mode):
@@ -611,6 +673,27 @@ class PFrameEncoder(IntraFrameEncoder):
             fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
             self._clip_recon(x0, y0, size)
             return
+        if (cbf_any and log2 == 4 and merge_idx < 0
+                and getattr(self, "inter_tu_depth", 0) > 0):
+            # TU-split search (-intertu, the reference's inter TU
+            # decision): rough-RD of one 16 TU vs four 8 TUs. Non-merge
+            # only: a merge CU whose split children all quantize to zero
+            # would need rqt_root_cbf=0, which 2Nx2N merge cannot code
+            src16 = self.src_y[y0:y0 + size, x0:x0 + size]
+            ry16 = src16 - fs.y[y0:y0 + size, x0:x0 + size]
+            D1, b1 = self._rough_resi_cost(ry16, self.qp, log2)
+            D2 = b2 = 0.0
+            h2 = size >> 1
+            for (dx, dy) in ((0, 0), (h2, 0), (0, h2), (h2, h2)):
+                Dq, bq = self._rough_resi_cost(
+                    ry16[dy:dy + h2, dx:dx + h2], self.qp, log2 - 1)
+                D2 += Dq
+                b2 += bq
+            if D2 + self.lam * (b2 + 6.0) < D1 + self.lam * b1:
+                syn.tu_split[y4:y4 + b4, x4:x4 + b4] = 1
+                self._code_quadrant_tus(x0, y0, log2)
+                fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+                return
         csz = size >> 1
         cx0, cy0 = x0 >> 1, y0 >> 1
         syn.cy[y0:y0 + size, x0:x0 + size] = coeff_y
@@ -637,6 +720,32 @@ class PFrameEncoder(IntraFrameEncoder):
         mi.ref_idx[0] = int(self.ref8[by, bx])
         mi.mv[0] = [int(self.mv8[by, bx, 0]), int(self.mv8[by, bx, 1])]
         return mi, int(self.sad8[by, bx])
+
+    def _rough_resi_cost(self, resi, qp, lg):
+        """(D_pix, bits) of one residual block at qp/log2 (inter
+        deadzone quant, coefficient-domain SSE, closed-form bits)."""
+        from ..decode.recon import forward_transform as fwd
+        from ..hevc.tables import LEVEL_SCALE, QUANT_SCALE
+        c = fwd(np.asarray(resi, np.int32), lg, False)
+        qbits = 29 + qp // 6 - 8 - lg
+        rnd = 85 << (qbits - 9)
+        a = np.abs(c).astype(np.int64)
+        lev = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
+        sshift = 8 + lg - 5
+        per = qp // 6
+        tv = lev * (16 * LEVEL_SCALE[qp % 6])
+        sp = max(sshift - per, 0)
+        ps = max(per - sshift, 0)
+        drnd = (1 << (sshift - per - 1)) if sshift - per >= 1 else 0
+        deq = np.clip((tv + drnd) >> sp << ps, 0, 1 << 30)
+        derr = (a - deq).astype(np.float64)
+        D = float((derr * derr).sum()) * 4.0 ** (lg - 7)
+        nz = lev > 0
+        bits = 0.0
+        if nz.any():
+            bits = float(3.1 * nz.sum()
+                         + 2.0 * np.log2(np.maximum(lev[nz], 1)).sum())
+        return D, bits
 
     def _rough_inter_cost(self, x0, y0, log2):
         """Rough-RD of coding the CURRENT fs prediction's residual at this
@@ -809,25 +918,44 @@ class BFrameEncoder(PFrameEncoder):
         if self.subme:
             from ..ops.subpel import bi_pred_cost, refine_subpel_frame
             mv0, s0 = refine_subpel_frame(self.src_y, ref0, mv0 >> 2, 16,
-                                          pw, ph)
+                                          pw, ph,
+                                          mv_pred_q=mv_pred_field(mv0),
+                                          lam=self.lam_satd)
             mv1, s1 = refine_subpel_frame(self.src_y, ref1, mv1 >> 2, 16,
-                                          pw, ph)
+                                          pw, ph,
+                                          mv_pred_q=mv_pred_field(mv1),
+                                          lam=self.lam_satd)
             mv0_8, s0_8 = refine_subpel_frame(self.src_y, ref0, mv0_8 >> 2,
-                                              8, pw, ph)
+                                              8, pw, ph,
+                                              mv_pred_q=mv_pred_field(mv0_8),
+                                              lam=0.5 * self.lam_satd)
             mv1_8, s1_8 = refine_subpel_frame(self.src_y, ref1, mv1_8 >> 2,
-                                              8, pw, ph)
+                                              8, pw, ph,
+                                              mv_pred_q=mv_pred_field(mv1_8),
+                                              lam=0.5 * self.lam_satd)
             sbi = bi_pred_cost(self.src_y, ref0, ref1, mv0, mv1, 16, pw, ph)
             bi_bias = self.lam_satd * 8          # extra mvd/refidx bits
             best_uni = np.minimum(s0, s1)
             self.dir16 = np.where(sbi + bi_bias < best_uni, 2,
                                   (s1 < s0).astype(np.int8)).astype(np.int8)
             self.sad16 = np.minimum(best_uni, sbi + bi_bias)
+            # bi at 8x8 too (2Nx2N 8x8 PUs may be bi in HEVC; only 8x4 /
+            # 4x8 are restricted): where most of the reference's B-frame
+            # advantage on mixed motion lives
+            sbi8 = bi_pred_cost(self.src_y, ref0, ref1, mv0_8, mv1_8, 8,
+                                pw, ph)
+            bi_bias8 = 0.5 * self.lam_satd * 8
+            best_uni8 = np.minimum(s0_8, s1_8)
+            self.dir8 = np.where(
+                sbi8 + bi_bias8 < best_uni8, 2,
+                (s1_8 < s0_8).astype(np.int8)).astype(np.int8)
+            self.sad8 = np.minimum(best_uni8, sbi8 + bi_bias8)
         else:
             self.dir16 = (c1 < c0).astype(np.int8)
             self.sad16 = np.where(self.dir16 == 1, s1, s0)
+            self.dir8 = (s1_8 < s0_8).astype(np.int8)
+            self.sad8 = np.where(self.dir8 == 1, s1_8, s0_8)
         self.mv0q, self.mv1q = mv0, mv1
-        self.dir8 = (s1_8 < s0_8).astype(np.int8)
-        self.sad8 = np.where(self.dir8 == 1, s1_8, s0_8)
         self.mv0q8, self.mv1q8 = mv0_8, mv1_8
         self._decide_split16()
         self.frame_cplx = float(self.sad16.sum())
@@ -846,12 +974,13 @@ class BFrameEncoder(PFrameEncoder):
 
     def _block_mi8(self, by, bx):
         mi = MotionInfo()
-        if int(self.dir8[by, bx]) == 1:
-            mi.ref_idx[1] = 0
-            mi.mv[1] = [int(self.mv1q8[by, bx, 0]),
-                        int(self.mv1q8[by, bx, 1])]
-        else:
+        d = int(self.dir8[by, bx])
+        if d in (0, 2):
             mi.ref_idx[0] = 0
             mi.mv[0] = [int(self.mv0q8[by, bx, 0]),
                         int(self.mv0q8[by, bx, 1])]
+        if d in (1, 2):
+            mi.ref_idx[1] = 0
+            mi.mv[1] = [int(self.mv1q8[by, bx, 0]),
+                        int(self.mv1q8[by, bx, 1])]
         return mi, int(self.sad8[by, bx])

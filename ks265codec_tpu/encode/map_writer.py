@@ -193,7 +193,21 @@ def _write_inter_cu_part(w, ws, syn, sps, hdr, x0, y0, log2, depth,
     w.write_rqt_root_cbf(1 if root_cbf else 0)
     if not root_cbf:
         return
-    # transform tree: depth-0 parent chroma flags, implicit 4-way split
+    if sps.max_transform_hierarchy_depth_inter > 0:
+        # split is EXPLICIT when depth < max depth (partitioned CUs
+        # always split in this encoder)
+        w.write_split_transform_flag(log2, 1)
+    _write_quadrant_tus(w, ws, syn, x0, y0, log2)
+
+
+def _write_quadrant_tus(w, ws, syn, x0, y0, log2):
+    """Four child TUs of a split inter transform tree: parent chroma
+    cbfs at depth 0, per-child chroma/luma cbfs + residuals (mirror of
+    SliceDecoder._parse_transform_tree at depth 1)."""
+    size = 1 << log2
+    b4 = size >> 2
+    x4, y4 = x0 >> 2, y0 >> 2
+    h = size >> 1
     parent_cb = int(syn.cbf_cb[y4:y4 + b4, x4:x4 + b4].any())
     parent_cr = int(syn.cbf_cr[y4:y4 + b4, x4:x4 + b4].any())
     w.write_cbf_chroma(parent_cb, 0)
@@ -368,9 +382,11 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
         return
     w.write_part_2Nx2N_inter()
     merge = bool(syn.merge_flag[y4, x4])
-    cbf_y = int(ws.cbf_luma[y4, x4])
-    cbf_cb = int(syn.cbf_cb[y4, x4])
-    cbf_cr = int(syn.cbf_cr[y4, x4])
+    # region-any: with a split transform tree the per-cell flags are per
+    # CHILD TU, so the CU-level gates must look at the whole region
+    cbf_y = int(ws.cbf_luma[y4:y4 + b4, x4:x4 + b4].any())
+    cbf_cb = int(syn.cbf_cb[y4:y4 + b4, x4:x4 + b4].any())
+    cbf_cr = int(syn.cbf_cr[y4:y4 + b4, x4:x4 + b4].any())
     cbf_any = bool(cbf_y or cbf_cb or cbf_cr)
     if merge:
         w.write_merge_flag(1)
@@ -392,6 +408,13 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
     mark()
     if not cbf_any:
         return
+    if sps.max_transform_hierarchy_depth_inter > 0 \
+            and log2 <= sps.log2_max_tb and log2 > sps.log2_min_tb:
+        tsplit = int(syn.tu_split[y4, x4])
+        w.write_split_transform_flag(log2, tsplit)
+        if tsplit:
+            _write_quadrant_tus(w, ws, syn, x0, y0, log2)
+            return
     w.write_cbf_chroma(cbf_cb, 0)
     w.write_cbf_chroma(cbf_cr, 0)
     if cbf_cb or cbf_cr:

@@ -112,7 +112,7 @@ def write_residual(enc, coeffs: np.ndarray, log2: int, c_idx: int,
     ctx_snapshot = bytes(enc.ctx)
     ret = _lib.ks_write_residual(
         ctx, ctypes.byref(low), ctypes.byref(rng), ctypes.byref(bl),
-        ctypes.byref(nb), ctypes.byref(bb), scratch, cap,
+        ctypes.byref(nb), ctypes.byref(bb), scratch, ctypes.c_long(cap),
         c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         log2, c_idx, scan_idx, write_ts_zero, _BASES, sbh)
     if ret == -2:                   # scratch overflow: restore + Python path
@@ -167,6 +167,8 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         return None      # cu_qp_delta chain: Python writer (AQ path)
     if syn.part.any():
         return None      # partitioned inter CUs: Python writer
+    if getattr(sps, "max_transform_hierarchy_depth_inter", 0) > 0:
+        return None      # explicit inter TU split trees: Python writer
     from ..hevc.cabac_tables import CTX_OFFSET, NUM_CTX, init_contexts
     if _SLICE_BASES is None:
         _SLICE_BASES = (ctypes.c_int * len(_SLICE_CTX_NAMES))(

@@ -107,10 +107,17 @@ SUBPEL_CANDS = tuple((dx, dy) for dy in range(-3, 4) for dx in range(-3, 4))
 
 def refine_subpel_frame(src_y: np.ndarray, ref_y: np.ndarray,
                         mv_full: np.ndarray, bs: int,
-                        pic_w: int | None = None, pic_h: int | None = None):
+                        pic_w: int | None = None, pic_h: int | None = None,
+                        mv_pred_q: np.ndarray | None = None,
+                        lam: float = 0.0):
     """Refine a frame's per-block integer MVs (full-pel, (nby,nbx,2)) to
     quarter-pel. pic_w/pic_h: valid reference area for edge clamping
-    (defaults to the plane size). Returns (mv_q, cost)."""
+    (defaults to the plane size). With mv_pred_q (quarter-pel predictor
+    field, same shape) and lam, each candidate also pays an mvd-rate term
+    — the reference's rate-in-subpel behavior (its half/quarter loops
+    carry lambda*mvdBits); without it refined MVs drift off the
+    predictors and every CU pays the drift back in mvd bins.
+    Returns (mv_q, cost)."""
     h, w = src_y.shape
     pic_w = pic_w or w
     pic_h = pic_h or h
@@ -124,6 +131,13 @@ def refine_subpel_frame(src_y: np.ndarray, ref_y: np.ndarray,
     windows = gather_windows(ref_y.astype(np.int32), base, bs, pic_w, pic_h)
     costs = np.asarray(subpel_costs(jnp.asarray(windows),
                                     jnp.asarray(blocks), bs, SUBPEL_CANDS))
+    if mv_pred_q is not None and lam > 0.0:
+        cand = np.asarray(SUBPEL_CANDS)                       # [49, 2]
+        mvq_all = mvf[:, None, :] * 4 + cand[None]            # [N, 49, 2]
+        d = np.abs(mvq_all - mv_pred_q.reshape(-1, 2)[:, None, :])
+        bits = (2.0 + 2.0 * np.log2(1.0 + d[..., 0])
+                + 2.0 * np.log2(1.0 + d[..., 1]))
+        costs = costs + lam * bits
     bi = np.argmin(costs, axis=1)
     best = np.asarray(SUBPEL_CANDS)[bi]
     mv_q = mvf * 4 + best

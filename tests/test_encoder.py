@@ -447,3 +447,28 @@ def test_inter_partitions_roundtrip(tmp_path):
                            capture_output=True)
         assert r.returncode == 0
         assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+def test_inter_tu_split_roundtrip(tmp_path):
+    """-intertu (inter TU-split search): explicit split_transform_flag
+    trees, four child TUs, conformant both directions."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    frames = _frames(5, seed=91)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=30,
+                        latency="zerolatency", inter_tu_depth=1)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 5
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    if have_reference():
+        bsf = tmp_path / "tus.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "out.yuv"
+        r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf),
+                            "-o", str(outf), "-threads", "1"],
+                           capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
