@@ -31,7 +31,10 @@ class FrameAnalysis:
     pcost: float            # summed inter cost vs previous frame
     cost: float             # min-combined frame cost for RC
     scenecut: bool
-    dqp_ctu: np.ndarray | None    # (cty, ctx) int8 AQ offsets or None
+    dqp_ctu: np.ndarray | None    # (cty, ctx) int8 AQ(+tree) offsets or None
+
+
+CUTREE_STRENGTH = 2.0     # x264: 5 * (1 - qcomp), qcomp 0.6
 
 
 class Lookahead:
@@ -44,6 +47,11 @@ class Lookahead:
         self._last_cut = -(1 << 30)
         self._pending: list[tuple[int, object]] = []   # (idx, device half)
         self._first_done = False
+        # batch floor: probes (scenecut peeks) must not force 1-frame
+        # flushes — CU-tree propagation only sees blocks within one
+        # flush window, and single-frame windows propagate nothing. The
+        # reorder depth (bframes) is the natural window.
+        self._min_flush = max(1, int(getattr(cfg, "bframes", 0) or 0))
 
     def push(self, display_idx: int, y: np.ndarray) -> None:
         """Buffer the frame (downsample stays on device). Features are
@@ -63,9 +71,12 @@ class Lookahead:
             y = yp
         self._pending.append((display_idx, downsample2x(jnp.asarray(y))))
 
-    def ensure(self) -> None:
-        """Run the batched feature pass over every buffered frame."""
+    def ensure(self, force: bool = True) -> None:
+        """Run the batched feature pass over every buffered frame.
+        With force=False (probes), waits for _min_flush frames."""
         if not self._pending:
+            return
+        if not force and len(self._pending) < self._min_flush:
             return
         import jax
         import jax.numpy as jnp
@@ -73,18 +84,24 @@ class Lookahead:
         from ..ops.lookahead import (frame_features_batch,
                                      frame_features_first)
         want_var = bool(self.cfg.aq_mode)
+        want_tree = bool(getattr(self.cfg, "cutree", 0))
         idxs = [i for i, _ in self._pending]
         halves = [h for _, h in self._pending]
         prevs = ([self.prev_half] if self.prev_half is not None
                  else [halves[0]]) + halves[:-1]
         packed = np.array(frame_features_batch(
-            jnp.stack(halves), jnp.stack(prevs), want_var))
+            jnp.stack(halves), jnp.stack(prevs), want_var, want_tree))
         if not self._first_done:
             # recompute frame 0 without an inter reference
-            packed0 = np.asarray(frame_features_first(halves[0], want_var))
+            packed0 = np.asarray(frame_features_first(halves[0], want_var,
+                                                      want_tree))
             packed[0] = packed0
         self.prev_half = halves[-1]
         self._pending.clear()
+        hh, hw = self.prev_half.shape
+        nb = (hh // 8) * (hw // 8)
+        tree_dqps = (self._cutree(packed, want_var, hh // 8, hw // 8)
+                     if want_tree else [None] * len(idxs))
         for k, di in enumerate(idxs):
             first = not self._first_done
             row = packed[k].astype(np.float64)
@@ -93,8 +110,7 @@ class Lookahead:
             cost = float(row[2]) if not first else icost
             var = None
             if want_var:
-                hh, hw = self.prev_half.shape
-                var = row[3:].reshape(hh // 8, hw // 8)
+                var = row[3:3 + nb].reshape(hh // 8, hw // 8)
             cut = False
             if not first and di - self._last_cut >= SCENECUT_MIN_GAP:
                 cut = pcost >= SCENECUT_BIAS * max(icost, 1.0) \
@@ -102,6 +118,10 @@ class Lookahead:
             if cut or first:
                 self._last_cut = di
             dqp = self._aq_offsets(var) if want_var else None
+            if tree_dqps[k] is not None:
+                dqp = (tree_dqps[k] if dqp is None
+                       else np.clip(dqp.astype(np.int32)
+                                    + tree_dqps[k], -9, 9).astype(np.int8))
             fa = FrameAnalysis(di, icost, pcost, cost, cut, dqp)
             self.analyses[di] = fa
             if len(self.analyses) > 256:
@@ -113,8 +133,11 @@ class Lookahead:
                     self._pcosts.pop(0)
             self._first_done = True
 
-    def get(self, display_idx: int):
-        self.ensure()
+    def get(self, display_idx: int, force: bool = True):
+        """force=True (coding-time reads) flushes whatever is pending;
+        force=False (probes ahead of coding) respects the batch floor so
+        CU-tree windows stay wide."""
+        self.ensure(force)
         return self.analyses.get(display_idx)
 
     def _typical_pcost(self) -> float:
@@ -131,6 +154,62 @@ class Lookahead:
         ectu = e[:cty * 4, :ctx * 4].reshape(cty, 4, ctx, 4).mean((1, 3))
         dqp = -strength * 1.5 * (ectu - ectu.mean())
         return np.clip(np.round(dqp), -6, 6).astype(np.int8)
+
+    def _cutree(self, packed, want_var: bool, nby: int, nbx: int):
+        """CU-tree propagation (cuTreePropagate analog, x264 shape):
+        walk the flushed window BACKWARD, pushing each block's future
+        importance (intra cost + accumulated propagate-in, scaled by how
+        predictable the block is) onto the previous-frame blocks its
+        lookahead MV points at (bilinear area splat). The accumulated
+        propagate-in then lowers QP where the content feeds many future
+        frames: dqp = -strength * log2(1 + propagate/intra).
+
+        Window = one lazy-flush batch (a GOP-ish chunk); propagation does
+        not cross flush boundaries, which truncates chains at most once
+        per batch (the reference's sliding lookahead has the same horizon
+        at its lookahead depth)."""
+        nb = nby * nbx
+        off = 3 + (nb if want_var else 0)
+        F = packed.shape[0]
+        ics, pcs, dxs, dys = [], [], [], []
+        for k in range(F):
+            row = packed[k].astype(np.float64)
+            ics.append(row[off:off + nb].reshape(nby, nbx))
+            pcs.append(row[off + nb:off + 2 * nb].reshape(nby, nbx))
+            dxs.append(row[off + 2 * nb:off + 3 * nb].reshape(nby, nbx))
+            dys.append(row[off + 3 * nb:off + 4 * nb].reshape(nby, nbx))
+        prop = [np.zeros((nby, nbx)) for _ in range(F)]
+        bx = np.tile(np.arange(nbx) * 8, nby).astype(np.float64)
+        by = np.repeat(np.arange(nby) * 8, nbx).astype(np.float64)
+        for k in range(F - 1, 0, -1):
+            ic, pc = ics[k], pcs[k]
+            fraction = np.clip(1.0 - pc / np.maximum(ic, 1.0), 0.0, 1.0)
+            amount = ((ic + prop[k]) * fraction).reshape(-1)
+            # splat at mv-shifted positions into frame k-1 (area weights)
+            tx = bx + dxs[k].reshape(-1)
+            ty = by + dys[k].reshape(-1)
+            bx0 = np.floor(tx / 8.0).astype(np.int64)
+            by0 = np.floor(ty / 8.0).astype(np.int64)
+            fx = tx / 8.0 - bx0
+            fy = ty / 8.0 - by0
+            tgt = prop[k - 1]
+            for (ox, oy, w) in ((0, 0, (1 - fx) * (1 - fy)),
+                                (1, 0, fx * (1 - fy)),
+                                (0, 1, (1 - fx) * fy),
+                                (1, 1, fx * fy)):
+                cx = np.clip(bx0 + ox, 0, nbx - 1)
+                cy = np.clip(by0 + oy, 0, nby - 1)
+                np.add.at(tgt, (cy, cx), amount * w)
+        out = []
+        for k in range(F):
+            ratio = np.log2(1.0 + prop[k] / np.maximum(ics[k], 1.0))
+            dqp = -CUTREE_STRENGTH * ratio
+            # CTU aggregation: half-res 8-blocks are 16 luma; CTU 64 = 4x4
+            cty, ctx = nby // 4, nbx // 4
+            dctu = dqp[:cty * 4, :ctx * 4].reshape(cty, 4, ctx, 4) \
+                .mean((1, 3))
+            out.append(np.clip(np.round(dctu), -9, 0).astype(np.int8))
+        return out
 
     def pop(self, display_idx: int) -> FrameAnalysis | None:
         return self.analyses.pop(display_idx, None)

@@ -70,10 +70,13 @@ def _intra_cost(p):
 def _inter_cost(cur, prev):
     """Small full-search inter cost per 8x8 block vs the previous
     half-res frame (dense (2*_SR+1)^2 SAD, min over offsets). Two-level
-    XLA window extraction — no data-dependent gathers."""
+    XLA window extraction — no data-dependent gathers. Returns
+    (cost, dx, dy) per block: the winning offset feeds the CU-tree
+    propagation (which prev-frame blocks this block references)."""
     h, w = cur.shape
     nby, nbx = h // _BS, w // _BS
     win = _BS + 2 * _SR
+    nsr = 2 * _SR + 1
     pad = jnp.pad(prev.astype(jnp.int32), _SR, mode="edge")
     pw_ = jax.lax.conv_general_dilated_patches(
         pad[None, None].astype(jnp.float32), (win, win), (_BS, _BS),
@@ -84,44 +87,66 @@ def _inter_cost(cur, prev):
     blocks = cur.astype(jnp.int32).reshape(nby, _BS, nbx, _BS) \
         .transpose(0, 2, 1, 3).reshape(-1, _BS * _BS, 1, 1)
     sad = jnp.sum(jnp.abs(patches.astype(jnp.int32) - blocks), axis=1)
-    best = sad.reshape(sad.shape[0], -1).min(axis=1)
-    return best.reshape(nby, nbx)
+    flat = sad.reshape(sad.shape[0], -1)
+    ai = jnp.argmin(flat, axis=1)
+    best = jnp.take_along_axis(flat, ai[:, None], axis=1)[:, 0]
+    dy = ai // nsr - _SR
+    dx = ai % nsr - _SR
+    return (best.reshape(nby, nbx), dx.reshape(nby, nbx),
+            dy.reshape(nby, nbx))
 
 
-def _features_core(half_cur, half_prev, want_var: bool = True):
+def _features_core(half_cur, half_prev, want_var: bool = True,
+                   want_tree: bool = False):
     """ONE packed f32 vector per frame: [icost_sum, pcost_sum,
-    min(icost,pcost)_sum, var map...] — a single tiny D2H fetch (the
-    tunnel charges ~tens of ms per fetch; per-map fetches dominated the
-    lookahead's cost)."""
+    min(icost,pcost)_sum, var map..., icost map, pcost map, dx map,
+    dy map] — a single tiny D2H fetch (the tunnel charges ~tens of ms
+    per fetch; per-map fetches dominated the lookahead's cost). The
+    tail maps are present only with want_tree (CU-tree propagation,
+    cuTreePropagate analog)."""
     ic = _intra_cost(half_cur)
-    pc = _inter_cost(half_cur, half_prev)
+    pc, dx, dy = _inter_cost(half_cur, half_prev)
     head = jnp.stack([ic.sum(), pc.sum(),
                       jnp.minimum(ic, pc).sum()]).astype(jnp.float32)
-    if not want_var:
-        return head
-    var = _block_stats(half_cur).astype(jnp.float32)
-    return jnp.concatenate([head, var.reshape(-1)])
+    parts = [head]
+    if want_var:
+        var = _block_stats(half_cur).astype(jnp.float32)
+        parts.append(var.reshape(-1))
+    if want_tree:
+        parts += [ic.astype(jnp.float32).reshape(-1),
+                  pc.astype(jnp.float32).reshape(-1),
+                  dx.astype(jnp.float32).reshape(-1),
+                  dy.astype(jnp.float32).reshape(-1)]
+    return jnp.concatenate(parts) if len(parts) > 1 else head
 
 
-frame_features = partial(jax.jit, static_argnames=("want_var",))(
+frame_features = partial(jax.jit, static_argnames=("want_var",
+                                                   "want_tree"))(
     _features_core)
 
 
-@partial(jax.jit, static_argnames=("want_var",))
-def frame_features_batch(curs, prevs, want_var: bool = True):
+@partial(jax.jit, static_argnames=("want_var", "want_tree"))
+def frame_features_batch(curs, prevs, want_var: bool = True,
+                         want_tree: bool = False):
     """Batched over frames: ONE dispatch + ONE fetch per lookahead
     flush."""
     return jax.vmap(
-        lambda c, p: _features_core(c, p, want_var))(curs, prevs)
+        lambda c, p: _features_core(c, p, want_var, want_tree))(curs, prevs)
 
 
-@partial(jax.jit, static_argnames=("want_var",))
-def frame_features_first(half_cur, want_var: bool = True):
+@partial(jax.jit, static_argnames=("want_var", "want_tree"))
+def frame_features_first(half_cur, want_var: bool = True,
+                         want_tree: bool = False):
     """First frame: no inter reference."""
     ic = _intra_cost(half_cur)
     s = ic.sum().astype(jnp.float32)
     head = jnp.stack([s, s * 0 + jnp.float32(1e18), s])
-    if not want_var:
-        return head
-    var = _block_stats(half_cur).astype(jnp.float32)
-    return jnp.concatenate([head, var.reshape(-1)])
+    parts = [head]
+    if want_var:
+        var = _block_stats(half_cur).astype(jnp.float32)
+        parts.append(var.reshape(-1))
+    if want_tree:
+        icf = ic.astype(jnp.float32).reshape(-1)
+        z = jnp.zeros_like(icf)
+        parts += [icf, z + jnp.float32(1e9), z, z]
+    return jnp.concatenate(parts) if len(parts) > 1 else head

@@ -104,3 +104,54 @@ def test_aq_mode_roundtrip_and_reference(tmp_path):
             assert r.returncode == 0
             assert outf.read_bytes() == b"".join(
                 rc.tobytes() for rc in recons)
+
+def test_cutree_roundtrip_and_reference(tmp_path):
+    """cutree=1: lookahead CU-tree propagation lowers QP on blocks that
+    feed future frames (static background) via cu_qp_delta on P frames —
+    own decoder round-trip and reference-decoder bit-exactness."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    rng = np.random.RandomState(7)
+    frames = []
+    bg = np.clip(110 + rng.randn(H, W) * 25, 0, 255).astype(np.uint8)
+    for t in range(6):
+        # static detailed background (referenced by every future frame)
+        # + a moving noisy box (poorly predicted, transient)
+        y = bg.copy()
+        bx = 8 * t
+        y[20:60, bx:bx + 40] = rng.randint(0, 255, (40, 40))
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 130, np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+    # offline: the GOP reorder buffers frames, so the lazy lookahead
+    # flush sees a multi-frame window to propagate across (zerolatency
+    # codes frame-by-frame -> single-frame windows -> no propagation,
+    # matching x264's cutree-off-at-zerolatency behavior)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=32,
+                        intra_period=64, latency="offline", cutree=1)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    # the analyses must carry tree offsets (<= 0 by construction)
+    from ks265codec_tpu.encode.encoder import HevcEncoder
+    enc = HevcEncoder(cfg)
+    for f in frames:
+        enc.encode_frame(f)
+    enc.flush()
+    das = [fa.dqp_ctu for fa in enc.la.analyses.values()
+           if fa.dqp_ctu is not None]
+    assert das and any(d.min() < 0 for d in das), \
+        "cutree produced no negative offsets"
+    if have_reference():
+        bsf = tmp_path / "cutree.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "ctdec.yuv"
+        r = subprocess.run(
+            [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+             str(outf), "-threads", "1"], capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(
+            rc.tobytes() for rc in recons)
