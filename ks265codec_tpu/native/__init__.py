@@ -163,12 +163,14 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         return None
     if getattr(sps, "pcm_enabled", 0):
         return None      # PCM raw-sample interleaving: Python writer
-    if getattr(pps, "cu_qp_delta_enabled", 0):
-        return None      # cu_qp_delta chain: Python writer (AQ path)
     if syn.part.any():
         return None      # partitioned inter CUs: Python writer
-    if getattr(sps, "max_transform_hierarchy_depth_inter", 0) > 0:
-        return None      # explicit inter TU split trees: Python writer
+    if getattr(sps, "max_transform_hierarchy_depth_inter", 0) > 0 \
+            and getattr(hdr, "slice_type", None) != 2:
+        # explicit split_transform_flag on inter CUs: Python writer.
+        # I slices (slice_type 2) never code inter CUs, so the flag
+        # cannot occur there and the native path stays valid.
+        return None
     from ..hevc.cabac_tables import CTX_OFFSET, NUM_CTX, init_contexts
     if _SLICE_BASES is None:
         _SLICE_BASES = (ctypes.c_int * len(_SLICE_CTX_NAMES))(

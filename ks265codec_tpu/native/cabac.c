@@ -578,6 +578,9 @@ typedef struct {
     const int32_t *ctb_tile;    /* per-CTB (raster) tile id; NULL = no tiles */
     int cur_tile;
     int log2_ctb;
+    /* cu_qp_delta chain (QG = CTB): mirrors sbac.py begin_qg /
+     * note_cu_qp / maybe_write_dqp / end_qg */
+    int qp_prev, dqp_coded, qg_last_qp;
 } SW;
 
 static inline int sw_cell(const SW *sw, int x, int y) {
@@ -633,6 +636,33 @@ static void sw_write_eg1(SW *sw, int value) {
     e_bypass(e, 0);
     e_bypass_n(e, (uint32_t)v, count);
 }
+static void sw_maybe_dqp(SW *sw, int cell) {
+    /* cu_qp_delta_abs/sign at the first residual-bearing TU of the QG
+     * (7.3.8.11, 9.3.3: TU(5) ctx 0/1 + EG0 + bypass sign) — mirror of
+     * sbac.SliceSyntaxWriter.maybe_write_dqp */
+    Enc *e = &sw->e;
+    if (!sw->p[P_DQP_ENABLED] || sw->dqp_coded) return;
+    sw->dqp_coded = 1;
+    int d = (int)sw->qpmap[cell] - sw->qp_prev;
+    if (d > 25) d -= 52; else if (d < -26) d += 52;
+    int v = d < 0 ? -d : d;
+    e_bin(e, v > 0, sw->bases[CB_DQP]);
+    if (v) {
+        int k = 1;
+        while (k < 5 && k < v) { e_bin(e, 1, sw->bases[CB_DQP] + 1); k++; }
+        if (v < 5) e_bin(e, 0, sw->bases[CB_DQP] + 1);
+        else {                        /* EG0 of v-5 */
+            int v1 = (v - 5) + 1, cnt = 0;
+            while ((v1 >> (cnt + 1)) > 0) cnt++;
+            for (int i = 0; i < cnt; i++) e_bypass(e, 1);
+            e_bypass(e, 0);
+            for (int i = cnt - 1; i >= 0; i--)
+                e_bypass(e, (v1 >> i) & 1);
+        }
+        e_bypass(e, d < 0);
+    }
+}
+
 static void sw_write_mvd(SW *sw, int mx, int my) {
     Enc *e = &sw->e;
     int base = sw->bases[CB_MVD];
@@ -734,6 +764,7 @@ static void sw_write_cu(SW *sw, int x0, int y0, int log2, int depth) {
     int is_i = p[P_SLICE_TYPE] == 2;
     int intra = sw->pred_mode[cell] == 1;
     int x4 = x0 >> 2, y4 = y0 >> 2;
+    sw->qg_last_qp = sw->qpmap[cell];     /* note_cu_qp */
 
     if (!is_i) {
         int skip = sw->skip[cell] != 0;
@@ -762,6 +793,8 @@ static void sw_write_cu(SW *sw, int x0, int y0, int log2, int depth) {
         e_bin(e, cbf_cb != 0, sw->bases[CB_QT_CBF_CHROMA]);
         e_bin(e, cbf_cr != 0, sw->bases[CB_QT_CBF_CHROMA]);
         e_bin(e, cbf_y != 0, sw->bases[CB_QT_CBF_LUMA] + 1);
+        if (cbf_y || cbf_cb || cbf_cr)
+            sw_maybe_dqp(sw, cell);
         if (cbf_y)
             sw_residual(sw, sw->cy, p[P_PW], x0, y0, log2, 0,
                         sw_scan_idx(log2, 0, mode));
@@ -826,6 +859,7 @@ static void sw_write_cu(SW *sw, int x0, int y0, int log2, int depth) {
         if (cbf_cb || cbf_cr)
             e_bin(e, cbf_y != 0, sw->bases[CB_QT_CBF_LUMA] + 1);
         else cbf_y = 1;               /* inferred at inter depth-0 leaf */
+        sw_maybe_dqp(sw, cell);
         if (cbf_y)
             sw_residual(sw, sw->cy, p[P_PW], x0, y0, log2, 0, 0);
         if (cbf_cb)
@@ -1005,13 +1039,16 @@ static void mt_write_tile(MTJob *j, int t) {
     sw.e.out = j->bufs[t]; sw.e.out_len = 0; sw.e.out_cap = j->caps[t];
     sw.e.ctx = ctx; sw.e.overflow = 0; sw.err = 0;
     sw.cur_tile = j->ctb_tile[j->ts_to_rs[j->tile_start[t]]];
+    sw.qp_prev = sw.qg_last_qp = sw.p[P_SLICE_QP];  /* tile qp reset */
     int last_tile = (t == j->ntiles - 1);
     for (int ts = j->tile_start[t]; ts < j->tile_end[t]; ts++) {
         int addr = j->ts_to_rs[ts];
         int rx = addr % j->wctb, ry = addr / j->wctb;
         if (j->sao_on) sw_write_sao(&sw, rx, ry);
+        sw.dqp_coded = 0;                           /* begin_qg */
         sw_write_cq(&sw, rx << j->log2_ctb, ry << j->log2_ctb,
                     j->log2_ctb, 0);
+        sw.qp_prev = sw.qg_last_qp;                 /* end_qg */
         if (sw.err) { j->errs[t] = sw.err; return; }
         int last = last_tile && ts == j->tile_end[t] - 1;
         sw_terminate(&sw.e, last ? 1 : 0);
@@ -1061,7 +1098,7 @@ long ks_write_slice_tiles_mt(const int32_t *params, const int *bases,
                              int32_t *entry_sizes, int32_t *n_entries,
                              uint8_t *work, int nthreads) {
     tables_init(); scans_init();
-    if (params[P_DQP_ENABLED] || params[P_WPP] || !ts_to_rs || !ctb_tile)
+    if (params[P_WPP] || !ts_to_rs || !ctb_tile)
         return -3;
     SW sw;
     memset(&sw, 0, sizeof(sw));
@@ -1169,7 +1206,6 @@ long ks_write_slice(const int32_t *params, const int *bases,
                     int32_t *entry_sizes, int32_t *n_entries,
                     uint8_t *work /* >= 2*nctx + h4*w4 bytes */) {
     tables_init(); scans_init();
-    if (params[P_DQP_ENABLED]) return -3;      /* not yet in native */
     SW sw;
     memset(&sw, 0, sizeof(sw));
     sw.p = params; sw.bases = bases;
@@ -1206,14 +1242,19 @@ long ks_write_slice(const int32_t *params, const int *bases,
     sw.ctb_tile = ctb_tile;
     sw.log2_ctb = log2_ctb;
     sw.cur_tile = ctb_tile ? ctb_tile[ts_to_rs ? ts_to_rs[0] : 0] : 0;
+    sw.qp_prev = sw.qg_last_qp = params[P_SLICE_QP];
     for (int ts = 0; ts < nctb; ts++) {
         int addr = ts_to_rs ? ts_to_rs[ts] : ts;
         int rx = addr % sw.wctb, ry = addr / sw.wctb;
-        if (wpp && rx == 0 && ry > 0 && have_saved)
+        if (wpp && rx == 0 && ry > 0 && have_saved) {
             memcpy(ctx, saved, (size_t)nctx);
+            sw.qp_prev = params[P_SLICE_QP];  /* qPY_PREV row reset */
+        }
         int x0 = rx << log2_ctb, y0 = ry << log2_ctb;
         if (sao_on) sw_write_sao(&sw, rx, ry);
+        sw.dqp_coded = 0;                     /* begin_qg */
         sw_write_cq(&sw, x0, y0, log2_ctb, 0);
+        sw.qp_prev = sw.qg_last_qp;           /* end_qg */
         if (sw.err) return sw.err;
         if (wpp && rx == (sw.wctb - 1 < 1 ? sw.wctb - 1 : 1)) {
             memcpy(saved, ctx, (size_t)nctx);
@@ -1238,6 +1279,7 @@ long ks_write_slice(const int32_t *params, const int *bases,
                 sub_start = sw.e.out_len;
                 memcpy(ctx, init_ctx, (size_t)nctx);
                 sw.cur_tile = ctb_tile[nrs];
+                sw.qp_prev = params[P_SLICE_QP];  /* tile qp reset */
             }
         }
     }
