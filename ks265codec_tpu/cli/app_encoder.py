@@ -78,8 +78,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-md5", dest="md5", type=int, default=0)
     p.add_argument("-log", dest="log_level", type=int, default=1)
     p.add_argument("-opts", default="", help="k=v:k=v config string")
+    p.add_argument("-c", dest="config_file", default=None,
+                   help="config file: 'key = value' lines (# comments); "
+                        "keys are EncoderConfig fields; -opts wins")
     p.add_argument("-v", action="store_true", dest="version")
     return p
+
+
+def read_config_file(path: str) -> str:
+    """-c FILE -> a k=v:k=v opts string (HM-style 'Key : value' or
+    'key = value' lines, '#' comments). Bad keys/values surface as the
+    same BAD_NAME/BAD_VALUE errors the -opts parser raises."""
+    pairs = []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.split("#", 1)[0].strip()
+            if not ln:
+                continue
+            for sep in ("=", ":"):
+                if sep in ln:
+                    k, v = ln.split(sep, 1)
+                    pairs.append(f"{k.strip()}={v.strip()}")
+                    break
+            else:
+                raise ValueError(f"BAD_NAME: {ln}")
+    return ":".join(pairs)
 
 
 def cfg_from_args(a) -> EncoderConfig:
@@ -100,6 +123,9 @@ def cfg_from_args(a) -> EncoderConfig:
         psnr=a.psnr, ssim=a.ssim, md5=bool(a.md5), log_level=a.log_level,
         pass_num=a.pass_num,
     )
+    if a.config_file:
+        # precedence: flag defaults < -c file < -opts
+        parse_config_string(cfg, read_config_file(a.config_file))
     if a.opts:
         parse_config_string(cfg, a.opts)
     return cfg

@@ -7,6 +7,18 @@ import os as _os
 
 import jax as _jax
 
+# KS265_PLATFORM=cpu|tpu forces the JAX platform. This must be OUR env
+# var: the axon TPU-tunnel plugin claims every process and jax's own
+# JAX_PLATFORMS env var is ignored by this build — only a
+# jax.config.update before first backend use works. CLI subprocesses in
+# tests (and users without a TPU) need the CPU path.
+_plat_env = _os.environ.get("KS265_PLATFORM")
+if _plat_env:
+    try:
+        _jax.config.update("jax_platforms", _plat_env)
+    except Exception:                   # pragma: no cover
+        pass
+
 # The cache directory is keyed by (platform, host CPU fingerprint): the
 # repo (and ~/.cache) persists across container hosts, and CPU AOT
 # artifacts embed the compiling host's machine features (AMX,
