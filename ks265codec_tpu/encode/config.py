@@ -60,6 +60,9 @@ class EncoderConfig:
     sao: int = 1                     # 0 off .. 4 full (ladder tiers)
     strong_intra_smoothing: bool = True
     rdoq: bool = False
+    tmvp: bool = True                # temporal MV predictor (merge+AMVP)
+    weightp: bool = False            # explicit weighted pred for P (fades)
+    noise_reduction: int = 0         # -nr coefficient-domain denoise
     decide_effort: int = 1      # 0: fast md (1 RDO cand, DM chroma)
     do64: bool = True
     sign_bit_hiding: bool = False
@@ -103,15 +106,20 @@ _LADDER = {
     "fast":      dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
                       sao=3, rdoq=True, sign_bit_hiding=True),
     "medium":    dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=4, rdoq=True, sign_bit_hiding=True),
+                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      sign_bit_hiding=True),
     "slow":      dict(me=2, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      sao=4, rdoq=True, sign_bit_hiding=True),
+                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      sign_bit_hiding=True),
     "slower":    dict(me=2, subme=1, refs=2, inter_tu_depth=1, partitions=1,
-                      sao=4, rdoq=True, sign_bit_hiding=True),
+                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      sign_bit_hiding=True),
     "veryslow":  dict(me=2, subme=2, refs=4, inter_tu_depth=1, partitions=1,
-                      sao=4, rdoq=True, sign_bit_hiding=True),
+                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      sign_bit_hiding=True),
     "placebo":   dict(me=2, subme=2, refs=5, inter_tu_depth=2, partitions=2,
-                      sao=4, rdoq=True, sign_bit_hiding=True),
+                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      sign_bit_hiding=True),
 }
 
 
@@ -159,6 +167,12 @@ def resolve_preset(cfg: EncoderConfig) -> EncoderConfig:
             cfg.bframes = 3
         if cfg.temporal_layers == ref.temporal_layers:
             cfg.temporal_layers = 2
+    if cfg.intra_period == 1:
+        # CU-tree propagates importance through INTER references; an
+        # all-intra stream has none (per-frame energy AQ is aq_mode's
+        # job) — and dropping it keeps cu_qp_delta off, so the all-intra
+        # fused device pipeline and native writer stay engaged
+        cfg.cutree = 0
     if cfg.tiles:
         try:
             c, r = cfg.tiles.lower().split("x")

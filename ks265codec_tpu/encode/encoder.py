@@ -45,6 +45,44 @@ class EncodedFrame:
     temporal_id: int = 0
 
 
+def decide_weightp(src_y, l0):
+    """Per-L0-ref explicit WP decision (the reference's weightAnalyse
+    analog, x264 lineage): least-squares (gain, offset) fit of src luma
+    against each reference on 4x-subsampled planes; a ref gets a weight
+    only when the fit is materially non-identity AND measurably improves
+    plain SAD. Returns weights[ref] = [luma, cb, cr] PredWeight triples
+    (chroma identity — luma carries fades), or None when every ref is
+    identity (the slice then writes a zero-flag table)."""
+    from ..hevc.slicehdr import PredWeight
+    s = np.asarray(src_y, np.float64)[::4, ::4]
+    sh = s.shape
+    out = []
+    any_flag = False
+    for rp in l0:
+        r = np.asarray(rp.fs.y, np.float64)[:src_y.shape[0],
+                                            :src_y.shape[1]][::4, ::4]
+        r = r[:sh[0], :sh[1]]
+        use, wq, oq = False, 64, 0
+        vr = float(r.var())
+        if vr > 1e-3:
+            cov = float(((s - s.mean()) * (r - r.mean())).mean())
+            wr = min(max(cov / vr, 0.25), 2.0)     # |delta_w| <= 127
+            wq = int(np.clip(round(wr * 64), 1, 191))
+            oq = int(np.clip(round(s.mean() - wq / 64.0 * r.mean()),
+                             -128, 127))
+            if abs(wq - 64) > 1 or abs(oq) > 2:
+                pred = np.clip(r * (wq / 64.0) + oq, 0, 255)
+                if (np.abs(s - pred).sum()
+                        < 0.99 * np.abs(s - r).sum()):
+                    use = True
+        if not use:
+            wq, oq = 64, 0
+        out.append([PredWeight(1 if use else 0, wq, oq),
+                    PredWeight(0, 64, 0), PredWeight(0, 64, 0)])
+        any_flag = any_flag or use
+    return out if any_flag else None
+
+
 class HevcEncoder:
     """v1: all-intra encoder. encode_frame() is synchronous (no lookahead
     delay yet), mirroring QY265EncoderEncodeFrame's contract of returning
@@ -150,7 +188,7 @@ class HevcEncoder:
             s.log2_max_pcm_cb = 5
             s.pcm_loop_filter_disabled = 0
         s.long_term_ref_pics_present = 1 if cfg.long_term_ref else 0
-        s.temporal_mvp_enabled = 0
+        s.temporal_mvp_enabled = 1 if cfg.tmvp else 0
         s.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
         s.st_rps = []
         s.lt_ref_pic_poc_lsb = []
@@ -179,7 +217,7 @@ class HevcEncoder:
         p.diff_cu_qp_delta_depth = 0
         p.cb_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
         p.cr_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))
-        p.weighted_pred = 0
+        p.weighted_pred = 1 if cfg.weightp else 0
         p.weighted_bipred = 0
         p.transquant_bypass_enabled = 0
         from .config import tile_dims
@@ -532,7 +570,8 @@ class HevcEncoder:
         by_poc = {rp.poc: rp for rp in self.dpb}
         lt_rp = None
         if cfg.long_term_ref and not is_idr:
-            lt_rp = next((rp for rp in self.dpb if rp.is_long_term), None)
+            lt_rp = next((rp for rp in self.dpb
+                          if getattr(rp, "lt_candidate", False)), None)
         l0 = l1 = None
         if not is_idr:
             # trim RPS entries to pictures actually in the DPB (early
@@ -563,6 +602,11 @@ class HevcEncoder:
                 hdr.lt_msb_present = [0]
                 hdr.lt_delta_poc_msb = [0]
                 hdr.lt_from_sps = [-1]
+                # normative LT marking happens when the RPS first SIGNALS
+                # the picture as LT (decoder semantics, decoder.py:238) —
+                # not at DPB insertion. Until then both sides must treat
+                # it as short-term (MV scaling + TMVP gates read this)
+                lt_rp.is_long_term = True
                 l0 = l0 + [lt_rp]
             if slice_type == B_SLICE and (not l0 or not l1):
                 # missing ref (shouldn't happen): degrade to P off any ref
@@ -572,6 +616,23 @@ class HevcEncoder:
                 l1 = []
             hdr.num_ref_idx = [max(1, len(l0)),
                                len(l1) if slice_type == B_SLICE else 0]
+            if self.sps.temporal_mvp_enabled:
+                # collocated picture = L0[0] (closest ref): the temporal
+                # merge/AMVP candidate comes from its stored motion grid
+                # (spec 8.5.3.2.8; derivation shared with the decoder)
+                hdr.temporal_mvp_enabled = 1
+                hdr.collocated_from_l0 = 1
+                hdr.collocated_ref_idx = 0
+            if cfg.weightp and slice_type == P_SLICE and l0:
+                # explicit weighted prediction (fade handling): per-ref
+                # least-squares (gain, offset) fit on subsampled luma;
+                # the shared motion_compensate applies hdr.weights on
+                # both sides, so recon consistency is automatic
+                wt = decide_weightp(frame.y, l0)
+                if wt is not None:
+                    hdr.luma_log2_weight_denom = 6
+                    hdr.chroma_log2_weight_denom = 6
+                    hdr.weights = [wt, []]
 
         def make_enc(fstate):
             args = (fstate, self.sps, self.pps, hdr,
@@ -590,6 +651,12 @@ class HevcEncoder:
             e.me_method = int(cfg.me)
             e.partitions = int(cfg.partitions)
             e.inter_tu_depth = int(cfg.inter_tu_depth)
+            if cfg.noise_reduction:
+                e.noise_reduction = int(cfg.noise_reduction)
+                # noise stats accumulate across the whole sequence
+                if not hasattr(self, "_nr_shared"):
+                    self._nr_shared = {}
+                e._nr_state = self._nr_shared
             return e
 
         fs = FrameState(self.sps)
@@ -692,11 +759,14 @@ class HevcEncoder:
         if not is_idr:
             keep = {poc + d for d in hdr.st_rps.delta_pocs}
         self.dpb = [rp for rp in self.dpb
-                    if rp.poc in keep or (rp.is_long_term
+                    if rp.poc in keep or (getattr(rp, "lt_candidate", False)
                                           and cfg.long_term_ref)]
-        self.dpb.append(RefPic(fs, poc,
-                               is_long_term=bool(cfg.long_term_ref
-                                                 and is_idr)))
+        new_rp = RefPic(fs, poc)
+        if cfg.long_term_ref and is_idr:
+            # encoder INTENT to keep this picture long-term; the normative
+            # is_long_term flag flips only when an RPS signals it as LT
+            new_rp.lt_candidate = True
+        self.dpb.append(new_rp)
         recon = self._wrap_recon(fs, frame)
         ef = EncodedFrame(data=data, recon=recon, poc=poc, qp=qp,
                           bits=len(data) * 8,

@@ -279,6 +279,13 @@ class PFrameEncoder(IntraFrameEncoder):
                                + hdr.cr_qp_offset)
         self._apply_lam_scale()
 
+    def _cu_qp(self, x0: int, y0: int):
+        # P/B frames: _set_ctu_qp already applied the per-CTU offset to
+        # self.qp — the base-class version would add it a second time
+        # for intra CUs inside inter frames (found as an encoder/decoder
+        # QP mismatch on cutree B frames)
+        return self.qp, self.qp_cb, self.qp_cr
+
     def _code_ctu_p(self, x0, y0):
         """Quadtree walk: whole-CTB skip probe first, then 32/16 CUs."""
         self._set_ctu_qp(x0, y0)
@@ -851,6 +858,23 @@ class PFrameEncoder(IntraFrameEncoder):
         qbits = 29 + qp // 6 - 8 - log2
         rnd = 85 << (qbits - 9)      # inter rounding
         a = np.abs(c).astype(np.int64)
+        nr = int(getattr(self, "noise_reduction", 0))
+        if nr:
+            # coefficient-domain noise reduction (updateNoiseReduce /
+            # TNoiseReduce analog, x264 lineage): running per-position
+            # mean |coeff| models the noise floor; small coefficients are
+            # soft-thresholded toward it before quantization. Quant-side
+            # only — the bitstream stays conformant by construction.
+            if not hasattr(self, "_nr_state"):
+                self._nr_state = {}
+            st = self._nr_state.setdefault(
+                log2, [np.zeros((1 << log2, 1 << log2), np.float64), 0.0])
+            st[0] += a
+            st[1] += 1.0
+            mean_abs = st[0] / st[1]
+            thr = np.minimum(mean_abs * (nr / 1024.0),
+                             float(1 << max(qbits - 10, 0)))
+            a = np.maximum(a - thr.astype(np.int64), 0)
         q = np.minimum((a * QUANT_SCALE[qp % 6] + rnd) >> qbits, 32767)
         out = np.where(c < 0, -q, q).astype(np.int32)
         if self.pps.sign_data_hiding_enabled:

@@ -203,12 +203,16 @@ class Lookahead:
         out = []
         for k in range(F):
             ratio = np.log2(1.0 + prop[k] / np.maximum(ics[k], 1.0))
-            dqp = -CUTREE_STRENGTH * ratio
+            # zero-mean per frame: cutree discriminates WITHIN the frame
+            # (referenced content vs dead-end content); frame-level QP is
+            # the GOP cascade / RC's job, and one-sided offsets under
+            # fixed QP just buy bits below the RD curve (measured)
+            dqp = -CUTREE_STRENGTH * (ratio - float(ratio.mean()))
             # CTU aggregation: half-res 8-blocks are 16 luma; CTU 64 = 4x4
             cty, ctx = nby // 4, nbx // 4
             dctu = dqp[:cty * 4, :ctx * 4].reshape(cty, 4, ctx, 4) \
                 .mean((1, 3))
-            out.append(np.clip(np.round(dctu), -9, 0).astype(np.int8))
+            out.append(np.clip(np.round(dctu), -9, 9).astype(np.int8))
         return out
 
     def pop(self, display_idx: int) -> FrameAnalysis | None:

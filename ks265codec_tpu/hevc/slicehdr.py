@@ -265,6 +265,40 @@ def _read_pred_weight_table(r: BitReader, h: SliceHeader):
             h.weights[lst].append(comps)
 
 
+def _write_pred_weight_table(w: BitWriter, h: SliceHeader):
+    """Mirror of _read_pred_weight_table (7.3.6.3). h.weights may be None
+    (no WP chosen for this slice): identity flags are written so the
+    table costs ~2 + 2*nref bits."""
+    w.write_ue(h.luma_log2_weight_denom)
+    w.write_se(h.chroma_log2_weight_denom - h.luma_log2_weight_denom)
+    nlists = 2 if h.slice_type == B_SLICE else 1
+    for lst in range(nlists):
+        ws = (h.weights[lst] if h.weights is not None
+              and lst < len(h.weights) else [])
+        for i in range(h.num_ref_idx[lst]):
+            w.write_bit(1 if i < len(ws) and ws[i][0].flag else 0)
+        for i in range(h.num_ref_idx[lst]):
+            w.write_bit(1 if i < len(ws) and ws[i][1].flag else 0)
+        for i in range(h.num_ref_idx[lst]):
+            comps = ws[i] if i < len(ws) else None
+            if comps is not None and comps[0].flag:
+                w.write_se(comps[0].weight
+                           - (1 << h.luma_log2_weight_denom))
+                w.write_se(comps[0].offset)
+            if comps is not None and comps[1].flag:
+                for c in (1, 2):
+                    w.write_se(comps[c].weight
+                               - (1 << h.chroma_log2_weight_denom))
+                    # parse derives offset = clip(do - ((128*w)>>d) + 128)
+                    w.write_se(comps[c].offset
+                               + ((128 * comps[c].weight)
+                                  >> h.chroma_log2_weight_denom) - 128)
+    # h.weights=None (identity table, zero flags) needs no special state:
+    # the decoder's weighted formula with identity entries is bit-exactly
+    # the default combine ((p*64 + 2^11) >> 12 == (p + 32) >> 6), so the
+    # encoder's unweighted MC matches the decoder's weighted path
+
+
 def write_slice_header(h: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
     """Write a slice segment header; returns the BitWriter positioned after
     byte_alignment so CABAC data can be appended."""
@@ -328,9 +362,9 @@ def write_slice_header(h: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
             lst = 0 if h.collocated_from_l0 else 1
             if h.num_ref_idx[lst] > 1:
                 w.write_ue(h.collocated_ref_idx)
-        assert not ((pps.weighted_pred and h.slice_type == P_SLICE) or
-                    (pps.weighted_bipred and h.slice_type == B_SLICE)), \
-            "weight table writing added with WP encode support"
+        if ((pps.weighted_pred and h.slice_type == P_SLICE) or
+                (pps.weighted_bipred and h.slice_type == B_SLICE)):
+            _write_pred_weight_table(w, h)
         w.write_ue(5 - h.max_num_merge_cand)
     w.write_se(h.slice_qp - pps.init_qp)
     if pps.slice_chroma_qp_offsets_present:

@@ -365,7 +365,11 @@ def test_wide_merange_catches_large_motion():
         for d, r in zip(dec, recons):
             assert d.tobytes() == r.tobytes(), preset
         sizes[preset] = len(bs)
-    assert sizes["slow"] < 0.7 * sizes["medium"], sizes
+    # slow's always-on pyramid search must beat medium's +-16 grid on
+    # this pan. (Margin was 0.7x when medium had no TMVP/cutree; those
+    # closed much of the gap from the medium side — the wide search is
+    # still a measurable win, which is the property under test.)
+    assert sizes["slow"] < 0.95 * sizes["medium"], sizes
 
 
 def test_open_gop_cra_and_long_term_refs(tmp_path):
@@ -472,3 +476,70 @@ def test_inter_tu_split_roundtrip(tmp_path):
                            capture_output=True)
         assert r.returncode == 0
         assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+def test_weighted_prediction_encode(tmp_path):
+    """weightp: fade content gets explicit per-ref luma (gain, offset)
+    weights; streams round-trip our decoder and the reference decoder."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    rng = np.random.RandomState(17)
+    base = np.clip(120 + rng.randn(H, W) * 30, 0, 255)
+    frames = []
+    for t in range(6):
+        fade = 1.0 - 0.12 * t                 # global fade to black
+        y = np.clip(base * fade, 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 135, np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=30,
+                        latency="zerolatency", intra_period=64)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    # the fade must actually trigger a non-identity weight
+    from ks265codec_tpu.encode.encoder import decide_weightp
+
+    class _RP:
+        def __init__(self, y):
+            self.fs = type("F", (), {"y": y})()
+
+    wt = decide_weightp(frames[1].y, [_RP(frames[0].y.astype(np.int32))])
+    assert wt is not None and wt[0][0].flag == 1
+    assert wt[0][0].weight < 64          # fade down -> gain < 1
+    if have_reference():
+        bsf = tmp_path / "wp.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "wpdec.yuv"
+        r = subprocess.run(
+            [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+             str(outf), "-threads", "1"], capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+def test_noise_reduction_acts():
+    """-nr: coefficient-domain denoise attenuates small inter coeffs —
+    fewer bits on noisy content, stream still decodes bit-exact."""
+    rng = np.random.RandomState(23)
+    base = np.clip(120 + rng.randn(H, W) * 18, 0, 255)
+    frames = []
+    for t in range(4):
+        y = np.clip(base + rng.randn(H, W) * 6, 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 135, np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+    sizes = {}
+    for nr in (0, 600):
+        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=28,
+                            latency="zerolatency", intra_period=64,
+                            noise_reduction=nr)
+        bs, recons = encode_sequence(frames, cfg)
+        dec = HevcDecoder().decode_all(bs)
+        for d, r in zip(dec, recons):
+            assert d.tobytes() == r.tobytes(), f"nr={nr}"
+        sizes[nr] = len(bs)
+    assert sizes[600] < sizes[0], sizes

@@ -97,13 +97,13 @@ def run_reference(frames, W, H, qp, preset, latency, iper):
     return bs.stat().st_size * 8, psnr_frames(frames, recons), dt
 
 
-def run_ours(frames, W, H, qp, preset, latency, iper):
+def run_ours(frames, W, H, qp, preset, latency, iper, opts=None):
     from ks265codec_tpu.encode.config import EncoderConfig
     from ks265codec_tpu.encode.encoder import HevcEncoder
     from ks265codec_tpu.utils.yuv import YUVFrame
     yuv = [YUVFrame(y, u, v, poc=i) for i, (y, u, v) in enumerate(frames)]
     cfg = EncoderConfig(width=W, height=H, preset=preset, latency=latency,
-                        qp=qp, intra_period=iper)
+                        qp=qp, intra_period=iper, **(opts or {}))
     enc = HevcEncoder(cfg)
     t0 = time.time()
     bs = b""
@@ -134,14 +134,28 @@ def main():
     ap.add_argument("--preset", default="medium")
     ap.add_argument("--latency", default="offline")
     ap.add_argument("--iper", type=int, default=32)
+    ap.add_argument("--ours-opts", default="",
+                    help="extra EncoderConfig fields for OUR side only, "
+                         "k=v comma list (int/float/str coerced)")
     args = ap.parse_args()
+    opts = {}
+    for kv in filter(None, args.ours_opts.split(",")):
+        k, v = kv.split("=", 1)
+        try:
+            opts[k] = int(v)
+        except ValueError:
+            try:
+                opts[k] = float(v)
+            except ValueError:
+                opts[k] = v
     frames = synth(args.w, args.h, args.frames)
     rows = []
     for qp in [int(q) for q in args.qps.split(",")]:
         rb, rp, rt = run_reference(frames, args.w, args.h, qp, args.preset,
                                    args.latency, args.iper)
         ob, op, ot, by_type = run_ours(frames, args.w, args.h, qp,
-                                       args.preset, args.latency, args.iper)
+                                       args.preset, args.latency, args.iper,
+                                       opts)
         row = dict(qp=qp, ref_bits=rb, ref_psnr=round(rp, 3),
                    ours_bits=ob, ours_psnr=round(op, 3),
                    bits_ratio=round(ob / rb, 3),
