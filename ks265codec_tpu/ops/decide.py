@@ -155,12 +155,17 @@ def _mpm_lists(modes, n: int, nby: int, nbx: int):
 
 
 def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
-                   effort: int):
+                   effort: int, seed_modes=None):
     """(luma mode, rough-RD cost, chroma mode) maps for one size on one
     frame. qp/qpc: scalar luma/chroma QP; lam full lambda (D+lam*R);
     ls = sqrt(lam) for the SATD-domain mode argmins. effort 0 = fast
     presets (single RDO candidate, DM chroma); 1 = full (top-3 RDO list,
-    5-candidate chroma search) — the reference's per-preset md ladder."""
+    5-candidate chroma search) — the reference's per-preset md ladder.
+
+    seed_modes (fast-md tier): per-block parent winner map (from the
+    2n size decision) — the search narrows from all 35 modes to
+    {parent, parent+-1, planar, DC, V, H} (the reference's
+    decideBestLumaModeBySadFast shape), ~4x less predict+SATD work."""
     h, w = plane.shape
     nby, nbx = h // n, w // n
     log2 = n.bit_length() - 1
@@ -168,6 +173,42 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
     refs_f = _filter_refs(refs, n)
     blocks = plane.reshape(nby, n, nbx, n).swapaxes(1, 2).reshape(-1, n, n)
     B = blocks.shape[0]
+    if seed_modes is not None:
+        from .wavefront import _predict_dyn
+        par = seed_modes.reshape(-1).astype(jnp.int32)         # (B,)
+        ang = jnp.maximum(par, 2)
+        cand = jnp.stack([
+            par,
+            jnp.where(par >= 2, 2 + ((ang - 2 + 1) % 33), 0),
+            jnp.where(par >= 2, 2 + ((ang - 2 + 32) % 33), 1),
+            jnp.full_like(par, 0), jnp.full_like(par, 1),
+            jnp.full_like(par, 26), jnp.full_like(par, 10)], axis=1)
+        C = cand.shape[1]
+        rrep = jnp.repeat(refs, C, axis=0)
+        frep = jnp.repeat(refs_f, C, axis=0)
+        preds_c = _predict_dyn(rrep, frep, cand.reshape(-1), n,
+                               True).reshape(B, C, n, n)
+        costs_c = jcost.satd(preds_c, blocks[:, None],
+                             8).astype(jnp.float32)
+        best0 = jnp.take_along_axis(
+            cand, jnp.argmin(costs_c, axis=1)[:, None], axis=1)[:, 0]
+        m0, m1, m2 = _mpm_lists(best0, n, nby, nbx)
+        mb_c = jnp.where(
+            cand == m0.reshape(-1)[:, None], _BITS_MPM0,
+            jnp.where((cand == m1.reshape(-1)[:, None])
+                      | (cand == m2.reshape(-1)[:, None]),
+                      _BITS_MPM12, _BITS_REM))
+        jlc = costs_c + ls * mb_c
+        ki = jnp.argmin(jlc, axis=1)
+        best = jnp.take_along_axis(cand, ki[:, None], axis=1)[:, 0]
+        mode_bits = jnp.take_along_axis(mb_c, ki[:, None], axis=1)[:, 0]
+        pred_b = jnp.take_along_axis(
+            preds_c, ki[:, None, None, None], axis=1)[:, 0]
+        qpb = jnp.full((B,), qp, jnp.int32)
+        D, rbits = _rough_tu_cost(blocks - pred_b, qpb, n, log2,
+                                  4.0 ** (log2 - 7))
+        return _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx,
+                                log2, B, 0, best, D, rbits, mode_bits)
     preds = jintra.predict_all_modes(refs, refs_f, n, True)
     costs = jcost.satd(preds, blocks[:, None], 8).astype(jnp.float32)
     # round 1: SATD-only argmin feeds the neighbor-mode MPM estimate
@@ -200,6 +241,14 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
     D = jnp.take_along_axis(Dk.reshape(B, K), ki[:, None], axis=1)[:, 0]
     rbits = jnp.take_along_axis(rbk.reshape(B, K), ki[:, None],
                                 axis=1)[:, 0]
+    return _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx, log2,
+                            B, effort, best, D, rbits, mode_bits)
+
+
+def _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx, log2, B,
+                     effort, best, D, rbits, mode_bits):
+    """Chroma mode decision + the final rough-RD cost map (shared tail
+    of _size_decision's full and seeded paths)."""
     # chroma: candidate set at nc = n/2 on both planes, DM duplicate -> 34
     from .wavefront import _predict_dyn
     nc = n // 2
@@ -253,12 +302,24 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int):
     plane = plane.astype(jnp.int32)
     cbp = cbp.astype(jnp.int32)
     crp = crp.astype(jnp.int32)
-    mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc, lam, ls,
-                                       8, effort)
     mode16, cost16, cm16 = _size_decision(plane, cbp, crp, qp, qpc, lam,
                                           ls, 16, effort)
-    mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc, lam,
-                                          ls, 32, effort)
+    if effort == 0:
+        # fast md: only the 16 tier runs the full 35-mode sweep; 8 and
+        # 32 narrow to parent/child-seeded candidate sets (~60% less
+        # decide compute, the dominant pass at the fast presets)
+        seed8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
+        mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc,
+                                           lam, ls, 8, effort,
+                                           seed_modes=seed8)
+        mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc,
+                                              lam, ls, 32, effort,
+                                              seed_modes=mode16[::2, ::2])
+    else:
+        mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc,
+                                           lam, ls, 8, effort)
+        mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc,
+                                              lam, ls, 32, effort)
     h8, w8 = cost8.shape
     c8sum = cost8.reshape(h8 // 2, 2, w8 // 2, 2).sum(axis=(1, 3))
     split16 = c8sum < cost16
