@@ -313,7 +313,17 @@ class HevcEncoder:
         cfg = self.cfg
         iper = cfg.intra_period
         gop_n = self._gop_n()
-        while self.queue:
+        while self.queue or getattr(self, "_intra_pending", None):
+            if not self.queue:
+                # only the pipelined all-intra chunk remains
+                ctx, items = self._intra_pending
+                self._intra_pending = None
+                if ctx is not None:
+                    self._collect_intra_batch(ctx)
+                for di, f in items:
+                    out.append(self._encode_picture(f, di, None,
+                                                    is_idr=True))
+                continue
             idx0 = self.queue[0][0]
             if getattr(self, "_force_idr", False):
                 self._force_idr = False
@@ -326,14 +336,36 @@ class HevcEncoder:
                 if iper == 1 and cfg.latency == "offline" and cfg.fpp:
                     # all-intra: batch frames through ONE device wavefront
                     # dispatch (FPP analog) — frames are independent
-                    if not flushing and len(self.queue) < 16:
+                    pend = getattr(self, "_intra_pending", None)
+                    if not flushing and len(self.queue) < 16 \
+                            and pend is None:
                         break       # wait for a full batch (async contract)
-                    n = next(b for b in (16, 8, 4, 2, 1)
-                             if len(self.queue) >= b)
-                    items = self.queue[:n]
-                    self.queue = self.queue[n:]
-                    if n > 1:
-                        self._prepare_intra_batch(items)
+                    if pend is not None:
+                        ctx, items = pend
+                        self._intra_pending = None
+                    else:
+                        n = next(b for b in (16, 8, 4, 2, 1)
+                                 if len(self.queue) >= b)
+                        items = self.queue[:n]
+                        self.queue = self.queue[n:]
+                        ctx = (self._dispatch_intra_batch(items)
+                               if n > 1 else None)
+                    # pipeline: dispatch the NEXT chunk before collecting
+                    # this one — device codes chunk N+1 while the host
+                    # entropy-codes chunk N (FPP across batches; the next
+                    # chunk's RC QPs are one batch staler, the
+                    # CEncRcAbrSync bounded-staleness contract)
+                    if ctx is not None and (flushing
+                                            or len(self.queue) >= 16):
+                        m = next((b for b in (16, 8, 4, 2)
+                                  if len(self.queue) >= b), 0)
+                        if m > 1:
+                            nitems = self.queue[:m]
+                            self.queue = self.queue[m:]
+                            self._intra_pending = (
+                                self._dispatch_intra_batch(nitems), nitems)
+                    if ctx is not None:
+                        self._collect_intra_batch(ctx)
                     for di, f in items:
                         out.append(self._encode_picture(f, di, None,
                                                         is_idr=True))
@@ -425,21 +457,29 @@ class HevcEncoder:
         return qp
 
     def _prepare_intra_batch(self, items) -> None:
-        """Run decisions + the batched device wavefront for several intra
-        frames at once; results land in _intra_cache for _encode_picture.
-        RC-driven QPs use the current (bounded-stale) RC state, the
-        CEncRcAbrSync analog for frame-parallel encoding."""
+        """Dispatch + collect in one step (non-pipelined callers)."""
+        ctx = self._dispatch_intra_batch(items)
+        if ctx is not None:
+            self._collect_intra_batch(ctx)
+
+    def _dispatch_intra_batch(self, items):
+        """Run decisions + dispatch the batched device wavefront for
+        several intra frames; returns an opaque ctx for
+        _collect_intra_batch (the packed D2H fetch is deferred so the
+        device crunches this chunk while the host entropy-codes the
+        previous one). RC-driven QPs use the current (bounded-stale) RC
+        state, the CEncRcAbrSync analog for frame-parallel encoding."""
         import os
         if os.environ.get("KS265_SEQ_COMPUTE") or self.sps.pcm_enabled \
                 or self.cfg.aq_mode or self.cfg.cutree:
             # AQ: effective-QP inference must run before deblock, so the
             # per-frame (host deblock) path is used
-            return
+            return None
         if self._wf_coder is None:
             from ..ops.wavefront import WavefrontIntraCoder
             self._wf_coder = WavefrontIntraCoder()
         if not self._wf_coder.available:
-            return
+            return None
         from ..ops.decide import decide_frames
         from .intra_frame import (IntraFrameEncoder, decision_maps8,
                                   tile_region_maps)
@@ -481,10 +521,22 @@ class HevcEncoder:
                         cro=self.pps.cr_qp_offset,
                         deblock=not self.pps.deblocking_filter_disabled,
                         sao=bool(self.sps.sao_enabled))
-            results = self._wf_coder.code_frames(
+            finish = self._wf_coder.code_frames(
                 batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
                 sbh=bool(self.pps.sign_data_hiding_enabled),
-                rdoq=bool(cfg.rdoq), post=post)
+                rdoq=bool(cfg.rdoq), post=post, defer=True)
+        except Exception as ex:
+            from ..utils.log import log
+            log(2, "batched wavefront failed (%s: %s); per-frame path"
+                % (type(ex).__name__, ex))
+            return None
+        return (metas, batch, finish)
+
+    def _collect_intra_batch(self, ctx) -> None:
+        """Force the deferred device fetch and fill _intra_cache."""
+        metas, batch, finish = ctx
+        try:
+            results = finish()
         except Exception as ex:
             from ..utils.log import log
             log(2, "batched wavefront failed (%s: %s); per-frame path"

@@ -704,13 +704,17 @@ class WavefrontIntraCoder:
         return segments, n_levels
 
     def code_frames(self, items, qp_cb_off, qp_cr_off, sps,
-                    sbh: bool = False, rdoq: bool = False, post=None):
+                    sbh: bool = False, rdoq: bool = False, post=None,
+                    defer: bool = False):
         """Batched multi-frame pass. items: list of dicts with keys
         src_y/src_cb/src_cr/log2m/modes8/cmodes8/qp_map8. Returns a list of
         (ry, rcb, rcr, cy, ccb, ccr) numpy tuples, one per frame — or,
         with `post` (dict boff/toff/cbo/cro/deblock/sao), a list of dicts
         {planes, sao_stats, deblocked} from the fused code->deblock->SAO
-        device pipeline with a single packed D2H fetch."""
+        device pipeline with a single packed D2H fetch. With defer=True
+        (post path) the dispatch returns immediately and the result is a
+        zero-arg callable performing the fetch+unpack — the pipelining
+        hook for overlapping device compute with host entropy coding."""
         self._cqp_cb = np.array(
             [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)], np.int32)
         self._cqp_cr = np.array(
@@ -765,9 +769,10 @@ class WavefrontIntraCoder:
             outs = tuple(np.asarray(o) for o in out)
             return [tuple(o[f] for o in outs) for f in range(len(items))]
         return self._fused(items, segs, sy, scb, scr, sps, sbh, rdoq,
-                           post)
+                           post, defer=defer)
 
-    def _fused(self, items, segs, sy, scb, scr, sps, sbh, rdoq, post):
+    def _fused(self, items, segs, sy, scb, scr, sps, sbh, rdoq, post,
+               defer: bool = False):
         from .deblock import intra_bs_maps
         F = len(items)
         ph, pw = items[0]["src_y"].shape
@@ -794,6 +799,19 @@ class WavefrontIntraCoder:
             buf = fused_rows_sharded(mesh, arrays, statics)
         else:
             buf = _code_intra_frames_fused(*arrays, **statics)
+        if defer:
+            # jax dispatch is async: start the D2H copy in the background
+            # and hand the caller a finisher — the device keeps crunching
+            # while the host entropy-codes the previous chunk
+            try:
+                buf.copy_to_host_async()
+            except AttributeError:      # pragma: no cover - older jax
+                pass
+            return lambda: self._unpack_fused(buf, F, ph, pw, sps, sao,
+                                              post)
+        return self._unpack_fused(buf, F, ph, pw, sps, sao, post)
+
+    def _unpack_fused(self, buf, F, ph, pw, sps, sao, post):
         rows = np.asarray(buf)          # the ONE packed D2H fetch
         out = []
         for f in range(F):
