@@ -62,6 +62,7 @@ class EncoderConfig:
     rdoq: bool = False
     tmvp: bool = True                # temporal MV predictor (merge+AMVP)
     weightp: bool = False            # explicit weighted pred for P (fades)
+    intra_nxn: bool = False          # 4x4 intra PUs (part NxN at min CB)
     noise_reduction: int = 0         # -nr coefficient-domain denoise
     decide_effort: int = 1      # 0: fast md (1 RDO cand, DM chroma)
     do64: bool = True
@@ -106,19 +107,19 @@ _LADDER = {
     "fast":      dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
                       sao=3, rdoq=True, sign_bit_hiding=True),
     "medium":    dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "slow":      dict(me=2, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "slower":    dict(me=2, subme=1, refs=2, inter_tu_depth=1, partitions=1,
-                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "veryslow":  dict(me=2, subme=2, refs=4, inter_tu_depth=1, partitions=1,
-                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "placebo":   dict(me=2, subme=2, refs=5, inter_tu_depth=2, partitions=2,
-                      weightp=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
 }
 

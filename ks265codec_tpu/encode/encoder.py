@@ -505,7 +505,7 @@ class HevcEncoder:
             for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
                     items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
                 (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32,
-                 _c8, _c16) = dec
+                 _c8, _c16, _m4, _nxn) = dec
                 log2m, modes8, cmodes8 = decision_maps8(
                     s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3,
                     cm8, cm16, cm32)
@@ -692,6 +692,17 @@ class HevcEncoder:
                     frame.v.astype(np.int32), qp)
             if is_idr:
                 e = IntraFrameEncoder(*args)
+                # NxN rides the sequential host path (the wavefront batch
+                # codes the 2Nx2N tiers only). Enable it exactly where
+                # that path is the ONLY path for this config — inter-GOP
+                # I frames, AQ/cutree/PCM streams, forced-sequential —
+                # so the FPP-batch == per-frame bitstream identity holds
+                # for wavefront-eligible all-intra configs.
+                import os as _os
+                host_only = (cfg.intra_period != 1 or cfg.aq_mode
+                             or cfg.cutree or self.sps.pcm_enabled
+                             or bool(_os.environ.get("KS265_SEQ_COMPUTE")))
+                e.use_nxn = bool(cfg.intra_nxn) and host_only
             elif hdr.slice_type == B_SLICE:
                 e = BFrameEncoder(*args, [l0, l1], subme=cfg.subme)
             else:

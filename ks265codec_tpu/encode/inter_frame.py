@@ -66,7 +66,8 @@ class PFrameEncoder(IntraFrameEncoder):
         # device passes: intra analysis + dense ME against every L0 ref
         # (-ref N, qy265enc.h:141: the multi-reference window)
         (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
-         _, self.icost8, self.icost16) = decide_frame(
+         _, self.icost8, self.icost16, self.mode4,
+         self.nxn8) = decide_frame(
             self.src_y, self.src_cb, self.src_cr, self.qp,
             effort=getattr(self, "decide_effort", 1))
         pw, ph = self.sps.width, self.sps.height
@@ -915,7 +916,8 @@ class BFrameEncoder(PFrameEncoder):
         fs, sps = self.fs, self.sps
         self._apply_lam_scale()
         (_, self.mode16, _, _, _, self.mode8, self.cmode8, self.cmode16,
-         _, self.icost8, self.icost16) = decide_frame(
+         _, self.icost8, self.icost16, self.mode4,
+         self.nxn8) = decide_frame(
             self.src_y, self.src_cb, self.src_cr, self.qp,
             effort=getattr(self, "decide_effort", 1))
         ref0 = np.asarray(self.ref_lists[0][0].fs.y)

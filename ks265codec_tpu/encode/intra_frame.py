@@ -207,7 +207,7 @@ def _mode_costs(refs_u, refs_f, src_blocks, n, lam_bits):
 
 def decide_frame(src_y: np.ndarray, src_cb: np.ndarray,
                  src_cr: np.ndarray, qp: int, lam_scale: float = 1.0,
-                 effort: int = 1):
+                 effort: int = 1, nxn: bool = False):
     """Whole-frame intra decision (split maps + luma/chroma modes).
     Delegates to the batched device pass (ops/decide) as a single-frame
     batch so the sequential oracle and the wavefront production path share
@@ -217,7 +217,7 @@ def decide_frame(src_y: np.ndarray, src_cb: np.ndarray,
     return decide_frames(np.asarray(src_y, np.uint8)[None],
                          np.asarray(src_cb, np.uint8)[None],
                          np.asarray(src_cr, np.uint8)[None],
-                         [qp], lam_scale, effort=effort)[0]
+                         [qp], lam_scale, effort=effort, nxn=nxn)[0]
 
 
 class IntraFrameEncoder:
@@ -253,10 +253,12 @@ class IntraFrameEncoder:
     def _pre_analyze(self) -> None:
         (self.split32, self.mode16, self.mode32, self.frame_cplx,
          self.split16, self.mode8, self.cmode8, self.cmode16,
-         self.cmode32, self.icost8, self.icost16) = decide_frame(
+         self.cmode32, self.icost8, self.icost16, self.mode4,
+         self.nxn8) = decide_frame(
              self.src_y, self.src_cb, self.src_cr, self.qp,
              getattr(self, "lam_scale", 1.0),
-             effort=getattr(self, "decide_effort", 1))
+             effort=getattr(self, "decide_effort", 1),
+             nxn=bool(getattr(self, "use_nxn", False)))
 
     def _code_ctu(self, x0: int, y0: int) -> None:
         self._code_cq(x0, y0, self.sps.log2_ctb, 0)
@@ -404,6 +406,74 @@ class IntraFrameEncoder:
         self._code_cu(x0, y0, log2, depth, mode, cmode)
 
     # ----------------------------------------------------------------- CU
+    def _code_cu_nxn(self, x0, y0, cmode):
+        """part_mode NxN at the min CB (8x8): four 4x4 intra PUs with
+        their own modes and DST 4x4 TUs (IntraSplitFlag tree), one 4x4
+        chroma TU pair — the reference's intraCuMd4x4 tier and the main
+        detail-retention tool of its slower presets."""
+        from ..decode.recon import (dequant, forward_transform,
+                                    inverse_transform, reconstruct)
+        from .sbh import apply_sbh_np, scan_for
+        fs, syn = self.fs, self.syn
+        x4, y4 = x0 >> 2, y0 >> 2
+        cu_qp, cu_qp_cb, cu_qp_cr = self._cu_qp(x0, y0)
+        fs.cu_depth[y4:y4 + 2, x4:x4 + 2] = self.sps.log2_ctb - 3
+        fs.qp[y4:y4 + 2, x4:x4 + 2] = cu_qp
+        fs.cu_edge_v[y4:y4 + 2, x4] = True
+        fs.cu_edge_h[y4, x4:x4 + 2] = True
+        fs.pred_mode[y4:y4 + 2, x4:x4 + 2] = 1
+        fs.mi_parsed[y4:y4 + 2, x4:x4 + 2] = True
+        syn.nxn[y4, x4] = 1
+        syn.chroma_mode[y4:y4 + 2, x4:x4 + 2] = cmode
+        for (dx, dy) in ((0, 0), (4, 0), (0, 4), (4, 4)):
+            xq, yq, q4x, q4y = x0 + dx, y0 + dy, (x0 + dx) >> 2, \
+                (y0 + dy) >> 2
+            fs.pu_edge_v[q4y, q4x] = True
+            fs.pu_edge_h[q4y, q4x] = True
+            fs.tu_edge_v[q4y, q4x] = True
+            fs.tu_edge_h[q4y, q4x] = True
+            mode = int(self.mode4[yq >> 2, xq >> 2])
+            fs.intra_mode[q4y, q4x] = mode
+            pred = self._predict(0, xq, yq, 4, mode)
+            resi = self.src_y[yq:yq + 4, xq:xq + 4] - pred
+            c = forward_transform(np.asarray(resi, np.int32), 2, True)
+            if getattr(self, "rdoq", False):
+                from .rdoq import rdoq_np
+                cf = rdoq_np(c, cu_qp, 2)
+            else:
+                from ..hevc.tables import QUANT_SCALE
+                qbits = 29 + cu_qp // 6 - 8 - 2
+                rnd = 171 << (qbits - 9)
+                a = np.abs(c).astype(np.int64)
+                q = np.minimum((a * QUANT_SCALE[cu_qp % 6] + rnd) >> qbits,
+                               32767)
+                cf = np.where(c < 0, -q, q).astype(np.int32)
+            if self.pps.sign_data_hiding_enabled:
+                cf = apply_sbh_np(cf, scan_for(2, 0, mode))
+            syn.cy[yq:yq + 4, xq:xq + 4] = cf
+            fs.cbf_luma[q4y, q4x] = bool(cf.any())
+            r = (inverse_transform(dequant(cf, cu_qp, 2), 2, True)
+                 if cf.any() else None)
+            fs.y[yq:yq + 4, xq:xq + 4] = reconstruct(pred, r)
+            fs.recon_done[q4y, q4x] = True
+        # chroma: one 4x4 TU pair at the CU origin (spec: chroma coded at
+        # blk_idx 3, predicting from the fully reconstructed luma state)
+        cx0, cy0 = x0 >> 1, y0 >> 1
+        for c_idx, (srcp, dstp, qpc) in enumerate((
+                (self.src_cb, fs.cb, cu_qp_cb),
+                (self.src_cr, fs.cr, cu_qp_cr)), start=1):
+            predc = self._predict(c_idx, cx0, cy0, 4, cmode)
+            resc = srcp[cy0:cy0 + 4, cx0:cx0 + 4] - predc
+            cfc = self._transform_quant(resc, 2, qpc,
+                                        scan_for(2, c_idx, cmode))
+            (syn.ccb if c_idx == 1 else syn.ccr)[
+                cy0:cy0 + 4, cx0:cx0 + 4] = cfc
+            (syn.cbf_cb if c_idx == 1 else syn.cbf_cr)[
+                y4:y4 + 2, x4:x4 + 2] = int(cfc.any())
+            rc = (self._recon_residual(cfc, 2, qpc) if cfc.any()
+                  else None)
+            dstp[cy0:cy0 + 4, cx0:cx0 + 4] = reconstruct(predc, rc)
+
     def _code_cu(self, x0, y0, log2, depth, mode, cmode=None):
         if cmode is None:
             cmode = mode                                  # DM
@@ -411,6 +481,12 @@ class IntraFrameEncoder:
         size = 1 << log2
         b4 = size >> 2
         x4, y4 = x0 >> 2, y0 >> 2
+        if log2 == 3 and getattr(self, "nxn8", None) is not None \
+                and not np.isscalar(self.nxn8) \
+                and self.nxn8[y0 >> 3, x0 >> 3] \
+                and int(getattr(self.hdr, "slice_type", 2)) == 2:
+            self._code_cu_nxn(x0, y0, cmode)
+            return
         cu_qp, cu_qp_cb, cu_qp_cr = self._cu_qp(x0, y0)
         fs.cu_depth[y4:y4 + b4, x4:x4 + b4] = depth
         fs.qp[y4:y4 + b4, x4:x4 + b4] = cu_qp

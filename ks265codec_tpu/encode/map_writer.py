@@ -45,6 +45,7 @@ class EncSyntax:
         self.mvp1 = np.zeros((h4, w4), np.uint8)
         self.part = np.zeros((h4, w4), np.uint8)        # PART_2Nx2N
         self.tu_split = np.zeros((h4, w4), np.uint8)
+        self.nxn = np.zeros((h4, w4), np.uint8)   # intra part NxN CUs
         self.pcm = np.zeros((h4, w4), np.uint8)         # pcm_flag per CU
         # coefficient planes: each TU's quantized levels stored in place
         self.cy = np.zeros((fs.ph, fs.pw), np.int16)
@@ -348,6 +349,41 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
                 ws.mi_parsed[y4:y4 + b4, x4:x4 + b4] = True
                 return
             w.write_pcm_flag0()
+        if log2 == 3 and syn.nxn[y4, x4]:
+            # part NxN at the min CB: 4 luma modes, IntraSplitFlag tree
+            # (4 DST 4x4 luma TUs; chroma coded at blk_idx 3 — mirror of
+            # SliceDecoder._parse_transform_tree intra_split semantics)
+            cmode = int(syn.chroma_mode[y4, x4])
+            modes = [int(ws.intra_mode[(y0 + (pu >> 1) * 4) >> 2,
+                                       (x0 + (pu & 1) * 4) >> 2])
+                     for pu in range(4)]
+            w.write_intra_cu_header(x0, y0, log2, modes, cmode,
+                                    part_nxn=True)
+            cbf_cb = int(syn.cbf_cb[y4, x4])
+            cbf_cr = int(syn.cbf_cr[y4, x4])
+            w.write_cbf_chroma(cbf_cb, 0)
+            w.write_cbf_chroma(cbf_cr, 0)
+            for pu, (dx, dy) in enumerate(((0, 0), (4, 0),
+                                           (0, 4), (4, 4))):
+                xq, yq = x0 + dx, y0 + dy
+                cbf_y = int(ws.cbf_luma[yq >> 2, xq >> 2])
+                w.write_cbf_luma(cbf_y, 1)
+                if cbf_y or cbf_cb or cbf_cr:
+                    w.maybe_write_dqp(int(ws.qp[y4, x4]))
+                if cbf_y:
+                    cf = syn.cy[yq:yq + 4, xq:xq + 4].astype(np.int32)
+                    w.write_residual(cf, 2, 0, modes[pu])
+                if pu == 3:
+                    cx0, cy0 = x0 >> 1, y0 >> 1
+                    if cbf_cb:
+                        cf = syn.ccb[cy0:cy0 + 4,
+                                     cx0:cx0 + 4].astype(np.int32)
+                        w.write_residual(cf, 2, 1, cmode)
+                    if cbf_cr:
+                        cf = syn.ccr[cy0:cy0 + 4,
+                                     cx0:cx0 + 4].astype(np.int32)
+                        w.write_residual(cf, 2, 2, cmode)
+            return
         mode = int(ws.intra_mode[y4, x4])
         cmode = int(syn.chroma_mode[y4, x4])
         # write_intra_cu_header stores modes + mi_parsed progression itself

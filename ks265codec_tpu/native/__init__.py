@@ -165,6 +165,8 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         return None      # PCM raw-sample interleaving: Python writer
     if syn.part.any():
         return None      # partitioned inter CUs: Python writer
+    if getattr(syn, "nxn", None) is not None and syn.nxn.any():
+        return None      # intra NxN CUs: Python writer
     if getattr(sps, "max_transform_hierarchy_depth_inter", 0) > 0 \
             and getattr(hdr, "slice_type", None) != 2:
         # explicit split_transform_flag on inter CUs: Python writer.

@@ -291,36 +291,82 @@ def _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx, log2, B,
     ci = jnp.argmin(cj, axis=1)
     cmode = jnp.take_along_axis(cands, ci[:, None], axis=1)[:, 0]
     cmode_bits = jnp.take_along_axis(cbits, ci[:, None], axis=1)[:, 0]
+    cost_luma = D + lam * (rbits + mode_bits + _HDR_BITS[n])
     D = D + jnp.take_along_axis(cD, ci[:, None], axis=1)[:, 0]
     rbits = rbits + jnp.take_along_axis(cR, ci[:, None], axis=1)[:, 0]
     cost = D + lam * (rbits + mode_bits + cmode_bits + _HDR_BITS[n])
     return (best.reshape(nby, nbx), cost.reshape(nby, nbx),
-            cmode.reshape(nby, nbx).astype(jnp.int32))
+            cmode.reshape(nby, nbx).astype(jnp.int32),
+            cost_luma.reshape(nby, nbx))
 
 
-def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int):
+def _size4_luma(plane, qp, lam, ls):
+    """4x4 luma mode decision (the NxN tier): full 35-mode SATD + MPM
+    rate + rough-RD of the winner. HEVC never smooths 4x4 luma refs."""
+    n = 4
+    h, w = plane.shape
+    nby, nbx = h // n, w // n
+    refs = _source_refs(plane, n).reshape(-1, 4 * n + 1)
+    blocks = plane.reshape(nby, n, nbx, n).swapaxes(1, 2).reshape(-1, n, n)
+    B = blocks.shape[0]
+    preds = jintra.predict_all_modes(refs, refs, n, True)
+    costs = jcost.satd(preds, blocks[:, None], 4).astype(jnp.float32)
+    best0 = jnp.argmin(costs, axis=1)
+    m0, m1, m2 = _mpm_lists(best0, n, nby, nbx)
+    allm = jnp.arange(35, dtype=jnp.int32)[None, :]
+    mbits = jnp.where(allm == m0.reshape(-1)[:, None], _BITS_MPM0,
+                      jnp.where((allm == m1.reshape(-1)[:, None])
+                                | (allm == m2.reshape(-1)[:, None]),
+                                _BITS_MPM12, _BITS_REM))
+    j = costs + ls * mbits
+    ki = jnp.argmin(j, axis=1)
+    best = ki.astype(jnp.int32)
+    mode_bits = jnp.take_along_axis(mbits, ki[:, None], axis=1)[:, 0]
+    pred_b = jnp.take_along_axis(
+        preds, ki[:, None, None, None], axis=1)[:, 0]
+    qpb = jnp.full((B,), qp, jnp.int32)
+    D, rbits = _rough_tu_cost(blocks - pred_b, qpb, n, 2, 4.0 ** (2 - 7))
+    cost = D + lam * (rbits + mode_bits + 1.0)    # per-PU cbf_luma bin
+    return best.reshape(nby, nbx), cost.reshape(nby, nbx)
+
+
+def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int,
+                nxn: bool = False):
     plane = plane.astype(jnp.int32)
     cbp = cbp.astype(jnp.int32)
     crp = crp.astype(jnp.int32)
-    mode16, cost16, cm16 = _size_decision(plane, cbp, crp, qp, qpc, lam,
-                                          ls, 16, effort)
+    mode16, cost16, cm16, _ = _size_decision(plane, cbp, crp, qp, qpc,
+                                             lam, ls, 16, effort)
     if effort == 0:
         # fast md: only the 16 tier runs the full 35-mode sweep; 8 and
         # 32 narrow to parent/child-seeded candidate sets (~60% less
         # decide compute, the dominant pass at the fast presets)
         seed8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
-        mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc,
-                                           lam, ls, 8, effort,
-                                           seed_modes=seed8)
-        mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc,
-                                              lam, ls, 32, effort,
-                                              seed_modes=mode16[::2, ::2])
+        mode8, cost8, cm8, cl8 = _size_decision(plane, cbp, crp, qp, qpc,
+                                                lam, ls, 8, effort,
+                                                seed_modes=seed8)
+        mode32, cost32, cm32, _ = _size_decision(
+            plane, cbp, crp, qp, qpc, lam, ls, 32, effort,
+            seed_modes=mode16[::2, ::2])
     else:
-        mode8, cost8, cm8 = _size_decision(plane, cbp, crp, qp, qpc,
-                                           lam, ls, 8, effort)
-        mode32, cost32, cm32 = _size_decision(plane, cbp, crp, qp, qpc,
-                                              lam, ls, 32, effort)
+        mode8, cost8, cm8, cl8 = _size_decision(plane, cbp, crp, qp, qpc,
+                                                lam, ls, 8, effort)
+        mode32, cost32, cm32, _ = _size_decision(plane, cbp, crp, qp, qpc,
+                                                 lam, ls, 32, effort)
     h8, w8 = cost8.shape
+    if effort >= 1 and nxn:
+        # NxN tier (part_mode NxN at the min CB): four 4x4 luma PUs with
+        # their own modes + DST 4x4 TUs; chroma unchanged (one 4x4 TU).
+        # Compare luma-only costs — the chroma term is identical on both
+        # sides of the 8x8-vs-NxN choice.
+        mode4, cost4 = _size4_luma(plane, qp, lam, ls)
+        c4sum = cost4.reshape(h8, 2, w8, 2).sum(axis=(1, 3))
+        nxn_cost = c4sum + lam * 4.0           # part bin + 3 extra cbfs
+        nxn8 = nxn_cost < cl8
+        cost8 = jnp.where(nxn8, cost8 - cl8 + nxn_cost, cost8)
+    else:
+        mode4 = jnp.zeros((h8 * 2, w8 * 2), jnp.int32)
+        nxn8 = jnp.zeros((h8, w8), bool)
     c8sum = cost8.reshape(h8 // 2, 2, w8 // 2, 2).sum(axis=(1, 3))
     split16 = c8sum < cost16
     best16 = jnp.minimum(c8sum, cost16)
@@ -329,15 +375,17 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int):
     split32 = c16sum < cost32
     cplx = jnp.minimum(c16sum, cost32).sum()
     return (split32, mode16, mode32, cplx, split16, mode8,
-            cm8, cm16, cm32, cost8, cost16)
+            cm8, cm16, cm32, cost8, cost16, mode4,
+            nxn8.astype(jnp.uint8))
 
 
-@partial(jax.jit, static_argnames=("effort",))
-def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int):
+@partial(jax.jit, static_argnames=("effort", "nxn"))
+def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int,
+                      nxn: bool = False):
     """Batched over frames: planes (F, ph, pw) uint8; qp/qpc/lam/ls (F,).
     Returns ONE packed uint8 vector (a single D2H fetch: the per-map
     fetches cost ~tens of ms each through the device tunnel)."""
-    outs = jax.vmap(partial(_decide_one, effort=effort))(
+    outs = jax.vmap(partial(_decide_one, effort=effort, nxn=nxn))(
         planes, cbs, crs, qp, qpc, lam, ls)
     parts = []
     for o in outs:
@@ -352,7 +400,8 @@ def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int):
 
 
 def decide_frames(src_planes, src_cbs, src_crs, qps,
-                  lam_scale: float = 1.0, effort: int = 1):
+                  lam_scale: float = 1.0, effort: int = 1,
+                  nxn: bool = False):
     """Host wrapper. src_planes (F, ph, pw) uint8/int (+ chroma at half
     res); qps list of ints. Returns per-frame tuples
     (split32, mode16, mode32, cplx, split16, mode8, cm8, cm16, cm32,
@@ -369,7 +418,7 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
         jnp.asarray(np.asarray(src_crs, np.uint8)),
         jnp.asarray(qpa), jnp.asarray(qpc),
         jnp.asarray(lam.astype(np.float32)),
-        jnp.asarray(ls.astype(np.float32)), int(effort)))
+        jnp.asarray(ls.astype(np.float32)), int(effort), bool(nxn)))
     F, ph, pw = np.asarray(src_planes).shape
     h32, w32 = ph // 32, pw // 32
     h16, w16 = ph // 16, pw // 16
@@ -379,7 +428,8 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
              (np.uint8, (F, h16, w16)), (np.int32, (F, h8, w8)),
              (np.int32, (F, h8, w8)), (np.int32, (F, h16, w16)),
              (np.int32, (F, h32, w32)), (np.float32, (F, h8, w8)),
-             (np.float32, (F, h16, w16))]
+             (np.float32, (F, h16, w16)), (np.int32, (F, h8 * 2, w8 * 2)),
+             (np.uint8, (F, h8, w8))]
     outs = []
     off = 0
     for dt, shape in specs:
@@ -389,5 +439,6 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
     assert off == buf.size, (off, buf.size)
     return [(outs[0][f].astype(bool), outs[1][f], outs[2][f],
              float(outs[3][f]), outs[4][f].astype(bool), outs[5][f],
-             outs[6][f], outs[7][f], outs[8][f], outs[9][f], outs[10][f])
+             outs[6][f], outs[7][f], outs[8][f], outs[9][f], outs[10][f],
+             outs[11][f], outs[12][f].astype(bool))
             for f in range(len(qps))]

@@ -543,3 +543,49 @@ def test_noise_reduction_acts():
             assert d.tobytes() == r.tobytes(), f"nr={nr}"
         sizes[nr] = len(bs)
     assert sizes[600] < sizes[0], sizes
+
+
+def test_intra_nxn_roundtrip(tmp_path, monkeypatch):
+    """intra NxN (4x4 PUs + DST TUs at the min CB): acts on detail
+    content, decodes bit-exactly on our decoder and the reference's.
+    KS265_SEQ_COMPUTE forces the sequential host path (NxN's home; the
+    wavefront batch codes the 2Nx2N tiers)."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    monkeypatch.setenv("KS265_SEQ_COMPUTE", "1")
+    rng = np.random.RandomState(31)
+    frames = []
+    for t in range(2):
+        # high-detail content: diagonal texture + noise drives 4x4 PUs
+        yy, xx = np.mgrid[0:H, 0:W]
+        y = np.clip(128 + 60 * np.sin((xx + yy * 2) / 3.0)
+                    + rng.randn(H, W) * 12, 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 135, np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+    sizes = {}
+    from ks265codec_tpu.encode import config as cfgmod
+    for nxn in (False, True):
+        # an explicit False equals the dataclass default, which the
+        # ladder overrides (reference CLI semantics) — pin via ladder
+        monkeypatch.setitem(cfgmod._LADDER["medium"], "intra_nxn", nxn)
+        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=30,
+                            latency="offline", intra_period=1)
+        bs, recons = encode_sequence(frames, cfg)
+        dec = HevcDecoder().decode_all(bs)
+        assert len(dec) == 2
+        for d, r in zip(dec, recons):
+            assert d.tobytes() == r.tobytes(), f"nxn={nxn}"
+        sizes[nxn] = len(bs)
+        if nxn and have_reference():
+            bsf = tmp_path / "nxn.265"
+            bsf.write_bytes(bs)
+            outf = tmp_path / "nxndec.yuv"
+            r = subprocess.run(
+                [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+                 str(outf), "-threads", "1"], capture_output=True)
+            assert r.returncode == 0
+            assert outf.read_bytes() == b"".join(
+                rc.tobytes() for rc in recons)
+    assert sizes[True] != sizes[False], sizes

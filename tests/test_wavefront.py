@@ -187,7 +187,8 @@ def test_device_decide_outputs():
                 assert abs(a - b) < 1e-3 * max(abs(a), 1.0)
             else:
                 assert np.array_equal(a, b)
-        s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32, c8, c16 = dec
+        (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32, c8, c16,
+         _m4, _nxn) = dec
         assert c8.shape == (H // 8, W // 8) and (c8 > 0).all()
         assert c16.shape == (H // 16, W // 16) and (c16 > 0).all()
         assert s32.shape == (H // 32, W // 32)
