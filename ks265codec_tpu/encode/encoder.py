@@ -70,10 +70,14 @@ def decide_weightp(src_y, l0):
             wq = int(np.clip(round(wr * 64), 1, 191))
             oq = int(np.clip(round(s.mean() - wq / 64.0 * r.mean()),
                              -128, 127))
-            if abs(wq - 64) > 1 or abs(oq) > 2:
+            if abs(wq - 64) > 2 or abs(oq) > 3:
                 pred = np.clip(r * (wq / 64.0) + oq, 0, 255)
+                # demand a CLEAR win: the ME/subpel searches run on the
+                # unweighted reference, so marginal fits degrade the
+                # final weighted MC more than the fit gains (measured
+                # +12% P bits on near-static content with a 1% gate)
                 if (np.abs(s - pred).sum()
-                        < 0.99 * np.abs(s - r).sum()):
+                        < 0.97 * np.abs(s - r).sum()):
                     use = True
         if not use:
             wq, oq = 64, 0

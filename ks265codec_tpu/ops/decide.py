@@ -361,7 +361,10 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int,
         # sides of the 8x8-vs-NxN choice.
         mode4, cost4 = _size4_luma(plane, qp, lam, ls)
         c4sum = cost4.reshape(h8, 2, w8, 2).sum(axis=(1, 3))
-        nxn_cost = c4sum + lam * 4.0           # part bin + 3 extra cbfs
+        # overhead beyond the per-PU terms already in cost4: part bin +
+        # four separate last-pos/CG codings the closed-form rate model
+        # undercounts (tuned on the RD harness: +4 was a high-QP loss)
+        nxn_cost = c4sum + lam * 16.0
         nxn8 = nxn_cost < cl8
         cost8 = jnp.where(nxn8, cost8 - cl8 + nxn_cost, cost8)
     else:
