@@ -86,17 +86,42 @@ def bench_reference(frames) -> float:
     return FRAMES / dt
 
 
+def _probe_tpu(tries: int = 3, timeout_s: int = 240) -> bool:
+    """The TPU tunnel can be down for hours; jax backend init then HANGS
+    instead of failing. Probe in a subprocess with a hard timeout so the
+    bench degrades to a marked CPU run instead of wedging the driver."""
+    for _ in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()"],
+                capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(10)
+    return False
+
+
 def main():
+    note = None
+    if not _probe_tpu():
+        os.environ["KS265_PLATFORM"] = "cpu"   # honored at package import
+        note = "tpu tunnel unavailable; CPU fallback (not a TPU number)"
     frames = synth_frames()
     ours_fps, _ = bench_ours(frames)
     ref_fps = bench_reference(frames)
     vs = ours_fps / ref_fps if ref_fps > 0 else 0.0
-    print(json.dumps({
+    row = {
         "metric": "allintra_720p_encode_fps",
         "value": round(ours_fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 4),
-    }))
+    }
+    if note:
+        row["note"] = note
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
