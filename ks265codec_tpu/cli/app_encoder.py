@@ -69,6 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sis", dest="strong_intra_smoothing", type=int, default=1)
     p.add_argument("-rdoq", type=int, default=1)
     p.add_argument("-do64", type=int, default=1)
+    p.add_argument("-slices", type=int, default=1)
     p.add_argument("-wpp", type=int, default=1)
     p.add_argument("-fpp", type=int, default=1)
     p.add_argument("-aq", dest="aq_mode", type=int, default=0)
@@ -119,6 +120,7 @@ def cfg_from_args(a) -> EncoderConfig:
         partitions=a.partitions, deblock=bool(a.deblock), sao=a.sao,
         strong_intra_smoothing=bool(a.strong_intra_smoothing),
         rdoq=bool(a.rdoq), do64=bool(a.do64), wpp=bool(a.wpp),
+        slices=a.slices,
         fpp=bool(a.fpp), aq_mode=a.aq_mode, threads=a.threads,
         psnr=a.psnr, ssim=a.ssim, md5=bool(a.md5), log_level=a.log_level,
         pass_num=a.pass_num,

@@ -122,6 +122,42 @@ class HevcDecoder:
             # keep searching for an access point — the reference's
             # QY_SEARCHING_ACCESS_POINT behavior (qy265def.h:15-20)
             return
+        if hdr.dependent_slice_segment:
+            # inherit the whole header body from the preceding segment
+            # (7.3.6.1); CABAC ctx + qPY_PREV continue (9.3.1); same
+            # slice region id (availability crosses segment boundaries)
+            prev = getattr(self, "_seg_state", None)
+            if prev is None or self.cur is None:
+                return      # orphan dependent segment: skip
+            ihdr, ref_lists, ctx_end, qp_end, sidx = prev
+            for f in ("slice_type", "slice_qp", "sao_luma", "sao_chroma",
+                      "num_ref_idx", "cb_qp_offset", "cr_qp_offset",
+                      "deblocking_filter_disabled", "beta_offset_div2",
+                      "tc_offset_div2", "loop_filter_across_slices",
+                      "max_num_merge_cand", "temporal_mvp_enabled",
+                      "collocated_from_l0", "collocated_ref_idx",
+                      "cabac_init_flag", "poc", "mvd_l1_zero",
+                      "luma_log2_weight_denom",
+                      "chroma_log2_weight_denom", "weights"):
+                setattr(hdr, f, getattr(ihdr, f))
+            if self.skip_mode:
+                return
+            sd = SliceDecoder(self.cur, sps, pps, hdr, nal.rbsp,
+                              reader.pos // 8, sidx, ref_lists,
+                              epb_pos=nal.epb_pos, init_ctx=ctx_end,
+                              qp_prev=qp_end)
+            try:
+                sd.decode()
+            except Exception as ex:
+                from ..utils.log import log
+                log(2, "dependent segment decode error (%s: %s); "
+                    "concealing" % (type(ex).__name__, ex))
+                self.illegal_stream = True
+                self._conceal(self.cur, ref_lists)
+                return
+            self._seg_state = (ihdr, ref_lists, bytes(sd.cabac.ctx),
+                               sd.qp_cur, sidx)
+            return
         poc = self._compute_poc(hdr, sps)
         hdr.poc = poc
         if hdr.first_slice_in_pic:
@@ -146,6 +182,12 @@ class HevcDecoder:
                 % (type(ex).__name__, ex))
             self.illegal_stream = True
             self._conceal(self.cur, ref_lists)
+            self.cur_slice_idx += 1
+            self._seg_state = None
+            return
+        # continuation state for a possible dependent segment that follows
+        self._seg_state = (hdr, ref_lists, bytes(sd.cabac.ctx),
+                           sd.qp_cur, self.cur_slice_idx)
         self.cur_slice_idx += 1
 
     @staticmethod

@@ -100,7 +100,8 @@ class SliceDecoder:
 
     def __init__(self, fs: FrameState, sps: SPS, pps: PPS, hdr: SliceHeader,
                  rbsp: bytes, data_start: int, slice_idx: int,
-                 ref_lists=None, epb_pos: tuple = ()):
+                 ref_lists=None, epb_pos: tuple = (),
+                 init_ctx=None, qp_prev=None):
         self.fs = fs
         self.data_start = data_start
         self.epb_pos = epb_pos
@@ -123,14 +124,20 @@ class SliceDecoder:
                  if self.tile_grid is not None else 0)
         self.slice_idx = (slice_idx << 12) | tile0
         self.ref_lists = ref_lists or [[], []]  # list of RefPic
-        ctx = CT.init_contexts(hdr.slice_type, hdr.slice_qp, hdr.cabac_init_flag)
+        # dependent slice segments (9.3.1): the arithmetic engine restarts
+        # byte-aligned, but the CONTEXT VARIABLES and the qPY_PREV chain
+        # continue from the preceding segment's end state
+        ctx = (bytearray(init_ctx) if init_ctx is not None
+               else CT.init_contexts(hdr.slice_type, hdr.slice_qp,
+                                     hdr.cabac_init_flag))
         self.rbsp = rbsp
         self.cabac = CabacDec(rbsp, data_start, ctx)
         self.qp = hdr.slice_qp
         self.min_cb = sps.log2_min_cb
         # CU QP delta state (spec 8.6.1): quantization groups
-        self.qp_cur = hdr.slice_qp      # QP of current QG (pred + delta)
-        self.qg_pred = hdr.slice_qp
+        qp0 = hdr.slice_qp if qp_prev is None else qp_prev
+        self.qp_cur = qp0               # QP of current QG (pred + delta)
+        self.qg_pred = qp0
         self._dqp_coded = True          # no parse unless enabled per QG
         self._cu_rect = (0, 0, 0)
         self.wpp_saved_ctx: bytearray | None = None

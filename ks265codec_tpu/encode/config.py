@@ -71,6 +71,7 @@ class EncoderConfig:
     aq_mode: int = 0
     aq_strength: float = 1.0
     cutree: int = 0                  # lookahead CU-tree propagation
+    slices: int = 1                  # dependent slice segments / picture
     wpp: bool = True
     fpp: bool = True
     threads: int = 0
@@ -168,6 +169,10 @@ def resolve_preset(cfg: EncoderConfig) -> EncoderConfig:
             cfg.bframes = 3
         if cfg.temporal_layers == ref.temporal_layers:
             cfg.temporal_layers = 2
+    if cfg.slices > 1:
+        cfg.wpp = False               # one entropy-segmentation axis
+        if cfg.tiles:
+            raise ValueError("BAD_VALUE: slices with tiles")
     if cfg.intra_period == 1:
         # CU-tree propagates importance through INTER references; an
         # all-intra stream has none (per-frame energy AQ is aq_mode's

@@ -234,6 +234,7 @@ class HevcEncoder:
             p.loop_filter_across_tiles = 1
         else:
             p.tiles_enabled = 0
+        p.dependent_slice_segments_enabled = 1 if cfg.slices > 1 else 0
         p.entropy_coding_sync_enabled = \
             1 if (cfg.wpp and not p.tiles_enabled) else 0
         p.loop_filter_across_slices = 1
@@ -766,9 +767,25 @@ class HevcEncoder:
         import os as _os
         nthreads = (cfg.threads if cfg.threads > 0
                     else min(_os.cpu_count() or 1, 8))
-        slice_data, raw_entries = write_slice_data(
-            fs, enc.syn, self.sps, self.pps, hdr, sao_params,
-            threads=nthreads)
+        seg_datas = None
+        if cfg.slices > 1 and not self.pps.tiles_enabled \
+                and not self.pps.entropy_coding_sync_enabled:
+            # multi-slice-segment picture: one independent + N-1 DEPENDENT
+            # segments (ctx continuation); CTU rows split evenly
+            from .map_writer import write_slice_data_py
+            hctb = self.sps.pic_height_in_ctbs
+            wctb = self.sps.pic_width_in_ctbs
+            nseg = max(1, min(int(cfg.slices), hctb))
+            rows = [(k * hctb) // nseg for k in range(nseg)]
+            seg_starts = sorted({r * wctb for r in rows})
+            seg_datas, raw_entries = write_slice_data_py(
+                fs, enc.syn, self.sps, self.pps, hdr, sao_params,
+                segments=seg_starts)
+            slice_data = seg_datas[0]
+        else:
+            slice_data, raw_entries = write_slice_data(
+                fs, enc.syn, self.sps, self.pps, hdr, sao_params,
+                threads=nthreads)
         if self.pps.entropy_coding_sync_enabled or self.pps.tiles_enabled:
             hdr.num_entry_points = len(raw_entries)
             hdr.entry_points = list(raw_entries)
@@ -807,6 +824,19 @@ class HevcEncoder:
                 write_sei_rbsp([(1, pic_timing_payload())]),
                 temporal_id=tid)
         data += write_nal(hdr.nal_type, bytes(rbsp), temporal_id=tid)
+        if seg_datas is not None and len(seg_datas) > 1:
+            from copy import copy as _shallow
+            for k in range(1, len(seg_datas)):
+                dh = _shallow(hdr)
+                dh.first_slice_in_pic = 0
+                dh.dependent_slice_segment = 1
+                dh.segment_address = seg_starts[k]
+                dbw = write_slice_header(dh, self.sps, self.pps)
+                assert dbw.byte_aligned()
+                data += write_nal(
+                    hdr.nal_type,
+                    bytes(bytearray(dbw.getvalue()) + seg_datas[k]),
+                    temporal_id=tid)
         # SAO applies on the already-deblocked recon (normative order)
         if sao_params is not None:
             fs.sao = sao_params

@@ -416,6 +416,14 @@ class IntraFrameEncoder:
         from .sbh import apply_sbh_np, scan_for
         fs, syn = self.fs, self.syn
         x4, y4 = x0 >> 2, y0 >> 2
+        # chroma DM for NxN references PU0's mode (spec 8.4.3); the
+        # decide pass chose cmode against the 2Nx2N winner — remap any
+        # unrepresentable choice to DM
+        m0 = int(self.mode4[y0 >> 2, x0 >> 2])
+        if cmode != m0 and cmode not in (0, 26, 10, 1):
+            cmode = m0
+        elif cmode == 34 and m0 not in (0, 26, 10, 1):
+            cmode = m0
         cu_qp, cu_qp_cb, cu_qp_cr = self._cu_qp(x0, y0)
         fs.cu_depth[y4:y4 + 2, x4:x4 + 2] = self.sps.log2_ctb - 3
         fs.qp[y4:y4 + 2, x4:x4 + 2] = cu_qp

@@ -93,9 +93,16 @@ def write_slice_data(fs, syn: EncSyntax, sps, pps, hdr,
 
 
 def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
-                        sao_params=None) -> tuple[bytes, list[int]]:
+                        sao_params=None, segments=None):
     """Python reference implementation of the slice writer (the native
-    writer is A/B tested against this byte-for-byte)."""
+    writer is A/B tested against this byte-for-byte).
+
+    segments: optional sorted list of segment-start CTU addresses
+    (segments[0] == 0) — the picture is coded as one independent + N-1
+    DEPENDENT slice segments: end_of_slice_segment_flag=1 closes each
+    segment, contexts continue across the boundary (9.3.1), qPY_PREV
+    resets (8.6.1). Mutually exclusive with WPP/tiles here. Returns
+    (list of per-segment bytes, []) instead of (bytes, entry_sizes)."""
     ws = _WriterState(fs)
     w = CtuSyntaxWriter(ws, sps, pps, hdr)
     wctb = sps.pic_width_in_ctbs
@@ -114,6 +121,11 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
     substreams: list[bytes] = []
     entry_points: list[int] = []
     saved_ctx = None
+    seg_ends = set()
+    seg_out: list[bytes] = []
+    if segments:
+        assert not wpp and tg is None, "slices exclude wpp/tiles"
+        seg_ends = {s - 1 for s in segments[1:]}
     for ts in range(nctb):
         addr = int(tg.ts_to_rs[ts]) if tg is not None else ts
         rx, ry = addr % wctb, addr // wctb
@@ -129,6 +141,15 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
         if wpp and rx == min(1, wctb - 1):
             saved_ctx = w.enc.save_ctx()
         last = ts == nctb - 1
+        if ts in seg_ends:
+            # dependent-segment boundary: end_of_slice_segment_flag=1,
+            # flush byte-aligned, contexts carry over, qPY_PREV resets
+            w.end_ctu(True)
+            carry = w.enc.save_ctx()
+            seg_out.append(w.finish_substream())
+            w.start_substream(carry)
+            w.qp_prev = hdr.slice_qp
+            continue
         w.end_ctu(last)
         if wpp and rx == wctb - 1 and not last:
             w.enc.encode_terminate(1)
@@ -151,6 +172,9 @@ def write_slice_data_py(fs, syn: EncSyntax, sps, pps, hdr,
                     fs.slice_id[(nxt // wctb) << (sps.log2_ctb - 2),
                                 (nxt % wctb) << (sps.log2_ctb - 2)])
     final = w.finish_substream()
+    if segments:
+        seg_out.append(final)
+        return seg_out, []
     return b"".join(substreams) + final, entry_points
 
 

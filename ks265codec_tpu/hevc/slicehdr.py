@@ -312,7 +312,20 @@ def write_slice_header(h: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
         if pps.dependent_slice_segments_enabled:
             w.write_bit(h.dependent_slice_segment)
         w.write_bits(h.segment_address, _ceil_log2(num_ctbs))
-    assert not h.dependent_slice_segment
+    if h.dependent_slice_segment:
+        # dependent segments inherit the whole header body (7.3.6.1) —
+        # only entry points + alignment follow the address
+        if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+            w.write_ue(h.num_entry_points)
+            if h.num_entry_points:
+                max_off = max(h.entry_points)
+                offset_len = max(1, (max_off - 1).bit_length())
+                w.write_ue(offset_len - 1)
+                for ep in h.entry_points:
+                    w.write_bits(ep - 1, offset_len)
+        w.write_bit(1)
+        w.byte_align_zero()
+        return w
     w.write_ue(h.slice_type)
     if pps.output_flag_present:
         w.write_bit(h.pic_output_flag)

@@ -557,10 +557,18 @@ def test_intra_nxn_roundtrip(tmp_path, monkeypatch):
     rng = np.random.RandomState(31)
     frames = []
     for t in range(2):
-        # high-detail content: diagonal texture + noise drives 4x4 PUs
-        yy, xx = np.mgrid[0:H, 0:W]
-        y = np.clip(128 + 60 * np.sin((xx + yy * 2) / 3.0)
-                    + rng.randn(H, W) * 12, 0, 255).astype(np.uint8)
+        # text-like content (flat bg + sparse thin strokes): the 4x4 PU
+        # sweet spot — periodic/noisy textures collapse to large CUs
+        y = np.full((H, W), 200, np.float64)
+        for _ in range(220):
+            x0, y0 = rng.randint(0, W - 8), rng.randint(0, H - 8)
+            if rng.rand() < 0.5:
+                y[y0:y0 + 1 + rng.randint(2),
+                  x0:x0 + rng.randint(3, 9)] = rng.randint(0, 90)
+            else:
+                y[y0:y0 + rng.randint(3, 9),
+                  x0:x0 + 1 + rng.randint(2)] = rng.randint(0, 90)
+        y = np.clip(y + rng.randn(H, W) * 2, 0, 255).astype(np.uint8)
         u = np.full((H // 2, W // 2), 120, np.uint8)
         v = np.full((H // 2, W // 2), 135, np.uint8)
         frames.append(YUVFrame(y, u, v, poc=t))
@@ -570,7 +578,7 @@ def test_intra_nxn_roundtrip(tmp_path, monkeypatch):
         # an explicit False equals the dataclass default, which the
         # ladder overrides (reference CLI semantics) — pin via ladder
         monkeypatch.setitem(cfgmod._LADDER["medium"], "intra_nxn", nxn)
-        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=30,
+        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=24,
                             latency="offline", intra_period=1)
         bs, recons = encode_sequence(frames, cfg)
         dec = HevcDecoder().decode_all(bs)
@@ -589,3 +597,33 @@ def test_intra_nxn_roundtrip(tmp_path, monkeypatch):
             assert outf.read_bytes() == b"".join(
                 rc.tobytes() for rc in recons)
     assert sizes[True] != sizes[False], sizes
+
+
+def test_dependent_slice_segments(tmp_path):
+    """-slices N: one independent + N-1 dependent slice segments per
+    picture (CABAC ctx continuation, qPY_PREV reset per segment) —
+    round-trips our decoder and the reference decoder, I and P frames."""
+    import subprocess
+
+    from ks265codec_tpu.bitstream.nal import is_vcl, parse_nals
+
+    from conftest import _ref_bin, have_reference
+    frames = _frames(3, seed=41)
+    cfg = EncoderConfig(width=W, height=H, preset="ultrafast", qp=31,
+                        latency="zerolatency", intra_period=64, slices=2)
+    bs, recons = encode_sequence(frames, cfg)
+    vcl = sum(1 for n in parse_nals(bs) if is_vcl(n.nal_type))
+    assert vcl == 6, f"expected 2 segments x 3 pictures, got {vcl}"
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 3
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    if have_reference():
+        bsf = tmp_path / "seg.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "segdec.yuv"
+        r = subprocess.run(
+            [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+             str(outf), "-threads", "1"], capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
