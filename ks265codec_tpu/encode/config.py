@@ -141,7 +141,8 @@ _TUNE = {
     # screen content: hard edges + flat areas; no reference smoothing,
     # no deblock blur, sharper decisions
     "screen": dict(strong_intra_smoothing=False, deblock_beta=-2,
-                   deblock_tc=-2, lambda_scale=0.8, sao=4),
+                   deblock_tc=-2, lambda_scale=0.8, sao=4,
+                   transform_skip=True, intra_nxn=True),
 }
 
 

@@ -216,7 +216,7 @@ class HevcEncoder:
         p.num_ref_idx_l1_default = 1
         p.init_qp = 26
         p.constrained_intra_pred = 0
-        p.transform_skip_enabled = 0
+        p.transform_skip_enabled = 1 if cfg.transform_skip else 0
         p.cu_qp_delta_enabled = 1 if (cfg.aq_mode or cfg.cutree) else 0
         p.diff_cu_qp_delta_depth = 0
         p.cb_qp_offset = int(np.clip(cfg.chroma_qp_offset, -12, 12))

@@ -444,24 +444,56 @@ class IntraFrameEncoder:
             fs.intra_mode[q4y, q4x] = mode
             pred = self._predict(0, xq, yq, 4, mode)
             resi = self.src_y[yq:yq + 4, xq:xq + 4] - pred
-            c = forward_transform(np.asarray(resi, np.int32), 2, True)
-            if getattr(self, "rdoq", False):
-                from .rdoq import rdoq_np
-                cf = rdoq_np(c, cu_qp, 2)
-            else:
+
+            def quant4(c):
+                if getattr(self, "rdoq", False):
+                    from .rdoq import rdoq_np
+                    return rdoq_np(np.asarray(c, np.int32), cu_qp, 2)
                 from ..hevc.tables import QUANT_SCALE
                 qbits = 29 + cu_qp // 6 - 8 - 2
                 rnd = 171 << (qbits - 9)
-                a = np.abs(c).astype(np.int64)
-                q = np.minimum((a * QUANT_SCALE[cu_qp % 6] + rnd) >> qbits,
-                               32767)
-                cf = np.where(c < 0, -q, q).astype(np.int32)
+                a = np.abs(np.asarray(c, np.int64))
+                q = np.minimum(
+                    (a * QUANT_SCALE[cu_qp % 6] + rnd) >> qbits, 32767)
+                return np.where(np.asarray(c) < 0, -q, q).astype(np.int32)
+
+            cf, use_ts = quant4(forward_transform(
+                np.asarray(resi, np.int32), 2, True)), False
+            if self.pps.transform_skip_enabled:
+                # transform_skip candidate: forward "transform" is a
+                # left-shift matching the DCT gain at 4x4/8-bit (HM
+                # xTransformSkip shift = 13 - bd); pick by D + lam*R
+                from ..decode.recon import transform_skip_residual
+                cf_ts = quant4(np.asarray(resi, np.int64) << 5)
+                lam = 0.57 * 2.0 ** ((cu_qp - 12) / 3.0)
+
+                def jcost4(cfx, tsf):
+                    if cfx.any():
+                        d = dequant(cfx, cu_qp, 2)
+                        r = (transform_skip_residual(d) if tsf
+                             else inverse_transform(d, 2, True))
+                    else:
+                        r = np.zeros((4, 4), np.int32)
+                    sse = float(((resi - r) ** 2).sum())
+                    a = np.abs(cfx[cfx != 0]).astype(np.float64)
+                    bits = (3.1 * a.size + 2.0 * np.log2(
+                        np.maximum(a, 1.0)).sum() if a.size else 0.0)
+                    return sse + lam * (bits + 1.0)
+
+                if jcost4(cf_ts, True) < jcost4(cf, False):
+                    cf, use_ts = cf_ts, True
             if self.pps.sign_data_hiding_enabled:
                 cf = apply_sbh_np(cf, scan_for(2, 0, mode))
             syn.cy[yq:yq + 4, xq:xq + 4] = cf
+            syn.ts_y[q4y, q4x] = int(use_ts)
             fs.cbf_luma[q4y, q4x] = bool(cf.any())
-            r = (inverse_transform(dequant(cf, cu_qp, 2), 2, True)
-                 if cf.any() else None)
+            if cf.any():
+                from ..decode.recon import transform_skip_residual
+                d = dequant(cf, cu_qp, 2)
+                r = (transform_skip_residual(d) if use_ts
+                     else inverse_transform(d, 2, True))
+            else:
+                r = None
             fs.y[yq:yq + 4, xq:xq + 4] = reconstruct(pred, r)
             fs.recon_done[q4y, q4x] = True
         # chroma: one 4x4 TU pair at the CU origin (spec: chroma coded at

@@ -46,6 +46,7 @@ class EncSyntax:
         self.part = np.zeros((h4, w4), np.uint8)        # PART_2Nx2N
         self.tu_split = np.zeros((h4, w4), np.uint8)
         self.nxn = np.zeros((h4, w4), np.uint8)   # intra part NxN CUs
+        self.ts_y = np.zeros((h4, w4), np.uint8)  # 4x4 luma TS TUs
         self.pcm = np.zeros((h4, w4), np.uint8)         # pcm_flag per CU
         # coefficient planes: each TU's quantized levels stored in place
         self.cy = np.zeros((fs.ph, fs.pw), np.int16)
@@ -396,7 +397,8 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
                     w.maybe_write_dqp(int(ws.qp[y4, x4]))
                 if cbf_y:
                     cf = syn.cy[yq:yq + 4, xq:xq + 4].astype(np.int32)
-                    w.write_residual(cf, 2, 0, modes[pu])
+                    w.write_residual(cf, 2, 0, modes[pu],
+                                     ts=bool(syn.ts_y[yq >> 2, xq >> 2]))
                 if pu == 3:
                     cx0, cy0 = x0 >> 1, y0 >> 1
                     if cbf_cb:

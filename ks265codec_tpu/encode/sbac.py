@@ -398,9 +398,10 @@ class CtuSyntaxWriter:
 
     # ------------------------------------------------------- residual coding
     def write_residual(self, coeffs: np.ndarray, log2: int, c_idx: int,
-                       intra_mode: int | None) -> None:
+                       intra_mode: int | None, ts: bool = False) -> None:
         """residual_coding() mirror of SliceDecoder._residual. coeffs int32
-        (n,n) with at least one nonzero."""
+        (n,n) with at least one nonzero. ts: transform_skip_flag=1 (4x4
+        TUs with the PPS flag enabled)."""
         enc = self.enc
         n = 1 << log2
         scan_idx = 0
@@ -410,7 +411,7 @@ class CtuSyntaxWriter:
             elif 22 <= intra_mode <= 30:
                 scan_idx = 1
         wtz = int(self.pps.transform_skip_enabled and log2 == 2)
-        if _native is not None and _native.HAVE_NATIVE:
+        if _native is not None and _native.HAVE_NATIVE and not ts:
             try:
                 _native.write_residual(enc, coeffs, log2, c_idx, scan_idx,
                                        wtz,
@@ -419,7 +420,7 @@ class CtuSyntaxWriter:
             except OverflowError:
                 pass    # engine state restored; use the Python writer
         if wtz:
-            enc.encode_bin(0, CTX_OFFSET["transform_skip"]
+            enc.encode_bin(1 if ts else 0, CTX_OFFSET["transform_skip"]
                            + (0 if c_idx == 0 else 1))
         sb_scan, in_scan = scan_order(log2, scan_idx)
         nsb = 1 << (log2 - 2)

@@ -627,3 +627,45 @@ def test_dependent_slice_segments(tmp_path):
              str(outf), "-threads", "1"], capture_output=True)
         assert r.returncode == 0
         assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+def test_transform_skip_encode(tmp_path, monkeypatch):
+    """-tune screen: transform_skip 4x4 TUs on text content — the flag
+    acts, streams round-trip ours and the reference decoder."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    monkeypatch.setenv("KS265_SEQ_COMPUTE", "1")
+    rng = np.random.RandomState(47)
+    y = np.full((H, W), 220, np.float64)
+    for _ in range(260):
+        x0, y0 = rng.randint(0, W - 8), rng.randint(0, H - 8)
+        if rng.rand() < 0.5:
+            y[y0:y0 + 1, x0:x0 + rng.randint(3, 9)] = rng.randint(0, 70)
+        else:
+            y[y0:y0 + rng.randint(3, 9), x0:x0 + 1] = rng.randint(0, 70)
+    yb = np.clip(y, 0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+    v = np.full((H // 2, W // 2), 135, np.uint8)
+    frames = [YUVFrame(yb, u, v, poc=0)]
+    sizes = {}
+    for ts in (False, True):
+        cfg = EncoderConfig(width=W, height=H, preset="medium", qp=27,
+                            latency="offline", intra_period=1,
+                            tune="screen" if ts else "default")
+        bs, recons = encode_sequence(frames, cfg)
+        dec = HevcDecoder().decode_all(bs)
+        for d, r in zip(dec, recons):
+            assert d.tobytes() == r.tobytes(), f"screen={ts}"
+        sizes[ts] = len(bs)
+        if ts and have_reference():
+            bsf = tmp_path / "ts.265"
+            bsf.write_bytes(bs)
+            outf = tmp_path / "tsdec.yuv"
+            r = subprocess.run(
+                [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+                 str(outf), "-threads", "1"], capture_output=True)
+            assert r.returncode == 0
+            assert outf.read_bytes() == b"".join(
+                rc.tobytes() for rc in recons)
+    assert sizes[True] != sizes[False], sizes
