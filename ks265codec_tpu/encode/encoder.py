@@ -181,7 +181,7 @@ class HevcEncoder:
             1 if cfg.inter_tu_depth > 0 else 0
         s.max_transform_hierarchy_depth_intra = 0
         s.scaling_list_enabled = 0
-        s.amp_enabled = 0
+        s.amp_enabled = 1 if cfg.partitions >= 2 else 0
         s.sao_enabled = 1 if cfg.sao > 0 else 0
         s.pcm_enabled = 1 if cfg.pcm else 0
         if cfg.pcm:

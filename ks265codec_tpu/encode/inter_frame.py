@@ -364,15 +364,21 @@ class PFrameEncoder(IntraFrameEncoder):
         src = self.src_y
         best_part, best_mis = 0, None
         best_cost = sad2n + self.lam_satd * 4.0
-        for part, pus in ((1, ((x0, y0, 16, 8), (x0, y0 + 8, 16, 8))),
-                          (2, ((x0, y0, 8, 16), (x0 + 8, y0, 8, 16)))):
+        shapes = [(1, ((x0, y0, 16, 8), (x0, y0 + 8, 16, 8))),
+                  (2, ((x0, y0, 8, 16), (x0 + 8, y0, 8, 16)))]
+        if int(getattr(self, "partitions", 0)) >= 2:
+            # AMP (asymmetric motion partitions, the placebo tier)
+            from .map_writer import amp_pu_geometry
+            shapes += [(p, tuple(amp_pu_geometry(x0, y0, 16, p)))
+                       for p in (4, 5, 6, 7)]
+        for part, pus in shapes:
             tot = 0.0
             mis = []
             for (xp, yp, nw, nh) in pus:
                 cands = [mi2n]
                 for (bx8, by8) in ((xp >> 3, yp >> 3),
-                                   ((xp + nw - 8) >> 3,
-                                    (yp + nh - 8) >> 3)):
+                                   (max(xp + nw - 8, 0) >> 3,
+                                    max(yp + nh - 8, 0) >> 3)):
                     c, _ = self._block_mi8(by8, bx8)
                     cands.append(c)
                 bsad, bmi = None, None
@@ -409,8 +415,8 @@ class PFrameEncoder(IntraFrameEncoder):
         # implicit TU split: internal TU edges for deblocking
         fs.tu_edge_v[y4:y4 + b4, x4 + (b4 >> 1)] = True
         fs.tu_edge_h[y4 + (b4 >> 1), x4:x4 + b4] = True
-        pus = ([(x0, y0, size, h), (x0, y0 + h, size, h)] if part == 1
-               else [(x0, y0, h, size), (x0 + h, y0, h, size)])
+        from .map_writer import amp_pu_geometry
+        pus = amp_pu_geometry(x0, y0, size, part)
         src = self.src_y
         for pidx, (xp, yp, nw, nh) in enumerate(pus):
             px4, py4 = xp >> 2, yp >> 2

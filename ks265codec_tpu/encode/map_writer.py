@@ -25,6 +25,20 @@ from .sbac import CtuSyntaxWriter
 MODE_INTER, MODE_INTRA = 0, 1
 
 
+def amp_pu_geometry(x0, y0, size, part):
+    """PU rectangles for the partitioned-inter shapes (mirror of the
+    decoder's _pu_geometry for parts 1/2/4..7)."""
+    s, h, q = size, size >> 1, size >> 2
+    return {
+        1: [(x0, y0, s, h), (x0, y0 + h, s, h)],
+        2: [(x0, y0, h, s), (x0 + h, y0, h, s)],
+        4: [(x0, y0, s, q), (x0, y0 + q, s, s - q)],
+        5: [(x0, y0, s, s - q), (x0, y0 + s - q, s, q)],
+        6: [(x0, y0, q, s), (x0 + q, y0, s - q, s)],
+        7: [(x0, y0, s - q, s), (x0 + s - q, y0, q, s)],
+    }[part]
+
+
 class EncSyntax:
     """Per-4x4 syntax-element maps + coefficient planes filled by the
     compute stage and consumed by the slice writer (Python or native)."""
@@ -189,9 +203,7 @@ def _write_inter_cu_part(w, ws, syn, sps, hdr, x0, y0, log2, depth,
     x4, y4 = x0 >> 2, y0 >> 2
     w.note_cu_qp(int(ws.qp[y4, x4]))
     w.write_part_mode_inter(part, log2)
-    s, h = size, size >> 1
-    pus = ([(x0, y0, s, h), (x0, y0 + h, s, h)] if part == 1
-           else [(x0, y0, h, s), (x0 + h, y0, h, s)])
+    pus = amp_pu_geometry(x0, y0, size, part)
     for pidx, (xp, yp, nw, nh) in enumerate(pus):
         px4, py4 = xp >> 2, yp >> 2
         merge = bool(syn.merge_flag[py4, px4])

@@ -195,22 +195,25 @@ class CtuSyntaxWriter:
 
     def write_part_mode_inter(self, part: int, log2: int) -> None:
         """part_mode for inter CUs (mirror of the decoder's 9.3.3.7
-        parse; AMP off, NxN never emitted)."""
+        parse, incl. the AMP tree; NxN never emitted)."""
         base = CTX_OFFSET["part_size"]
         enc = self.enc
         if part == 0:                      # 2Nx2N
             enc.encode_bin(1, base)
             return
         enc.encode_bin(0, base)
-        if part == 1:                      # 2NxN
-            enc.encode_bin(1, base + 1)
-            return
-        enc.encode_bin(0, base + 1)        # Nx2N
+        horizontal = part in (1, 4, 5)     # 2NxN / 2NxnU / 2NxnD
+        enc.encode_bin(1 if horizontal else 0, base + 1)
         if log2 == self.min_cb:
-            if log2 != 3:
-                enc.encode_bin(1, base + 2)
-        elif self.sps.amp_enabled:
-            enc.encode_bin(1, base + 3)
+            if not horizontal and log2 != 3:
+                enc.encode_bin(1, base + 2)    # Nx2N (NxN not emitted)
+            return
+        if self.sps.amp_enabled:
+            if part in (1, 2):
+                enc.encode_bin(1, base + 3)
+            else:                          # AMP: extra bin + bypass
+                enc.encode_bin(0, base + 3)
+                enc.encode_bypass(1 if part in (5, 7) else 0)
 
     def write_merge_flag(self, flag: int) -> None:
         self.enc.encode_bin(flag, CTX_OFFSET["merge_flag"])

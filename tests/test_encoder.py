@@ -669,3 +669,44 @@ def test_transform_skip_encode(tmp_path, monkeypatch):
             assert outf.read_bytes() == b"".join(
                 rc.tobytes() for rc in recons)
     assert sizes[True] != sizes[False], sizes
+
+
+def test_amp_partitions_roundtrip(tmp_path):
+    """partitions=2 (placebo tier): AMP PUs (2NxnU/2NxnD/nLx2N/nRx2N) —
+    streams round-trip ours and the reference decoder."""
+    import subprocess
+
+    from conftest import _ref_bin, have_reference
+    frames = _frames(5, seed=55)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=32,
+                        latency="zerolatency", intra_period=64,
+                        partitions=2, sao=0)
+    # AMP parts (4..7) must actually decode from the stream
+    import ks265codec_tpu.decode.slice_dec as SD
+    seen = []
+    orig = SD.SliceDecoder._parse_part_mode_inter
+
+    def spy(self, log2):
+        p = orig(self, log2)
+        seen.append(p)
+        return p
+
+    SD.SliceDecoder._parse_part_mode_inter = spy
+    try:
+        bs, recons = encode_sequence(frames, cfg)
+        dec = HevcDecoder().decode_all(bs)
+    finally:
+        SD.SliceDecoder._parse_part_mode_inter = orig
+    assert any(p >= 4 for p in seen), f"no AMP parts decoded: {set(seen)}"
+    assert len(dec) == 5
+    for d, r in zip(dec, recons):
+        assert d.tobytes() == r.tobytes()
+    if have_reference():
+        bsf = tmp_path / "amp.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "ampdec.yuv"
+        r = subprocess.run(
+            [str(_ref_bin("appdecoder")), "-b", str(bsf), "-o",
+             str(outf), "-threads", "1"], capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
