@@ -54,6 +54,7 @@ class EncoderConfig:
     merange: int = 64
     refs: int = 1
     inter_tu_depth: int = 0
+    intra_tu_depth: int = 0
     transform_skip: bool = False
     partitions: int = 0              # 0: 2Nx2N only, 1: +2NxN/Nx2N, 2: +NxN/AMP
     deblock: bool = True
@@ -108,19 +109,24 @@ _LADDER = {
     "fast":      dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
                       sao=3, rdoq=True, sign_bit_hiding=True),
     "medium":    dict(me=1, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, intra_tu_depth=1,
+                      cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "slow":      dict(me=2, subme=1, refs=1, inter_tu_depth=0, partitions=0,
-                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, intra_tu_depth=1,
+                      cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "slower":    dict(me=2, subme=1, refs=2, inter_tu_depth=1, partitions=1,
-                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, intra_tu_depth=1,
+                      cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "veryslow":  dict(me=2, subme=2, refs=4, inter_tu_depth=1, partitions=1,
-                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, intra_tu_depth=1,
+                      cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
     "placebo":   dict(me=2, subme=2, refs=5, inter_tu_depth=2, partitions=2,
-                      weightp=True, intra_nxn=True, cutree=1, sao=4, rdoq=True,
+                      weightp=True, intra_nxn=True, intra_tu_depth=1,
+                      cutree=1, sao=4, rdoq=True,
                       sign_bit_hiding=True),
 }
 

@@ -179,7 +179,16 @@ class HevcEncoder:
         s.log2_max_tb = 5
         s.max_transform_hierarchy_depth_inter = \
             1 if cfg.inter_tu_depth > 0 else 0
-        s.max_transform_hierarchy_depth_intra = 0
+        import os as _os
+        host_only_cfg = (cfg.intra_period != 1 or cfg.aq_mode or cfg.cutree
+                         or cfg.pcm
+                         or bool(_os.environ.get("KS265_SEQ_COMPUTE")))
+        # intra TU-split rides the sequential host path only (the device
+        # wavefront codes TU == CU); the SPS flag is raised exactly when
+        # that path is the one that will run, so wavefront-eligible
+        # all-intra configs keep the FPP == per-frame bitstream identity
+        s.max_transform_hierarchy_depth_intra = \
+            1 if (cfg.intra_tu_depth > 0 and host_only_cfg) else 0
         s.scaling_list_enabled = 0
         s.amp_enabled = 1 if cfg.partitions >= 2 else 0
         s.sao_enabled = 1 if cfg.sao > 0 else 0

@@ -580,6 +580,45 @@ class IntraFrameEncoder:
                 self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz]
             fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
             return
+        if (self.sps.max_transform_hierarchy_depth_intra > 0
+                and log2 in (4, 5)):
+            # intra TU-split: predict-per-sub-TU from progressive recon
+            # (the reference's intra transform quadtree — its main
+            # intra-prediction-quality tool over our TU==CU baseline).
+            # Code the split variant, compare against the unsplit
+            # candidates (computed above, unaffected: they only read
+            # OUTSIDE neighbors), keep the winner.
+            lam = 0.57 * 2.0 ** ((cu_qp - 12) / 3.0)
+
+            def _bits_of(cf):
+                a = np.abs(cf[cf != 0]).astype(np.float64)
+                return (3.1 * a.size
+                        + 2.0 * np.log2(np.maximum(a, 1.0)).sum()
+                        if a.size else 0.0)
+
+            ru = reconstruct(pred, self._recon_residual(
+                coeff_y, log2, cu_qp) if cbf_y else None)
+            rcb = reconstruct(pred_cb, self._recon_residual(
+                coeff_cb, c_log2, cu_qp_cb) if cbf_cb else None)
+            rcr = reconstruct(pred_cr, self._recon_residual(
+                coeff_cr, c_log2, cu_qp_cr) if cbf_cr else None)
+            D_u = (float(((src - ru).astype(np.int64) ** 2).sum())
+                   + float(((self.src_cb[cy0:cy0 + csz, cx0:cx0 + csz]
+                             - rcb).astype(np.int64) ** 2).sum())
+                   + float(((self.src_cr[cy0:cy0 + csz, cx0:cx0 + csz]
+                             - rcr).astype(np.int64) ** 2).sum()))
+            b_u = _bits_of(coeff_y) + _bits_of(coeff_cb) \
+                + _bits_of(coeff_cr)
+            D_s, b_s = self._code_intra_split(x0, y0, log2, mode, cmode,
+                                              cu_qp, cu_qp_cb, cu_qp_cr)
+            if D_s + lam * (b_s + 8.0) < D_u + lam * b_u:
+                syn.tu_split[y4:y4 + b4, x4:x4 + b4] = 1
+                return
+            # unsplit wins: clear the split's interior TU edges/marks and
+            # fall through (region writes below overwrite the rest)
+            syn.tu_split[y4:y4 + b4, x4:x4 + b4] = 0
+            fs.tu_edge_v[y4:y4 + b4, x4 + 1:x4 + b4] = False
+            fs.tu_edge_h[y4 + 1:y4 + b4, x4:x4 + b4] = False
         syn.cy[y0:y0 + size, x0:x0 + size] = coeff_y
         syn.ccb[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cb
         syn.ccr[cy0:cy0 + csz, cx0:cx0 + csz] = coeff_cr
@@ -594,6 +633,64 @@ class IntraFrameEncoder:
         fs.cb[cy0:cy0 + csz, cx0:cx0 + csz] = reconstruct(pred_cb, resi_cb)
         fs.cr[cy0:cy0 + csz, cx0:cx0 + csz] = reconstruct(pred_cr, resi_cr)
         fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+
+    def _code_intra_split(self, x0, y0, log2, mode, cmode, cu_qp,
+                          cu_qp_cb, cu_qp_cr):
+        """Code this intra CU as FOUR half-size TUs (depth-1 intra
+        transform tree): each sub-TU predicts from the progressively
+        reconstructed neighbors (mirror of the decoder's per-TU intra
+        recon); chroma codes per child. Returns (D_pixel, bits) of the
+        written result."""
+        from .sbh import scan_for
+        fs, syn = self.fs, self.syn
+        size = 1 << log2
+        h = size >> 1
+        clog2 = log2 - 1
+        D = 0.0
+        bits = 0.0
+        for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+            xc, yc = x0 + dx, y0 + dy
+            c4x, c4y, cb4 = xc >> 2, yc >> 2, h >> 2
+            fs.tu_edge_v[c4y:c4y + cb4, c4x] = True
+            fs.tu_edge_h[c4y, c4x:c4x + cb4] = True
+            predc = self._predict(0, xc, yc, h, mode)
+            srcc = self.src_y[yc:yc + h, xc:xc + h]
+            cf = self._transform_quant(srcc - predc, clog2, cu_qp,
+                                       scan_for(clog2, 0, mode))
+            syn.cy[yc:yc + h, xc:xc + h] = cf
+            fs.cbf_luma[c4y:c4y + cb4, c4x:c4x + cb4] = bool(cf.any())
+            rec = reconstruct(predc, self._recon_residual(
+                cf, clog2, cu_qp) if cf.any() else None)
+            fs.y[yc:yc + h, xc:xc + h] = rec
+            fs.recon_done[c4y:c4y + cb4, c4x:c4x + cb4] = True
+            D += float(((srcc - rec).astype(np.int64) ** 2).sum())
+            a = np.abs(cf[cf != 0]).astype(np.float64)
+            bits += (3.1 * a.size
+                     + 2.0 * np.log2(np.maximum(a, 1.0)).sum()
+                     if a.size else 0.0)
+            # chroma child TU
+            csz2 = h >> 1
+            ccx, ccy = xc >> 1, yc >> 1
+            for c_idx, (srcp, dstp, cmap, qpc) in enumerate((
+                    (self.src_cb, fs.cb, syn.ccb, cu_qp_cb),
+                    (self.src_cr, fs.cr, syn.ccr, cu_qp_cr)), start=1):
+                pch = self._predict(c_idx, ccx, ccy, csz2, cmode)
+                sch = srcp[ccy:ccy + csz2, ccx:ccx + csz2]
+                cfc = self._transform_quant(sch - pch, clog2 - 1, qpc,
+                                            scan_for(clog2 - 1, c_idx,
+                                                     cmode))
+                cmap[ccy:ccy + csz2, ccx:ccx + csz2] = cfc
+                (syn.cbf_cb if c_idx == 1 else syn.cbf_cr)[
+                    c4y:c4y + cb4, c4x:c4x + cb4] = int(cfc.any())
+                rch = reconstruct(pch, self._recon_residual(
+                    cfc, clog2 - 1, qpc) if cfc.any() else None)
+                dstp[ccy:ccy + csz2, ccx:ccx + csz2] = rch
+                D += float(((sch - rch).astype(np.int64) ** 2).sum())
+                ac = np.abs(cfc[cfc != 0]).astype(np.float64)
+                bits += (3.1 * ac.size
+                         + 2.0 * np.log2(np.maximum(ac, 1.0)).sum()
+                         if ac.size else 0.0)
+        return D, bits
 
     # ------------------------------------------------------------- helpers
     @staticmethod

@@ -426,6 +426,50 @@ def _write_cu(w, ws, syn, sps, hdr, x0, y0, log2, depth):
         cmode = int(syn.chroma_mode[y4, x4])
         # write_intra_cu_header stores modes + mi_parsed progression itself
         w.write_intra_cu_header(x0, y0, log2, [mode], cmode)
+        if sps.max_transform_hierarchy_depth_intra > 0 \
+                and sps.log2_min_tb < log2 <= sps.log2_max_tb:
+            # explicit split_transform_flag at the CU root (depth 0 <
+            # max depth); mirror of _parse_transform_tree's intra order:
+            # flag, parent chroma cbfs, then children or the leaf TU
+            tsplit = int(syn.tu_split[y4, x4])
+            w.write_split_transform_flag(log2, tsplit)
+            if tsplit:
+                parent_cb = int(syn.cbf_cb[y4:y4 + b4,
+                                           x4:x4 + b4].any())
+                parent_cr = int(syn.cbf_cr[y4:y4 + b4,
+                                           x4:x4 + b4].any())
+                w.write_cbf_chroma(parent_cb, 0)
+                w.write_cbf_chroma(parent_cr, 0)
+                h = size >> 1
+                hb4 = h >> 2
+                for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                    xc, yc = x0 + dx, y0 + dy
+                    c4x, c4y = xc >> 2, yc >> 2
+                    ccb = int(syn.cbf_cb[c4y, c4x]) if parent_cb else 0
+                    ccr = int(syn.cbf_cr[c4y, c4x]) if parent_cr else 0
+                    if parent_cb:
+                        w.write_cbf_chroma(ccb, 1)
+                    if parent_cr:
+                        w.write_cbf_chroma(ccr, 1)
+                    cbf_yc = int(ws.cbf_luma[c4y, c4x])
+                    w.write_cbf_luma(cbf_yc, 1)
+                    if cbf_yc or ccb or ccr:
+                        w.maybe_write_dqp(int(ws.qp[y4, x4]))
+                    if cbf_yc:
+                        cf = syn.cy[yc:yc + h, xc:xc + h] \
+                            .astype(np.int32)
+                        w.write_residual(cf, log2 - 1, 0, mode)
+                    csz2 = h >> 1
+                    ccx, ccy = xc >> 1, yc >> 1
+                    if ccb:
+                        cf = syn.ccb[ccy:ccy + csz2, ccx:ccx + csz2] \
+                            .astype(np.int32)
+                        w.write_residual(cf, log2 - 2, 1, cmode)
+                    if ccr:
+                        cf = syn.ccr[ccy:ccy + csz2, ccx:ccx + csz2] \
+                            .astype(np.int32)
+                        w.write_residual(cf, log2 - 2, 2, cmode)
+                return
         cbf_y = int(ws.cbf_luma[y4, x4])
         cbf_cb = int(syn.cbf_cb[y4, x4])
         cbf_cr = int(syn.cbf_cr[y4, x4])

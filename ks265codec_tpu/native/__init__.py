@@ -167,12 +167,9 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         return None      # partitioned inter CUs: Python writer
     if getattr(syn, "nxn", None) is not None and syn.nxn.any():
         return None      # intra NxN CUs: Python writer
-    if getattr(sps, "max_transform_hierarchy_depth_inter", 0) > 0 \
-            and getattr(hdr, "slice_type", None) != 2:
-        # explicit split_transform_flag on inter CUs: Python writer.
-        # I slices (slice_type 2) never code inter CUs, so the flag
-        # cannot occur there and the native path stays valid.
-        return None
+    if getattr(syn, "tu_split", None) is not None and syn.tu_split.any():
+        return None      # slices USING TU-split trees: Python writer
+        # (flag-0 for split-capable SPS is written natively)
     from ..hevc.cabac_tables import CTX_OFFSET, NUM_CTX, init_contexts
     if _SLICE_BASES is None:
         _SLICE_BASES = (ctypes.c_int * len(_SLICE_CTX_NAMES))(
@@ -187,7 +184,10 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         int(pps.cu_qp_delta_enabled), 0,
         int(hdr.num_ref_idx[0]) if hdr.num_ref_idx else 0,
         int(hdr.num_ref_idx[1]) if hdr.num_ref_idx else 0,
-        int(hdr.max_num_merge_cand), int(hdr.slice_qp), NUM_CTX],
+        int(hdr.max_num_merge_cand), int(hdr.slice_qp), NUM_CTX,
+        int(getattr(sps, "max_transform_hierarchy_depth_intra", 0) > 0),
+        int(getattr(sps, "max_transform_hierarchy_depth_inter", 0) > 0
+            and hdr.slice_type != 2)],
         np.int32)
     # sao param arrays (all-off grid when sao is disabled for the slice)
     sao_type = np.zeros((nctb, 3), np.uint8)

@@ -553,7 +553,7 @@ enum {
     P_WIDTH, P_HEIGHT, P_PW, P_PH, P_LOG2_CTB, P_LOG2_MIN_CB,
     P_SLICE_TYPE, P_WPP, P_SAO_LUMA, P_SAO_CHROMA, P_TS_ENABLED,
     P_SBH, P_DQP_ENABLED, P_DQP_DEPTH, P_NREF0, P_NREF1,
-    P_MAX_MERGE, P_SLICE_QP, P_NCTX, P_COUNT
+    P_MAX_MERGE, P_SLICE_QP, P_NCTX, P_TT_INTRA, P_TT_INTER, P_COUNT
 };
 
 typedef struct {
@@ -790,6 +790,10 @@ static void sw_write_cu(SW *sw, int x0, int y0, int log2, int depth) {
         int cbf_y = sw->cbf_y[cell], cbf_cb = sw->cbf_cb[cell],
             cbf_cr = sw->cbf_cr[cell];
         int mode = sw->intra_mode[cell], cmode = sw->chroma_mode[cell];
+        if (p[P_TT_INTRA] && log2 > 2 && log2 <= 5)
+            /* explicit split_transform_flag = 0 (slices that USE splits
+             * take the Python writer; the flag is present regardless) */
+            e_bin(e, 0, sw->bases[CB_TRANS_SUBDIV] + 5 - log2);
         e_bin(e, cbf_cb != 0, sw->bases[CB_QT_CBF_CHROMA]);
         e_bin(e, cbf_cr != 0, sw->bases[CB_QT_CBF_CHROMA]);
         e_bin(e, cbf_y != 0, sw->bases[CB_QT_CBF_LUMA] + 1);
@@ -854,6 +858,8 @@ static void sw_write_cu(SW *sw, int x0, int y0, int log2, int depth) {
         e_bin(e, cbf_any, sw->bases[CB_QT_ROOT_CBF]);
     }
     if (cbf_any) {
+        if (p[P_TT_INTER] && log2 > 2 && log2 <= 5)
+            e_bin(e, 0, sw->bases[CB_TRANS_SUBDIV] + 5 - log2);
         e_bin(e, cbf_cb != 0, sw->bases[CB_QT_CBF_CHROMA]);
         e_bin(e, cbf_cr != 0, sw->bases[CB_QT_CBF_CHROMA]);
         if (cbf_cb || cbf_cr)
