@@ -696,6 +696,9 @@ class HevcEncoder:
                 # both sides, so recon consistency is automatic
                 wt = decide_weightp(frame.y, l0)
                 if wt is not None:
+                    from ..utils.log import log
+                    log(0, "weightp engaged poc %d: %s" % (
+                        poc, [(c[0].weight, c[0].offset) for c in wt]))
                     hdr.luma_log2_weight_denom = 6
                     hdr.chroma_log2_weight_denom = 6
                     hdr.weights = [wt, []]
@@ -873,6 +876,10 @@ class HevcEncoder:
             # is_long_term flag flips only when an RPS signals it as LT
             new_rp.lt_candidate = True
         self.dpb.append(new_rp)
+        from ..utils.log import log
+        log(-1, "enc poc %d %s qp %d bits %d" % (
+            poc, "I" if is_idr else ("P" if slice_type == P_SLICE
+                                     else "B"), qp, len(data) * 8))
         recon = self._wrap_recon(fs, frame)
         ef = EncodedFrame(data=data, recon=recon, poc=poc, qp=qp,
                           bits=len(data) * 8,

@@ -117,6 +117,10 @@ class Lookahead:
                     and pcost > 1.5 * self._typical_pcost()
             if cut or first:
                 self._last_cut = di
+                if cut:
+                    from ..utils.log import log
+                    log(0, "scenecut at display %d (pcost %.0f icost %.0f)"
+                        % (di, pcost, icost))
             dqp = self._aq_offsets(var) if want_var else None
             if tree_dqps[k] is not None:
                 dqp = (tree_dqps[k] if dqp is None
