@@ -9,8 +9,10 @@ in nal.py.
 from __future__ import annotations
 
 
-class BitReaderError(Exception):
-    """Raised on read past end — maps to QY_BITSTREAM_ERROR semantics."""
+class BitReaderError(ValueError):
+    """Raised on read past end — maps to QY_BITSTREAM_ERROR semantics.
+    A ValueError subclass so the decoder's undecodable-slice /
+    concealment handlers (which catch ValueError) cover truncation."""
 
 
 class BitReader:

@@ -313,7 +313,11 @@ def apply_effective_qp(fs, syn, sps, pps, hdr) -> None:
                     walk(x0 + dx, y0 + dy, log2 - 1)
             return
         b4 = size >> 2
-        if not coded_seen and cbf4[y4, x4]:
+        if not coded_seen and cbf4[y4:y4 + b4, x4:x4 + b4].any():
+            # region-any: split transform trees (partitioned CUs, TU
+            # splits, NxN) carry per-child cbfs — a zero top-left TU
+            # must not make the whole CU look uncoded (the delta is
+            # written at the first child WITH residual)
             coded_seen = True
         if not coded_seen:
             fs.qp[y4:y4 + b4, x4:x4 + b4] = qp_prev

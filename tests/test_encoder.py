@@ -710,3 +710,33 @@ def test_amp_partitions_roundtrip(tmp_path):
              str(outf), "-threads", "1"], capture_output=True)
         assert r.returncode == 0
         assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+
+
+@pytest.mark.parametrize("preset", ["slower", "placebo"])
+def test_deep_preset_offline_roundtrip(preset, tmp_path):
+    """slower/placebo offline-B: every deep tool at once (partitions/AMP,
+    TU splits, multi-ref, cutree per-CTU QP, NxN, weightp) — caught a
+    real interaction bug: apply_effective_qp judged split-tree CUs by
+    their top-left cell's cbf only."""
+    frames = _frames(8, seed=99)
+    cfg = EncoderConfig(width=W, height=H, preset=preset, qp=31,
+                        latency="offline", intra_period=8)
+    bs, recons = encode_sequence(frames, cfg)
+    dec = HevcDecoder().decode_all(bs)
+    assert len(dec) == 8
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert d.tobytes() == r.tobytes(), f"{preset} display {i}"
+    if have_reference():
+        from conftest import _ref_bin
+        bsf = tmp_path / f"{preset}.265"
+        bsf.write_bytes(bs)
+        outf = tmp_path / "deep.yuv"
+        r = subprocess.run([str(_ref_bin("appdecoder")), "-b", str(bsf),
+                            "-o", str(outf), "-threads", "1"],
+                           capture_output=True)
+        assert r.returncode == 0
+        assert outf.read_bytes() == b"".join(rc.tobytes() for rc in recons)
+    # truncation mid-stream must conceal, not raise (BitReaderError is a
+    # ValueError so the resilience handlers cover header truncation too)
+    partial = HevcDecoder().decode_all(bs[:len(bs) // 2])
+    assert len(partial) >= 1
