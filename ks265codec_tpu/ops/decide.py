@@ -174,7 +174,10 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
     blocks = plane.reshape(nby, n, nbx, n).swapaxes(1, 2).reshape(-1, n, n)
     B = blocks.shape[0]
     if seed_modes is not None:
-        from .wavefront import _predict_dyn
+        # Seeded (fast-md) tier. Static all-35 prediction is ~25x cheaper
+        # on TPU than per-block dynamic-mode gathers (_predict_dyn lowers
+        # to lane gathers), so predict everything and restrict the SEARCH
+        # to the seeded candidate set by masking the (B, 35) cost matrix.
         par = seed_modes.reshape(-1).astype(jnp.int32)         # (B,)
         ang = jnp.maximum(par, 2)
         cand = jnp.stack([
@@ -183,27 +186,22 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
             jnp.where(par >= 2, 2 + ((ang - 2 + 32) % 33), 1),
             jnp.full_like(par, 0), jnp.full_like(par, 1),
             jnp.full_like(par, 26), jnp.full_like(par, 10)], axis=1)
-        C = cand.shape[1]
-        rrep = jnp.repeat(refs, C, axis=0)
-        frep = jnp.repeat(refs_f, C, axis=0)
-        preds_c = _predict_dyn(rrep, frep, cand.reshape(-1), n,
-                               True).reshape(B, C, n, n)
-        costs_c = jcost.satd(preds_c, blocks[:, None],
-                             8).astype(jnp.float32)
-        best0 = jnp.take_along_axis(
-            cand, jnp.argmin(costs_c, axis=1)[:, None], axis=1)[:, 0]
+        preds = jintra.predict_all_modes(refs, refs_f, n, True)
+        costs = jcost.satd(preds, blocks[:, None], 8).astype(jnp.float32)
+        allm = jnp.arange(35, dtype=jnp.int32)[None, :]        # (1, 35)
+        in_cand = (cand[:, :, None] == allm[None]).any(axis=1)  # (B, 35)
+        costs_m = jnp.where(in_cand, costs, jnp.inf)
+        best0 = jnp.argmin(costs_m, axis=1).astype(jnp.int32)
         m0, m1, m2 = _mpm_lists(best0, n, nby, nbx)
-        mb_c = jnp.where(
-            cand == m0.reshape(-1)[:, None], _BITS_MPM0,
-            jnp.where((cand == m1.reshape(-1)[:, None])
-                      | (cand == m2.reshape(-1)[:, None]),
-                      _BITS_MPM12, _BITS_REM))
-        jlc = costs_c + ls * mb_c
-        ki = jnp.argmin(jlc, axis=1)
-        best = jnp.take_along_axis(cand, ki[:, None], axis=1)[:, 0]
-        mode_bits = jnp.take_along_axis(mb_c, ki[:, None], axis=1)[:, 0]
+        mbits = jnp.where(allm == m0.reshape(-1)[:, None], _BITS_MPM0,
+                          jnp.where((allm == m1.reshape(-1)[:, None])
+                                    | (allm == m2.reshape(-1)[:, None]),
+                                    _BITS_MPM12, _BITS_REM))
+        jlc = jnp.where(in_cand, costs + ls * mbits, jnp.inf)
+        best = jnp.argmin(jlc, axis=1).astype(jnp.int32)
+        mode_bits = jnp.take_along_axis(mbits, best[:, None], axis=1)[:, 0]
         pred_b = jnp.take_along_axis(
-            preds_c, ki[:, None, None, None], axis=1)[:, 0]
+            preds, best[:, None, None, None], axis=1)[:, 0]
         qpb = jnp.full((B,), qp, jnp.int32)
         D, rbits = _rough_tu_cost(blocks - pred_b, qpb, n, log2,
                                   4.0 ** (log2 - 7))
@@ -248,9 +246,12 @@ def _size_decision(plane, cbp, crp, qp, qpc, lam, ls, n: int,
 def _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx, log2, B,
                      effort, best, D, rbits, mode_bits):
     """Chroma mode decision + the final rough-RD cost map (shared tail
-    of _size_decision's full and seeded paths)."""
-    # chroma: candidate set at nc = n/2 on both planes, DM duplicate -> 34
-    from .wavefront import _predict_dyn
+    of _size_decision's full and seeded paths).
+
+    The candidate choice is SATD+rate (the reference's chroma ladder),
+    so the rough D/R transform work runs only for the WINNING mode —
+    and prediction is the static all-35 kernel + cost gathers, which on
+    TPU beats per-block dynamic-mode prediction by a wide margin."""
     nc = n // 2
     dm = best
     if effort:
@@ -262,25 +263,19 @@ def _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx, log2, B,
     else:
         cands = dm[:, None]                                    # DM only
     C = cands.shape[1]
-    qpcb = jnp.full((B * C,), qpc, jnp.int32)
-    cD = jnp.zeros((B, C), jnp.float32)
-    cR = jnp.zeros((B, C), jnp.float32)
     csatd = jnp.zeros((B, C), jnp.float32)
+    cpreds_pl = []
+    cblocks_pl = []
     for cp in (cbp, crp):
         crefs = _source_refs(cp, nc).reshape(-1, 4 * nc + 1)
         cblocks = cp.reshape(nby, nc, nbx, nc).swapaxes(1, 2) \
             .reshape(-1, nc, nc)
-        # predict only the candidate modes (gathered per block), not all 35
-        crep = jnp.repeat(crefs, C, axis=0)
-        cpred_k = _predict_dyn(crep, crep, cands.reshape(-1), nc,
-                               False).reshape(B, C, nc, nc)
-        csatd = csatd + jcost.satd(cpred_k, cblocks[:, None],
-                                   8).astype(jnp.float32)
-        cres = (cblocks[:, None] - cpred_k).reshape(B * C, nc, nc)
-        Dc, rbc = _rough_tu_cost(cres, qpcb, nc, log2 - 1,
-                                 4.0 ** (log2 - 1 - 7))
-        cD = cD + Dc.reshape(B, C)
-        cR = cR + rbc.reshape(B, C)
+        cpreds = jintra.predict_all_modes(crefs, crefs, nc, False)
+        sat_all = jcost.satd(cpreds, cblocks[:, None],
+                             8).astype(jnp.float32)            # (B, 35)
+        csatd = csatd + jnp.take_along_axis(sat_all, cands, axis=1)
+        cpreds_pl.append(cpreds)
+        cblocks_pl.append(cblocks)
     if effort:
         cbits = jnp.concatenate(
             [jnp.full((B, 4), _BITS_CHROMA), jnp.full((B, 1), _BITS_DM)],
@@ -292,8 +287,14 @@ def _chroma_and_cost(cbp, crp, qpc, lam, ls, n, nby, nbx, log2, B,
     cmode = jnp.take_along_axis(cands, ci[:, None], axis=1)[:, 0]
     cmode_bits = jnp.take_along_axis(cbits, ci[:, None], axis=1)[:, 0]
     cost_luma = D + lam * (rbits + mode_bits + _HDR_BITS[n])
-    D = D + jnp.take_along_axis(cD, ci[:, None], axis=1)[:, 0]
-    rbits = rbits + jnp.take_along_axis(cR, ci[:, None], axis=1)[:, 0]
+    qpcb = jnp.full((B,), qpc, jnp.int32)
+    for cpreds, cblocks in zip(cpreds_pl, cblocks_pl):
+        cpred_w = jnp.take_along_axis(
+            cpreds, cmode[:, None, None, None], axis=1)[:, 0]
+        Dc, rbc = _rough_tu_cost(cblocks - cpred_w, qpcb, nc, log2 - 1,
+                                 4.0 ** (log2 - 1 - 7))
+        D = D + Dc
+        rbits = rbits + rbc
     cost = D + lam * (rbits + mode_bits + cmode_bits + _HDR_BITS[n])
     return (best.reshape(nby, nbx), cost.reshape(nby, nbx),
             cmode.reshape(nby, nbx).astype(jnp.int32),
