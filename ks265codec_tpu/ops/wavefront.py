@@ -217,9 +217,11 @@ def _mm_rhs(x, t):
     return ((hi @ tf).astype(jnp.int32) << 8) + (lo @ tf).astype(jnp.int32)
 
 
-def _fwd_quant(resi, qp, n: int, log2: int, rdoq: bool = False):
+def _fwd_quant(resi, qp, n: int, log2: int, rdoq: bool = False,
+               intra: bool = True):
     """forward DCT + quantization, batch (K, n, n), qp (K,). rdoq selects
-    the RDOQ-lite level decision (encode/rdoq) over deadzone rounding."""
+    the RDOQ-lite level decision (encode/rdoq) over deadzone rounding;
+    intra picks the 1/3 vs 1/6 deadzone rounding."""
     t = _T[n]
     shift1 = log2 + 8 - 9
     shift2 = log2 + 6
@@ -233,7 +235,7 @@ def _fwd_quant(resi, qp, n: int, log2: int, rdoq: bool = False):
     qp = qp[:, None, None]
     qbits = 29 + qp // 6 - 8 - log2
     scale = _QUANT_SCALE[qp % 6]
-    rnd = jnp.int32(171) << (qbits - 9)
+    rnd = jnp.int32(171 if intra else 85) << (qbits - 9)
     a = jnp.abs(c)
     q = jnp.clip((a * scale + rnd) >> qbits, 0, 32767)
     return jnp.where(c < 0, -q, q)
@@ -382,9 +384,22 @@ def _assemble(tiles, recs, xs, ys, valid, n8: int, t: int, w8: int):
     return tiles.at[idx.reshape(-1)].set(v.astype(tiles.dtype), mode="drop")
 
 
+def borders_from_planes(y, cb, cr):
+    """Initial border carry (bot/right/corner per plane) read from existing
+    plane contents — seeds the wavefront when it codes only a SUBSET of the
+    frame's CUs (intra CUs inside an inter frame: their inter neighbors'
+    reconstruction already exists and is legal reference material)."""
+    out = []
+    for p, t in ((y, 8), (cb, 4), (cr, 4)):
+        tiles = _tile(p.astype(jnp.int32), t)
+        out += [tiles[:, t - 1, :], tiles[:, :, t - 1],
+                tiles[:, t - 1, t - 1]]
+    return tuple(out)
+
+
 def _code_intra_frame_core(src_y, src_cb, src_cr, segs,
                            strong: bool, sbh: bool = False,
-                           rdoq: bool = False):
+                           rdoq: bool = False, init_borders=None):
     """segs: tuple of level-axis SEGMENTS, each (sched8, sched16,
     sched32) 11-field packs. Segmenting lets each chunk of levels carry
     its own K width — the wavefront frontier is diamond-shaped, so one
@@ -396,12 +411,15 @@ def _code_intra_frame_core(src_y, src_cb, src_cr, segs,
     sty = _tile(src_y.astype(jnp.int32), 8)
     stcb = _tile(src_cb.astype(jnp.int32), 4)
     stcr = _tile(src_cr.astype(jnp.int32), 4)
-    carry = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
-             jnp.zeros((N,), jnp.int32),
-             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
-             jnp.zeros((N,), jnp.int32),
-             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
-             jnp.zeros((N,), jnp.int32))
+    if init_borders is not None:
+        carry = init_borders
+    else:
+        carry = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
+                 jnp.zeros((N,), jnp.int32),
+                 jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+                 jnp.zeros((N,), jnp.int32),
+                 jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+                 jnp.zeros((N,), jnp.int32))
 
     def body(carry, level_fields):
         outs = []
