@@ -761,16 +761,24 @@ class HevcEncoder:
         if self.pps.cu_qp_delta_enabled:
             from .map_writer import apply_effective_qp
             apply_effective_qp(fs, enc.syn, self.sps, self.pps, hdr)
-        if cached is None or not cached.get("deblocked"):
+        dev_post = getattr(enc, "device_post", None)
+        deblocked = (cached is not None and cached.get("deblocked")) or \
+            (dev_post is not None and dev_post.get("deblocked"))
+        if not deblocked:
             deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
                           bool(self.pps.deblocking_filter_disabled),
                           self.pps.cb_qp_offset, self.pps.cr_qp_offset)
         sao_params = None
         if sao_on:
             from .sao import _decide_from_stats, decide_sao
-            if cached is not None and cached.get("sao_stats") is not None:
+            dev_stats = None
+            if cached is not None:
+                dev_stats = cached.get("sao_stats")
+            elif dev_post is not None:
+                dev_stats = dev_post.get("sao_stats")
+            if dev_stats is not None:
                 sao_params = _decide_from_stats(
-                    fs, cached["sao_stats"], qp, max(cfg.sao, 1))
+                    fs, dev_stats, qp, max(cfg.sao, 1))
             else:
                 sao_params = decide_sao(fs, enc.src_y, enc.src_cb,
                                         enc.src_cr, qp, max(cfg.sao, 1))

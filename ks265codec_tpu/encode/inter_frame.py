@@ -60,6 +60,40 @@ class PFrameEncoder(IntraFrameEncoder):
         self.lam = 0.85 * sc * 2.0 ** ((self.qp - 12) / 3.0)
         self.lam_satd = float(np.sqrt(self.lam))
 
+    def _engine_ok(self) -> bool:
+        import os
+        if os.environ.get("KS265_SEQ_COMPUTE"):
+            return False
+        return (not self.pps.tiles_enabled
+                and not self.pps.dependent_slice_segments_enabled
+                and not self.pps.cu_qp_delta_enabled
+                and getattr(self, "dqp_ctu", None) is None
+                and int(getattr(self, "partitions", 0)) == 0
+                and int(getattr(self, "inter_tu_depth", 0)) == 0
+                and not self.sps.pcm_enabled
+                and not int(getattr(self, "noise_reduction", 0)))
+
+    def compute(self):
+        """Production path: the batched device inter engine (one decision
+        dispatch per CU tier + one coding dispatch). Fallback/oracle: the
+        sequential per-CU host walk, kept for configurations the engine
+        does not cover and as the A/B reference."""
+        if self._engine_ok():
+            try:
+                self.use_device_engine = True
+                self._apply_lam_scale()
+                self._pre_analyze()
+                from .inter_engine import run_engine
+                run_engine(self)
+                return
+            except Exception as ex:
+                from ..utils.log import log
+                log(2, "inter engine failed (%s: %s); sequential fallback"
+                    % (type(ex).__name__, ex))
+                self.use_device_engine = False
+                self._skip_pre = False
+        self.compute_sequential()
+
     def _pre_analyze(self) -> None:
         from .intra_frame import decide_frame
         self._apply_lam_scale()
@@ -123,8 +157,10 @@ class PFrameEncoder(IntraFrameEncoder):
                 best8[3] = np.where(m, ri, best8[3]).astype(np.int8)
         self.mv16, self.sad16, _, self.ref16 = best16
         self.mv8, self.sad8, _, self.ref8 = best8
-        self._decide_split16()
         self.frame_cplx = float(self.sad16.sum())
+        if getattr(self, "use_device_engine", False):
+            return      # tier decisions move to the device engine
+        self._decide_split16()
         self._decide_cu32()
 
     def _decide_split16(self):
@@ -989,8 +1025,10 @@ class BFrameEncoder(PFrameEncoder):
             self.sad8 = np.where(self.dir8 == 1, s1_8, s0_8)
         self.mv0q, self.mv1q = mv0, mv1
         self.mv0q8, self.mv1q8 = mv0_8, mv1_8
-        self._decide_split16()
         self.frame_cplx = float(self.sad16.sum())
+        if getattr(self, "use_device_engine", False):
+            return      # tier decisions move to the device engine
+        self._decide_split16()
         self._decide_cu32()
 
     def _block_mi(self, by, bx):

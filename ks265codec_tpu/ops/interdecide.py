@@ -176,14 +176,7 @@ def _tier_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
         zall = jax.lax.map(cand_zero, (cs0, cmv0, cs1, cmv1)) & cvalid
         first = jnp.argmax(zall, axis=0)
         has_zero = zall.any(axis=0)
-        fi = (first[None, :] == jnp.arange(C)[:, None])
-
-        def pickf(a):
-            return (a * fi.astype(a.dtype)).sum(axis=0) if a.ndim == 2 \
-                else (a * fi[:, :, None].astype(a.dtype)).sum(axis=0)
-
-        return (has_zero, pickf(cs0), pickf(cmv0), pickf(cs1),
-                pickf(cmv1))
+        return has_zero, first.astype(jnp.int32)
     Dm, bm, _ = _rough_cu(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
                           bs0, bmv0, bs1, bmv1, xs, ys, n,
                           qp, qpcb, qpcr, pic_w, pic_h, has_l1)

@@ -40,7 +40,10 @@ def _filter_mats(filters: np.ndarray, taps: int, n_in: int, n_out: int,
             for j in range(n_out):
                 for t in range(taps):
                     mats[p, j + t, j] = float(filters[p][t])
-    return jnp.asarray(mats)
+    # numpy, not jnp: these are cached module-level constants that get
+    # embedded into jaxprs — a device array created inside a trace would
+    # leak its tracer through the cache
+    return mats
 
 
 _LUMA_H = _filter_mats(np.asarray(LUMA_FILTER), 8, 15, 8, 3)
