@@ -80,6 +80,101 @@ class _Maps:
         self.tiers = {}
 
 
+# ----------------------------------------------------- lean pre-analysis
+
+def engine_pre_analysis(enc) -> None:
+    """ME + intra analysis for the device engine: ONE hierarchical 8-tier
+    search per reference (the 16/32-tier ME candidates are synthesized
+    from the best child, then judged properly by the device rough-RD
+    arbitration) — replaces the 4-searches-per-ref pre-pass whose dense
+    16-tier grid dominated the profile."""
+    import numpy as np
+
+    from ..ops import me as jme
+    from ..ops.subpel import bi_pred_cost, refine_subpel_frame
+    from .intra_frame import decide_frame
+
+    enc._apply_lam_scale()
+    (_, enc.mode16, _, _, _, enc.mode8, enc.cmode8, enc.cmode16,
+     _, enc.icost8, enc.icost16, enc.mode4, enc.nxn8) = decide_frame(
+        enc.src_y, enc.src_cb, enc.src_cr, enc.qp,
+        effort=getattr(enc, "decide_effort", 1))
+    sps = enc.sps
+    pw, ph = sps.width, sps.height
+    merange = int(getattr(enc, "merange", 12))
+    lam8 = 0.5 * enc.lam_satd
+    is_b = enc.hdr.slice_type == 0 and len(enc.ref_lists[1]) > 0
+    poc = int(getattr(enc.hdr, "poc", 0))
+
+    def search8(rp):
+        ref_y = np.asarray(rp.fs.y)
+        if merange > 16:
+            mv, _, sad = jme.motion_search_frame_hier(
+                enc.src_y, ref_y, 8, merange, lam8)
+        else:
+            mv, _, sad = jme.motion_search_frame(
+                enc.src_y, ref_y, 8, merange, lam8)
+        if enc.subme:
+            mv, sad = refine_subpel_frame(
+                enc.src_y, ref_y, mv >> 2, 8, pw, ph,
+                mv_pred_q=mv_pred_field(mv), lam=lam8)
+        return mv, sad
+
+    from .inter_frame import mv_pred_field
+    if is_b:
+        rp0, rp1 = enc.ref_lists[0][0], enc.ref_lists[1][0]
+        mv0, s0 = search8(rp0)
+        mv1, s1 = search8(rp1)
+        sbi = bi_pred_cost(enc.src_y, np.asarray(rp0.fs.y),
+                           np.asarray(rp1.fs.y), mv0, mv1, 8, pw, ph)
+        bi_bias = lam8 * 8
+        best_uni = np.minimum(s0, s1)
+        enc.dir8 = np.where(sbi + bi_bias < best_uni, 2,
+                            (s1 < s0).astype(np.int8)).astype(np.int8)
+        enc.sad8 = np.minimum(best_uni, sbi + bi_bias)
+        enc.mv0q8, enc.mv1q8 = mv0, mv1
+        # 16-tier ME record = min-cost child's motion
+        enc.dir16, enc.mv0q, enc.mv1q, enc.sad16 = _child_min_b(
+            enc.dir8, mv0, mv1, enc.sad8)
+    else:
+        best = None
+        for ri, rp in enumerate(enc.ref_lists[0]):
+            mv, sad = search8(rp)
+            c = sad + enc.lam_satd * 2.0 * ri
+            if best is None:
+                best = [mv, sad, c, np.zeros_like(sad, np.int8)]
+            else:
+                m = c < best[2]
+                best[0] = np.where(m[..., None], mv, best[0])
+                best[1] = np.where(m, sad, best[1])
+                best[2] = np.where(m, c, best[2])
+                best[3] = np.where(m, ri, best[3]).astype(np.int8)
+        enc.mv8, enc.sad8, _, enc.ref8 = best
+        enc.mv16, enc.ref16, enc.sad16 = _child_min_p(
+            enc.mv8, enc.ref8, enc.sad8)
+    enc.frame_cplx = float(enc.sad16.sum())
+
+
+def _child_min_p(mv8, ref8, sad8):
+    nby, nbx = sad8.shape[0] // 2, sad8.shape[1] // 2
+    s = sad8[:nby * 2, :nbx * 2].reshape(nby, 2, nbx, 2) \
+        .transpose(0, 2, 1, 3).reshape(nby, nbx, 4)
+    ci = np.argmin(s, axis=2)
+    cy = np.arange(nby)[:, None] * 2 + (ci >> 1)
+    cx = np.arange(nbx)[None, :] * 2 + (ci & 1)
+    return mv8[cy, cx], ref8[cy, cx], s.sum(axis=2)
+
+
+def _child_min_b(dir8, mv0_8, mv1_8, sad8):
+    nby, nbx = sad8.shape[0] // 2, sad8.shape[1] // 2
+    s = sad8[:nby * 2, :nbx * 2].reshape(nby, 2, nbx, 2) \
+        .transpose(0, 2, 1, 3).reshape(nby, nbx, 4)
+    ci = np.argmin(s, axis=2)
+    cy = np.arange(nby)[:, None] * 2 + (ci >> 1)
+    cx = np.arange(nbx)[None, :] * 2 + (ci & 1)
+    return (dir8[cy, cx], mv0_8[cy, cx], mv1_8[cy, cx], s.sum(axis=2))
+
+
 # =========================================================== main entry
 
 def run_engine(enc) -> None:
@@ -99,6 +194,20 @@ def run_engine(enc) -> None:
     is_b = hdr.slice_type == 0 and len(ref_lists[1]) > 0
     qp, qp_cb, qp_cr = enc.qp, enc.qp_cb, enc.qp_cr
     lam, lam_satd = float(enc.lam), float(enc.lam_satd)
+    # per-8-cell QP map (AQ/cutree per-CTU offsets land here) + lambda
+    # lookup tables in the same scale the scalar path uses
+    qp_map8 = enc._qp_map8((h8, w8)).astype(np.int32)
+    sc = getattr(enc, "lam_scale", 1.0)
+    lam_tab = (0.85 * sc * 2.0 ** ((np.arange(64) - 12) / 3.0)) \
+        .astype(np.float32)
+    lams_tab = np.sqrt(lam_tab).astype(np.float32)
+    cqpb_tab = np.array(
+        [chroma_qp(min(q + pps.cb_qp_offset + hdr.cb_qp_offset, 57))
+         for q in range(64)], np.int32)
+    cqpr_tab = np.array(
+        [chroma_qp(min(q + pps.cr_qp_offset + hdr.cr_qp_offset, 57))
+         for q in range(64)], np.int32)
+    enc._qp_tabs = (qp_map8, lam_tab, lams_tab, cqpb_tab, cqpr_tab)
 
     # ---------------------------------------------- reference stacks/slots
     uniq, slot_of = [], {}
@@ -214,15 +323,17 @@ def run_engine(enc) -> None:
                jnp.asarray(cs0), jnp.asarray(cmv0),
                jnp.asarray(cs1), jnp.asarray(cmv1), jnp.asarray(cvalid))
         fl = lambda v: jnp.full((B,), v, jnp.float32)
-        qps = (jnp.full((B,), qp, jnp.int32),
-               jnp.full((B,), qp_cb, jnp.int32),
-               jnp.full((B,), qp_cr, jnp.int32))
+        qpb = qp_map8[ys >> 3, xs >> 3]
+        qps = (jnp.asarray(qpb), jnp.asarray(cqpb_tab[qpb]),
+               jnp.asarray(cqpr_tab[qpb]))
+        lamb = jnp.asarray(lam_tab[qpb])
+        lamsb = jnp.asarray(lams_tab[qpb])
         if zero_only:
             zi = jnp.zeros((B,), jnp.int32)
             zm = jnp.zeros((B, 2), jnp.int32)
             has_zero, first = decide_tier_jit(
                 *com, zi - 1, zm, zi - 1, zm, fl(0.0), fl(np.inf), *qps,
-                fl(lam), fl(lam_satd), n=n, pic_w=cfg_w, pic_h=cfg_h,
+                lamb, lamsb, n=n, pic_w=cfg_w, pic_h=cfg_h,
                 has_l1=is_b, zero_only=True)
             return dict(xs=xs, ys=ys, nby=nby, nbx=nbx, cands=cands,
                         has_zero=np.asarray(has_zero),
@@ -233,7 +344,7 @@ def run_engine(enc) -> None:
             jnp.asarray(to_slot(1, ms1)), jnp.asarray(mmv1),
             jnp.asarray(me_bits.astype(np.float32)),
             jnp.asarray(icost.astype(np.float32)), *qps,
-            fl(lam), fl(lam_satd), n=n, pic_w=cfg_w, pic_h=cfg_h,
+            lamb, lamsb, n=n, pic_w=cfg_w, pic_h=cfg_h,
             has_l1=is_b, zero_only=False)
         choice, bidx, cost = (np.asarray(o) for o in out[:3])
         return dict(xs=xs, ys=ys, nby=nby, nbx=nbx, cands=cands,
@@ -243,18 +354,31 @@ def run_engine(enc) -> None:
     def crop_cost(a, n):
         return a[:cfg_h // n, :cfg_w // n].astype(np.float32).reshape(-1)
 
-    t8 = tier(8, me_rec_tier(8), crop_cost(enc.icost8, 8))
-    t16 = tier(16, me_rec_tier(16), crop_cost(enc.icost16, 16))
-    t32 = None
-    if cfg_w >= 32 and cfg_h >= 32:
-        t32 = tier(32, me_rec_tier(32),
-                   np.full((cfg_h // 32) * (cfg_w // 32), np.inf,
-                           np.float32))
-    t64 = None
-    if cfg_w >= 64 and cfg_h >= 64:
-        t64 = tier(64, zero_only=True)
-
-    maps = _assemble_maps(enc, t8, t16, t32, t64, h8, w8)
+    # Two decision iterations: round 1 derives merge candidates from the
+    # ME field; round 2 re-derives them from round 1's DECIDED field —
+    # converging toward the true lists the syntax pass will derive (the
+    # parallel analog of the sequential walk's skip/merge bootstrap:
+    # early-CU skips make later CUs' candidates zero-ish and cheap).
+    maps = None
+    for _ in range(2):
+        t8 = tier(8, me_rec_tier(8), crop_cost(enc.icost8, 8))
+        t16 = tier(16, me_rec_tier(16), crop_cost(enc.icost16, 16))
+        t32 = None
+        if cfg_w >= 32 and cfg_h >= 32:
+            t32 = tier(32, me_rec_tier(32),
+                       np.full((cfg_h // 32) * (cfg_w // 32), np.inf,
+                               np.float32))
+        t64 = None
+        if cfg_w >= 64 and cfg_h >= 64:
+            t64 = tier(64, zero_only=True)
+        maps = _assemble_maps(enc, t8, t16, t32, t64, h8, w8)
+        # decided field -> next iteration's candidate source
+        afield = dict(
+            mv=np.stack([np.repeat(np.repeat(maps.mv[l], 2, 0), 2, 1)
+                         for l in range(2)]),
+            ref=np.stack([np.repeat(np.repeat(maps.ref[l], 2, 0), 2, 1)
+                          for l in range(2)]),
+            inter=np.repeat(np.repeat(maps.pmode == 0, 2, 0), 2, 1))
     planes, sao_stats = _dispatch_coding(enc, maps, jr, jsrc, to_slot,
                                          slot_of, is_b)
     _fill_and_map_syntax(enc, maps, planes, ctx, zv, region4)
@@ -400,8 +524,7 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
     cfg_w, cfg_h = sps.width, sps.height
     ph, pw = fs.ph, fs.pw
     h8, w8 = ph >> 3, pw >> 3
-    lam = float(enc.lam)
-    qp, qp_cb, qp_cr = enc.qp, enc.qp_cb, enc.qp_cr
+    qp_map8, lam_tab, lams_tab, cqpb_tab, cqpr_tab = enc._qp_tabs
 
     slot0 = to_slot(0, maps.ref[0]).reshape(-1)
     slot1 = to_slot(1, maps.ref[1]).reshape(-1)
@@ -453,7 +576,9 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
     cu_ys = np.concatenate(cu_ys) if cu_ys else np.zeros(0, np.int32)
     cu_n = np.concatenate(cu_n) if cu_n else np.zeros(0, np.int32)
     n_cu = _pad_pow2(len(cu_xs), 16)
-    cu_lam = np.full(n_cu + 1, lam, np.float32)
+    cu_qp = qp_map8[cu_ys >> 3, cu_xs >> 3]
+    cu_lam = np.full(n_cu + 1, 1.0, np.float32)
+    cu_lam[:len(cu_xs)] = lam_tab[cu_qp]
     for n in (8, 16, 32):
         m = cu_n == n
         xs, ys = cu_xs[m], cu_ys[m]
@@ -462,15 +587,15 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
         pad = lambda a, f=0: np.concatenate(
             [a, np.full(K - len(a), f, a.dtype)])
         valid = pad(np.ones(len(xs), bool))
+        qpt = cu_qp[m]
         tu_packs[(True, n)] = tuple(jnp.asarray(v) for v in (
-            pad(xs), pad(ys), pad(np.full(len(xs), qp, np.int32)),
+            pad(xs), pad(ys), pad(qpt.astype(np.int32)),
             pad(cid), valid))
         # chroma: cb + cr TUs at n/2
         nc = n >> 1
         cxs = np.concatenate([xs >> 1, xs >> 1]).astype(np.int32)
         cys = np.concatenate([ys >> 1, ys >> 1]).astype(np.int32)
-        cqp = np.concatenate([np.full(len(xs), qp_cb, np.int32),
-                              np.full(len(xs), qp_cr, np.int32)])
+        cqp = np.concatenate([cqpb_tab[qpt], cqpr_tab[qpt]])
         ccid = np.concatenate([cid, cid])
         cpl = np.concatenate([np.zeros(len(xs), np.int32),
                               np.ones(len(xs), np.int32)])
@@ -486,7 +611,16 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
 
     # --------- deblock edge/BS inputs (final maps; cbf joins on device)
     e2v, e2h, etbv, etbh, emvv, emvh = _bs_inputs(enc, maps)
-    qp4 = np.full((ph >> 2, pw >> 2), qp, np.int32)
+    qp4 = np.repeat(np.repeat(qp_map8, 2, 0), 2, 1).astype(np.int32)
+    # per-cell in-CTB z value + z of the cell's CU origin (dqp chain)
+    h4, w4 = ph >> 2, pw >> 2
+    zloc = (_zvals(h4, w4, sps.log2_ctb)
+            & ((1 << (2 * (sps.log2_ctb - 2))) - 1)).astype(np.int32)
+    s4 = 1 << (np.repeat(np.repeat(maps.log2m.astype(np.int32), 2, 0),
+                         2, 1) - 2)
+    oy4 = np.arange(h4)[:, None] & ~(s4 - 1)
+    ox4 = np.arange(w4)[None, :] & ~(s4 - 1)
+    zcu4 = zloc[oy4, ox4]
 
     esc_cap = max(4096, ph * pw // 24)
     buf = code_inter_frame_jit(
@@ -497,7 +631,7 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
         intra_segs, jnp.asarray(intra_mask.reshape(-1)),
         jnp.asarray(e2v), jnp.asarray(e2h), jnp.asarray(etbv),
         jnp.asarray(etbh), jnp.asarray(emvv), jnp.asarray(emvh),
-        jnp.asarray(qp4),
+        jnp.asarray(qp4), jnp.asarray(zloc), jnp.asarray(zcu4),
         has_l1=is_b, sbh=bool(pps.sign_data_hiding_enabled),
         strong=bool(sps.strong_intra_smoothing), n_cu=n_cu,
         h8=h8, w8=w8, pic_w=cfg_w, pic_h=cfg_h,
@@ -505,7 +639,10 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
         cbo=pps.cb_qp_offset + hdr.cb_qp_offset,
         cro=pps.cr_qp_offset + hdr.cr_qp_offset,
         sao=bool(sps.sao_enabled), cs=sps.ctb_size,
-        deblock=not pps.deblocking_filter_disabled, esc_cap=esc_cap)
+        deblock=not pps.deblocking_filter_disabled, esc_cap=esc_cap,
+        slice_qp=int(hdr.slice_qp),
+        dqp=bool(pps.cu_qp_delta_enabled),
+        wpp=bool(pps.entropy_coding_sync_enabled))
     return _unpack_row(np.asarray(buf), ph, pw, sps, esc_cap)
 
 
@@ -609,7 +746,7 @@ def _intra_segs(enc, maps):
     sz16 = maps.log2m == 4
     modes8[:ch8, :cw8] = np.where(sz16, m16, enc.mode8)[:ch8, :cw8]
     cmodes8[:ch8, :cw8] = np.where(sz16, cm16, enc.cmode8)[:ch8, :cw8]
-    qp_map8 = np.full((h8, w8), enc.qp, np.int32)
+    qp_map8 = enc._qp_tabs[0]
     coder._cqp_cb = np.array(
         [chroma_qp(min(q + enc.pps.cb_qp_offset + enc.hdr.cb_qp_offset,
                        57)) for q in range(64)], np.int32)
@@ -723,7 +860,7 @@ def _fill_and_map_syntax(enc, maps, planes, ctx, zv, region4):
     log2m = maps.log2m
     depth8 = (sps.log2_ctb - log2m.astype(np.int32)).astype(np.int8)
     fs.cu_depth[v] = rep(depth8)[v]
-    fs.qp[v] = np.int8(enc.qp)
+    fs.qp[v] = rep(enc._qp_tabs[0].astype(np.int8))[v]
     fs.slice_id[:] = 0
     pmode4 = rep(maps.pmode)
     fs.pred_mode[v] = pmode4[v]

@@ -66,8 +66,6 @@ class PFrameEncoder(IntraFrameEncoder):
             return False
         return (not self.pps.tiles_enabled
                 and not self.pps.dependent_slice_segments_enabled
-                and not self.pps.cu_qp_delta_enabled
-                and getattr(self, "dqp_ctu", None) is None
                 and int(getattr(self, "partitions", 0)) == 0
                 and int(getattr(self, "inter_tu_depth", 0)) == 0
                 and not self.sps.pcm_enabled
@@ -81,9 +79,8 @@ class PFrameEncoder(IntraFrameEncoder):
         if self._engine_ok():
             try:
                 self.use_device_engine = True
-                self._apply_lam_scale()
-                self._pre_analyze()
-                from .inter_engine import run_engine
+                from .inter_engine import engine_pre_analysis, run_engine
+                engine_pre_analysis(self)
                 run_engine(self)
                 return
             except Exception as ex:

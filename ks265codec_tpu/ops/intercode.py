@@ -82,17 +82,75 @@ def _code_tu_class(src, pred, xs, ys, qp, cu_id, valid, n: int,
     return lev, rec_resi, p, acc
 
 
+def _effective_qp4(qp4, cbfq4, zin4, zcu4, slice_qp, wpp: bool, cs: int,
+                   pic_w: int, pic_h: int):
+    """Decoder-side effective per-4x4 QP under cu_qp_delta (QG = CTB):
+    cells of CUs before the first residual-bearing CU of a CTB take the
+    predicted qPY_PREV; the chain resets at slice/WPP-row starts (mirror
+    of encode/map_writer.apply_effective_qp, run-verified HM semantics).
+    Device twin so deblock tc/beta see the same QPs the decoder will.
+    zin4/zcu4: per-cell in-CTB z value / z value of the cell's CU origin
+    (statics from the host); cbfq4: per-cell any-plane nonzero."""
+    c4 = cs >> 2
+    h4, w4 = qp4.shape
+    nr, nc = h4 // c4, w4 // c4
+
+    def blk(a):
+        return a.reshape(nr, c4, nc, c4).transpose(0, 2, 1, 3)
+
+    y4 = jnp.arange(h4)[:, None]
+    x4 = jnp.arange(w4)[None, :]
+    valid = (x4 < (pic_w >> 2)) & (y4 < (pic_h >> 2))
+    zb = blk(jnp.broadcast_to(zin4, (h4, w4)))
+    zcb = blk(jnp.broadcast_to(zcu4, (h4, w4)))
+    cb = blk(cbfq4 & valid)
+    vb = blk(jnp.broadcast_to(valid, (h4, w4)))
+    # first coded CU = min CU-origin z over cells with coefficients
+    zfirst = jnp.min(jnp.where(cb, zcb, 1 << 30), axis=(2, 3))
+    anyc = cb.any(axis=(2, 3))
+    # planned QP of the LAST in-picture cell (z order) of each CTB
+    qb = blk(qp4)
+    zlast = jnp.where(vb, zb, -1).reshape(nr, nc, -1)
+    li = jnp.argmax(zlast, axis=2)
+    planned_last = jnp.take_along_axis(qb.reshape(nr, nc, -1),
+                                       li[:, :, None], axis=2)[:, :, 0]
+    # qPY_PREV chain: last planned-last among strictly-earlier CTBs with
+    # any coded CU, else the slice QP. WPP rows chain independently.
+    if wpp:
+        idx = jnp.where(anyc, jnp.arange(nc)[None, :], -1)
+        idx_excl = jnp.concatenate(
+            [jnp.full((nr, 1), -1, idx.dtype), idx[:, :-1]], axis=1)
+        last = jax.lax.associative_scan(jnp.maximum, idx_excl, axis=1)
+        qprev = jnp.where(
+            last >= 0,
+            jnp.take_along_axis(planned_last, jnp.clip(last, 0), axis=1),
+            slice_qp)
+    else:
+        fl_any = anyc.reshape(-1)
+        fl_pl = planned_last.reshape(-1)
+        idx = jnp.where(fl_any, jnp.arange(nr * nc), -1)
+        idx_excl = jnp.concatenate([jnp.array([-1]), idx[:-1]])
+        last = jax.lax.associative_scan(jnp.maximum, idx_excl)
+        qprev = jnp.where(last >= 0, fl_pl[jnp.clip(last, 0)],
+                          slice_qp).reshape(nr, nc)
+    up = lambda a: jnp.repeat(jnp.repeat(a, c4, 0), c4, 1)
+    before = jnp.broadcast_to(zin4, (h4, w4)) < up(zfirst)
+    return jnp.where(before, up(qprev), qp4)
+
+
 def _inter_code_core(src_y, src_cb, src_cr,
                      refs_y, refs_cb, refs_cr,
                      slot0, mv0, slot1, mv1, wts0, wts1,
                      tu_packs, cu_lam,
                      intra_segs, intra_cell_mask,
                      e2_v, e2_h, etb_v, etb_h, emv_v, emv_h, qp4,
+                     zin4, zcu4,
                      has_l1: bool, sbh: bool, strong: bool,
                      n_cu: int, h8: int, w8: int,
                      pic_w: int, pic_h: int,
                      boff: int, toff: int, cbo: int, cro: int,
-                     sao: bool, cs: int, deblock: bool, esc_cap: int):
+                     sao: bool, cs: int, deblock: bool, esc_cap: int,
+                     slice_qp: int, dqp: bool, wpp: bool):
     """One frame's complete inter coding; returns one packed uint8 row.
 
     tu_packs: dict (is_luma, n) -> (xs, ys, qp, cu_id, valid) padded
@@ -162,6 +220,14 @@ def _inter_code_core(src_y, src_cb, src_cr,
     coef_cb = jnp.zeros((ph // 2, pw // 2), jnp.int16)
     coef_cr = jnp.zeros((ph // 2, pw // 2), jnp.int16)
     cbf4 = jnp.zeros((ph // 4, pw // 4), bool)     # luma cbf per 4x4
+
+    def _mark4(grid, xs4, ys4, n4, cond):
+        d4 = jnp.arange(n4)
+        r4 = ys4[:, None, None] + d4[None, :, None]
+        c4 = xs4[:, None, None] + d4[None, None, :]
+        r4 = jnp.where(cond[:, None, None], r4, ph // 4)
+        return grid.at[r4, c4].set(True, mode="drop")
+
     for key, pack in tu_packs.items():
         is_luma, n = key
         lev, rr, p = results[key]
@@ -172,16 +238,11 @@ def _inter_code_core(src_y, src_cb, src_cr,
         dcu = drop[jnp.clip(cid, 0, n_cu)]
         lev = jnp.where(dcu[:, None, None], 0, lev)
         rec = jnp.clip(p + jnp.where(dcu[:, None, None], 0, rr), 0, 255)
+        nz = (lev != 0).any(axis=(1, 2))
         if is_luma:
             rec_y = _put_blocks(rec_y, rec, xs, ys, valid, n)
             coef_y = _put_blocks(coef_y, lev, xs, ys, valid, n)
-            nz = (lev != 0).any(axis=(1, 2))
-            n4 = n // 4
-            d4 = jnp.arange(n4)
-            r4 = (ys >> 2)[:, None, None] + d4[None, :, None]
-            c4 = (xs >> 2)[:, None, None] + d4[None, None, :]
-            r4 = jnp.where((valid & nz)[:, None, None], r4, ph // 4)
-            cbf4 = cbf4.at[r4, c4].set(True, mode="drop")
+            cbf4 = _mark4(cbf4, xs >> 2, ys >> 2, n // 4, valid & nz)
         else:
             m0 = plane == 0
             rec_cb = _put_blocks(rec_cb, rec, xs, ys, valid & m0, n)
@@ -218,6 +279,13 @@ def _inter_code_core(src_y, src_cb, src_cr,
     if not deblock:
         bs_v = jnp.zeros_like(bs_v)
         bs_h = jnp.zeros_like(bs_h)
+    if dqp:
+        # cu_qp_delta: deblock must see the decoder's EFFECTIVE QPs
+        nzY = (coef_y.reshape(ph // 4, 4, pw // 4, 4) != 0).any((1, 3))
+        nzCb = (coef_cb.reshape(ph // 4, 2, pw // 4, 2) != 0).any((1, 3))
+        nzCr = (coef_cr.reshape(ph // 4, 2, pw // 4, 2) != 0).any((1, 3))
+        qp4 = _effective_qp4(qp4, nzY | nzCb | nzCr, zin4, zcu4,
+                             slice_qp, wpp, cs, pic_w, pic_h)
     dy_, dcb_, dcr_ = deblock_planes(rec_y, rec_cb, rec_cr, bs_v, bs_h,
                                      qp4, boff, toff, cbo, cro,
                                      pic_w, pic_h)
@@ -251,4 +319,4 @@ code_inter_frame_jit = partial(
     jax.jit, static_argnames=(
         "has_l1", "sbh", "strong", "n_cu", "h8", "w8", "pic_w", "pic_h",
         "boff", "toff", "cbo", "cro", "sao", "cs", "deblock",
-        "esc_cap"))(_inter_code_core)
+        "esc_cap", "slice_qp", "dqp", "wpp"))(_inter_code_core)
