@@ -1,7 +1,11 @@
-"""Benchmark: all-intra 1280x720 fixed-QP encode throughput (BASELINE.json
-config 1), ours vs the reference appencoder run on the same host.
+"""Benchmark: 1280x720 encode/decode throughput, ours vs the reference
+binaries run on the same host.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (BASELINE.json config 1): all-intra fixed-QP encode fps.
+Extra metrics ride in the same JSON line: inter (IPPP fast) encode fps and
+decode fps on our own streams, each with its own reference ratio.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -18,15 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 W, H, FRAMES = 1280, 720, 32
-REF = Path("/root/reference/ubuntu_x64/appencoder")
+INTER_FRAMES = 24
+REF = Path("/root/reference/ubuntu_x64")
 WORK = Path("/tmp/ks265_bench")
 
 
-def synth_frames():
+def synth_frames(n=FRAMES):
     rng = np.random.RandomState(9)
     out = []
     yy, xx = np.mgrid[0:H, 0:W]
-    for t in range(FRAMES):
+    for t in range(n):
         y = 128 + 60 * np.sin((xx + 3 * t) / 37.0) + 40 * np.cos((yy - 2 * t) / 29.0)
         y[(yy - 300) ** 2 + (xx - 400 - 20 * t) ** 2 < 90 ** 2] = 210
         y = np.clip(y + rng.randn(H, W) * 3, 0, 255).astype(np.uint8)
@@ -36,12 +41,31 @@ def synth_frames():
     return out
 
 
-def bench_ours(frames):
+def _ref_bin(name):
+    WORK.mkdir(parents=True, exist_ok=True)
+    exe = WORK / name
+    if not exe.exists() and (REF / name).exists():
+        shutil.copy(REF / name, exe)
+        exe.chmod(exe.stat().st_mode | stat.S_IXUSR)
+    return exe if exe.exists() else None
+
+
+def _write_raw(frames):
+    raw = WORK / "in.yuv"
+    if not raw.exists():
+        with open(raw, "wb") as f:
+            for (y, u, v) in frames:
+                f.write(y.tobytes() + u.tobytes() + v.tobytes())
+    return raw
+
+
+def bench_ours_allintra(frames):
     from ks265codec_tpu.encode.config import EncoderConfig
     from ks265codec_tpu.encode.encoder import HevcEncoder
     from ks265codec_tpu.utils.yuv import YUVFrame
 
     yuv = [YUVFrame(y, u, v, poc=i) for i, (y, u, v) in enumerate(frames)]
+
     def run():
         # tiles are the TPU parallel-scaling axis (the reference uses WPP +
         # host threads for the same purpose): 8x6 cuts the wavefront
@@ -50,40 +74,83 @@ def bench_ours(frames):
                                         preset="ultrafast",
                                         qp=27, intra_period=1,
                                         tiles="8x6"))
-        nbits = 0
+        out = b""
         for f in yuv:
-            nbits += sum(ef.bits for ef in enc.encode_frame(f))
-        nbits += sum(ef.bits for ef in enc.flush())
-        return nbits
+            out += b"".join(ef.data for ef in enc.encode_frame(f))
+        out += b"".join(ef.data for ef in enc.flush())
+        return out
 
     run()                          # warm-up: jit compiles (all batch sizes)
     t0 = time.time()
-    nbits = run()
+    bs = run()
     dt = time.time() - t0
-    return len(yuv) / dt, nbits
+    return len(yuv) / dt, bs
 
 
-def bench_reference(frames) -> float:
-    if not REF.exists():
-        return 0.0
-    WORK.mkdir(parents=True, exist_ok=True)
-    exe = WORK / "appencoder"
-    if not exe.exists():
-        shutil.copy(REF, exe)
-        exe.chmod(exe.stat().st_mode | stat.S_IXUSR)
-    raw = WORK / "in.yuv"
-    with open(raw, "wb") as f:
-        for (y, u, v) in frames:
-            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+def bench_ours_inter(frames):
+    from ks265codec_tpu.encode.config import EncoderConfig
+    from ks265codec_tpu.encode.encoder import HevcEncoder
+    from ks265codec_tpu.utils.yuv import YUVFrame
+
+    yuv = [YUVFrame(y, u, v, poc=i) for i, (y, u, v) in enumerate(frames)]
+
+    def run():
+        enc = HevcEncoder(EncoderConfig(width=W, height=H, preset="fast",
+                                        latency="zerolatency", qp=30,
+                                        intra_period=0, frame_rate=30))
+        out = b""
+        for f in yuv:
+            out += b"".join(ef.data for ef in enc.encode_frame(f))
+        out += b"".join(ef.data for ef in enc.flush())
+        return out
+
+    run()
+    t0 = time.time()
+    bs = run()
+    dt = time.time() - t0
+    return len(yuv) / dt, bs
+
+
+def bench_ours_decode(bs, nframes):
+    from ks265codec_tpu.decode.decoder import HevcDecoder
+
+    def run():
+        dec = HevcDecoder()
+        n = len(dec.decode(bs))
+        n += len(dec.flush())
+        return n
+
+    run()
+    t0 = time.time()
+    n = run()
+    dt = time.time() - t0
+    return n / dt
+
+
+def bench_reference_encode(frames, extra):
+    exe = _ref_bin("appencoder")
+    if exe is None:
+        return 0.0, None
+    raw = _write_raw(synth_frames())
+    out = WORK / "ref.265"
     t0 = time.time()
     subprocess.run(
         [str(exe), "-i", str(raw), "-wdt", str(W), "-hgt", str(H),
-         "-frms", str(FRAMES), "-fr", "30", "-b", str(WORK / "ref.265"),
-         "-preset", "ultrafast", "-latency", "offline", "-rc", "0",
-         "-qp", "27", "-iper", "1"],
+         "-frms", str(len(frames)), "-fr", "30", "-b", str(out)] + extra,
         check=True, capture_output=True, cwd=str(WORK))
     dt = time.time() - t0
-    return FRAMES / dt
+    return len(frames) / dt, out
+
+
+def bench_reference_decode(bs_path, nframes):
+    exe = _ref_bin("appdecoder")
+    if exe is None or bs_path is None:
+        return 0.0
+    t0 = time.time()
+    subprocess.run([str(exe), "-b", str(bs_path), "-o",
+                    str(WORK / "refdec.yuv"), "-threads", "1"],
+                   check=True, capture_output=True, cwd=str(WORK))
+    return nframes / (time.time() - t0)
 
 
 def _probe_tpu(tries: int = 3, timeout_s: int = 240) -> bool:
@@ -110,14 +177,36 @@ def main():
         os.environ["KS265_PLATFORM"] = "cpu"   # honored at package import
         note = "tpu tunnel unavailable; CPU fallback (not a TPU number)"
     frames = synth_frames()
-    ours_fps, _ = bench_ours(frames)
-    ref_fps = bench_reference(frames)
+    ours_fps, ai_bs = bench_ours_allintra(frames)
+    ref_fps, _ = bench_reference_encode(
+        frames, ["-preset", "ultrafast", "-latency", "offline",
+                 "-rc", "0", "-qp", "27", "-iper", "1"])
+    extra = {}
+    try:
+        inter_frames = frames[:INTER_FRAMES]
+        our_inter, inter_bs = bench_ours_inter(inter_frames)
+        ref_inter, ref_inter_bs = bench_reference_encode(
+            inter_frames, ["-preset", "fast", "-latency", "zerolatency",
+                           "-rc", "0", "-qp", "30", "-iper", "0"])
+        extra["inter_720p_encode_fps"] = round(our_inter, 3)
+        extra["inter_vs_baseline"] = round(
+            our_inter / ref_inter, 4) if ref_inter else 0.0
+        our_dec = bench_ours_decode(ai_bs, FRAMES)
+        bsf = WORK / "ours_ai.265"
+        bsf.write_bytes(ai_bs)
+        ref_dec = bench_reference_decode(bsf, FRAMES)
+        extra["decode_720p_fps"] = round(our_dec, 3)
+        extra["decode_vs_baseline"] = round(
+            our_dec / ref_dec, 4) if ref_dec else 0.0
+    except Exception as ex:             # extras must never sink the bench
+        extra["error"] = "%s: %s" % (type(ex).__name__, ex)
     vs = ours_fps / ref_fps if ref_fps > 0 else 0.0
     row = {
         "metric": "allintra_720p_encode_fps",
         "value": round(ours_fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 4),
+        "extra": extra,
     }
     if note:
         row["note"] = note

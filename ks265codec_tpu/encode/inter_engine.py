@@ -379,11 +379,85 @@ def run_engine(enc) -> None:
             ref=np.stack([np.repeat(np.repeat(maps.ref[l], 2, 0), 2, 1)
                           for l in range(2)]),
             inter=np.repeat(np.repeat(maps.pmode == 0, 2, 0), 2, 1))
+    # snap merge-decided CUs onto their TRUE candidate lists: parallel
+    # decisions never converge pointwise (each CU's list depends on its
+    # neighbors' final motion), and an unmatched merge degrades to AMVP
+    # syntax whose mvd+ref bits dominate cheap B frames. Snapping to the
+    # nearest compatible candidate recovers the sequential walk's
+    # merge/skip density; the coding pass re-evaluates residuals after.
+    _snap_merges(enc, maps, ctx, zv, region4)
     planes, sao_stats = _dispatch_coding(enc, maps, jr, jsrc, to_slot,
                                          slot_of, is_b)
     _fill_and_map_syntax(enc, maps, planes, ctx, zv, region4)
     enc.device_post = dict(deblocked=not pps.deblocking_filter_disabled,
                            sao_stats=sao_stats)
+
+
+# ===================================================== merge snapping
+
+def _snap_merges(enc, maps, ctx, zv, region4, rounds: int = 3) -> None:
+    """Iteratively replace each merge-decided CU's motion with its best
+    true-list candidate until the lists stabilize. 64-tier CUs are left
+    alone: their zero-residual guarantee was verified for the decided
+    motion (an unmatched one codes as AMVP with rqt_root_cbf=0)."""
+    sps = enc.sps
+    cfg_w, cfg_h = sps.width, sps.height
+    h8, w8 = maps.log2m.shape
+    for _ in range(rounds):
+        field = dict(
+            mv=np.stack([np.repeat(np.repeat(maps.mv[l], 2, 0), 2, 1)
+                         for l in range(2)]),
+            ref=np.stack([np.repeat(np.repeat(maps.ref[l], 2, 0), 2, 1)
+                          for l in range(2)]),
+            inter=np.repeat(np.repeat(maps.pmode == 0, 2, 0), 2, 1))
+        changed = False
+        for key, (t, act, n) in maps.tiers.items():
+            if n == 64:
+                continue
+            a = act.reshape(-1)
+            ch = t.get("choice")
+            sel = a & (ch == 0)
+            idxs = np.nonzero(sel)[0]
+            if len(idxs) == 0:
+                continue
+            xs, ys = t["xs"][idxs], t["ys"][idxs]
+            c8, r8 = xs >> 3, ys >> 3
+            rec = np.stack(
+                [maps.ref[0][r8, c8], maps.ref[1][r8, c8],
+                 maps.mv[0][r8, c8, 0], maps.mv[0][r8, c8, 1],
+                 maps.mv[1][r8, c8, 0], maps.mv[1][r8, c8, 1]],
+                1).astype(np.int32)
+            lists = merge_lists_vec(field, ctx, xs, ys, n, zv, region4,
+                                    cfg_w, cfg_h)
+            exact = (lists == rec[:, None, :]).all(2).any(1)
+            um = ~exact
+            if not um.any():
+                continue
+            # distance: big penalty for dir/ref mismatch + |dmv| L1
+            d = np.zeros(lists.shape[:2], np.int64)
+            for l in range(2):
+                ru = rec[:, l][:, None]
+                rc = lists[:, :, l]
+                both = (ru >= 0) & (rc >= 0)
+                d += np.where((ru >= 0) != (rc >= 0), 1 << 20, 0)
+                d += np.where(both & (ru != rc), 1 << 16, 0)
+                d += np.where(both,
+                              np.abs(lists[:, :, 2 + 2 * l] -
+                                     rec[:, 2 + 2 * l][:, None])
+                              + np.abs(lists[:, :, 3 + 2 * l] -
+                                       rec[:, 3 + 2 * l][:, None]), 0)
+            best = np.argmin(d, 1)
+            nrec = lists[np.arange(len(idxs)), best]
+            nn = n >> 3
+            for j in np.nonzero(um)[0]:
+                rr, cc = r8[j], c8[j]
+                for l in range(2):
+                    maps.ref[l][rr:rr + nn, cc:cc + nn] = nrec[j, l]
+                    maps.mv[l][rr:rr + nn, cc:cc + nn, 0] = nrec[j, 2 + 2 * l]
+                    maps.mv[l][rr:rr + nn, cc:cc + nn, 1] = nrec[j, 3 + 2 * l]
+            changed = True
+        if not changed:
+            break
 
 
 # ======================================================= map assembly
@@ -440,17 +514,27 @@ def _assemble_maps(enc, t8, t16, t32, t64, h8, w8):
         out[:r.shape[0], :r.shape[1]] = r
         return out
 
+    def pad_to(a, shape):
+        """Pad (False) / crop a coarser-tier upsampled mask to a finer
+        tier's grid (the fine grid may extend past the coarse one when
+        the picture size is not a multiple of the coarse CU)."""
+        out = np.zeros(shape, a.dtype)
+        hh, ww = min(a.shape[0], shape[0]), min(a.shape[1], shape[1])
+        out[:hh, :ww] = a[:hh, :ww]
+        return out
+
     # resolve the pyramid: 64 > 32 > 16 > split-8
     act16 = np.ones((nby16, nbx16), bool)
     if use32 is not None:
-        act16 &= ~np.repeat(np.repeat(use32, 2, 0), 2, 1)[:nby16, :nbx16]
+        act16 &= ~pad_to(np.repeat(np.repeat(use32, 2, 0), 2, 1),
+                         (nby16, nbx16))
     act32 = use32.copy() if use32 is not None else None
     if skip64 is not None and skip64.any():
-        s16 = np.repeat(np.repeat(skip64, 4, 0), 4, 1)[:nby16, :nbx16]
-        act16 &= ~s16
+        act16 &= ~pad_to(np.repeat(np.repeat(skip64, 4, 0), 4, 1),
+                         (nby16, nbx16))
         if act32 is not None:
-            s32 = np.repeat(np.repeat(skip64, 2, 0), 2, 1)
-            act32 &= ~s32[:act32.shape[0], :act32.shape[1]]
+            act32 &= ~pad_to(np.repeat(np.repeat(skip64, 2, 0), 2, 1),
+                             act32.shape)
     sp = act16 & split16
     act16 = act16 & ~sp
     act8 = np.repeat(np.repeat(sp, 2, 0), 2, 1)[:nby8, :nbx8]
