@@ -347,61 +347,78 @@ _EO_OFFS = {
 
 
 def sao_frame(fs: FrameState, sao_luma: bool, sao_chroma: bool) -> None:
-    """Apply SAO in place (spec 8.7.3). Source for classification is the
-    deblocked pre-SAO picture (copied)."""
+    """Apply SAO in place (spec 8.7.3), whole-frame vectorized: per-CTB
+    params are broadcast to pixel maps and both offset types evaluated in
+    a handful of full-plane ops (the per-CTU block loop cost ~50 ms/frame
+    at 720p on the encode path). Classification source is the deblocked
+    pre-SAO picture."""
     if not (sao_luma or sao_chroma):
         return
     sps = fs.sps
     cs = sps.ctb_size
-    srcs = [fs.y.copy(), fs.cb.copy(), fs.cr.copy()]
-    dsts = [fs.y, fs.cb, fs.cr]
-    sizes = [(sps.width, sps.height), (sps.width // 2, sps.height // 2),
-             (sps.width // 2, sps.height // 2)]
-    for ry in range(sps.pic_height_in_ctbs):
-        for rx in range(sps.pic_width_in_ctbs):
-            param = fs.sao[ry][rx]
+    ncty = sps.pic_height_in_ctbs
+    nctx = sps.pic_width_in_ctbs
+    # per-CTB parameter grids
+    t_g = np.zeros((3, ncty, nctx), np.int8)
+    off_g = np.zeros((3, ncty, nctx, 4), np.int16)
+    bpos_g = np.zeros((3, ncty, nctx), np.int16)
+    eoc_g = np.zeros((3, ncty, nctx), np.int8)
+    for ry in range(ncty):
+        row = fs.sao[ry]
+        for rx in range(nctx):
+            p = row[rx]
             for c in range(3):
-                if c == 0 and not sao_luma:
-                    continue
-                if c > 0 and not sao_chroma:
-                    continue
-                t = param.type_idx[c]
-                if t == 0:
-                    continue
-                shift = 0 if c == 0 else 1
-                bw, bh = sizes[c]
-                x0 = (rx * cs) >> shift
-                y0 = (ry * cs) >> shift
-                x1 = min(x0 + (cs >> shift), bw)
-                y1 = min(y0 + (cs >> shift), bh)
-                if x0 >= bw or y0 >= bh:
-                    continue
-                src = srcs[c]
-                dst = dsts[c]
-                blk = src[y0:y1, x0:x1]
-                if t == 1:  # band offset
-                    band = blk >> 3
-                    out = blk.copy()
-                    for k in range(4):
-                        b = (param.band_pos[c] + k) & 31
-                        out = np.where(band == b, blk + param.offsets[c][k], out)
-                    dst[y0:y1, x0:x1] = np.clip(out, 0, 255)
-                else:  # edge offset
-                    (ay, ax), (by2, bx2) = _EO_OFFS[param.eo_class[c]]
-                    ys, xs = np.mgrid[y0:y1, x0:x1]
-                    ny_a, nx_a = ys + ay, xs + ax
-                    ny_b, nx_b = ys + by2, xs + bx2
-                    valid = ((ny_a >= 0) & (ny_a < bh) & (nx_a >= 0) & (nx_a < bw)
-                             & (ny_b >= 0) & (ny_b < bh) & (nx_b >= 0) & (nx_b < bw))
-                    a = src[np.clip(ny_a, 0, bh - 1), np.clip(nx_a, 0, bw - 1)]
-                    b = src[np.clip(ny_b, 0, bh - 1), np.clip(nx_b, 0, bw - 1)]
-                    edge_idx = 2 + np.sign(blk - a) + np.sign(blk - b)
-                    # edgeIdx -> category: 0->1, 1->2, 2->0, 3->3, 4->4
-                    off = np.zeros_like(blk)
-                    offs = param.offsets[c]
-                    off = np.where(edge_idx == 0, offs[0], off)
-                    off = np.where(edge_idx == 1, offs[1], off)
-                    off = np.where(edge_idx == 3, offs[2], off)
-                    off = np.where(edge_idx == 4, offs[3], off)
-                    out = np.where(valid, np.clip(blk + off, 0, 255), blk)
-                    dst[y0:y1, x0:x1] = out
+                t_g[c, ry, rx] = p.type_idx[c]
+                if p.type_idx[c]:
+                    off_g[c, ry, rx] = p.offsets[c][:4]
+                    bpos_g[c, ry, rx] = p.band_pos[c]
+                    eoc_g[c, ry, rx] = p.eo_class[c]
+    planes = ((fs.y, 0, sao_luma, 0), (fs.cb, 1, sao_chroma, 1),
+              (fs.cr, 1, sao_chroma, 2))
+    for plane, shift, enabled, c in planes:
+        if not enabled or not t_g[c].any():
+            continue
+        h, w = sps.height >> shift, sps.width >> shift
+        csz = cs >> shift
+        src = plane[:h, :w].copy()
+
+        def rep(a):
+            return np.repeat(np.repeat(a, csz, 0), csz, 1)[:h, :w]
+
+        t_px = rep(t_g[c])
+        offs_px = [rep(off_g[c, :, :, k]) for k in range(4)]
+        # ---- band offset: index = (band - band_pos) mod 32, applied < 4
+        band = src >> 3
+        bidx = (band - rep(bpos_g[c])) & 31
+        bo = np.zeros_like(src)
+        for k in range(4):
+            bo = np.where(bidx == k, offs_px[k], bo)
+        out_bo = np.clip(src + bo, 0, 255)
+        # ---- edge offset: per-class neighbor pair via padded shifts
+        pad = np.pad(src, 1, mode="edge")
+        eoc_px = rep(eoc_g[c])
+        sgn_a = np.zeros_like(src)
+        sgn_b = np.zeros_like(src)
+        valid = np.zeros(src.shape, bool)
+        ys = np.arange(h)[:, None]
+        xs = np.arange(w)[None, :]
+        for cls, ((ay, ax), (by2, bx2)) in sorted(_EO_OFFS.items()):
+            m = eoc_px == cls
+            if not m.any():
+                continue
+            a = pad[1 + ay:1 + ay + h, 1 + ax:1 + ax + w]
+            b = pad[1 + by2:1 + by2 + h, 1 + bx2:1 + bx2 + w]
+            sgn_a = np.where(m, np.sign(src - a), sgn_a)
+            sgn_b = np.where(m, np.sign(src - b), sgn_b)
+            v = ((ys + ay >= 0) & (ys + ay < h) & (ys + by2 >= 0)
+                 & (ys + by2 < h) & (xs + ax >= 0) & (xs + ax < w)
+                 & (xs + bx2 >= 0) & (xs + bx2 < w))
+            valid = np.where(m, v, valid)
+        edge_idx = 2 + sgn_a + sgn_b
+        # edgeIdx -> category: 0->1, 1->2, 2->0, 3->3, 4->4
+        eo = np.zeros_like(src)
+        for ei, k in ((0, 0), (1, 1), (3, 2), (4, 3)):
+            eo = np.where(edge_idx == ei, offs_px[k], eo)
+        out_eo = np.where(valid, np.clip(src + eo, 0, 255), src)
+        plane[:h, :w] = np.where(t_px == 0, src,
+                                 np.where(t_px == 1, out_bo, out_eo))

@@ -503,6 +503,7 @@ class HevcEncoder:
         _, tile8, ntc = tile_region_maps(self.pps, sps)
         batch, metas = [], []
         try:
+            import jax.numpy as jnp
             qps = [self._intra_frame_qp(di) for di, _ in items]
             srcs_y = np.stack([
                 IntraFrameEncoder._pad(f.y.astype(np.int32), ph, pw)
@@ -513,8 +514,12 @@ class HevcEncoder:
             srcs_cr = np.stack([
                 IntraFrameEncoder._pad(f.v.astype(np.int32), ph // 2,
                                        pw // 2) for _, f in items])
-            decisions = decide_frames(srcs_y, srcs_cb, srcs_cr, qps,
-                                      cfg.lambda_scale,
+            # upload the batch sources ONCE (uint8) and share the device
+            # arrays between the decision and coding dispatches
+            src_dev = tuple(jnp.asarray(a.astype(np.uint8))
+                            for a in (srcs_y, srcs_cb, srcs_cr))
+            decisions = decide_frames(src_dev[0], src_dev[1], src_dev[2],
+                                      qps, cfg.lambda_scale,
                                       effort=int(cfg.decide_effort))
             for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
                     items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
@@ -538,7 +543,8 @@ class HevcEncoder:
             finish = self._wf_coder.code_frames(
                 batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
                 sbh=bool(self.pps.sign_data_hiding_enabled),
-                rdoq=bool(cfg.rdoq), post=post, defer=True)
+                rdoq=bool(cfg.rdoq), post=post, defer=True,
+                src_dev=src_dev)
         except Exception as ex:
             from ..utils.log import log
             log(2, "batched wavefront failed (%s: %s); per-frame path"

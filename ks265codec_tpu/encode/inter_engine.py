@@ -88,10 +88,7 @@ def engine_pre_analysis(enc) -> None:
     from the best child, then judged properly by the device rough-RD
     arbitration) — replaces the 4-searches-per-ref pre-pass whose dense
     16-tier grid dominated the profile."""
-    import numpy as np
-
-    from ..ops import me as jme
-    from ..ops.subpel import bi_pred_cost, refine_subpel_frame
+    from ..ops.me2 import me_fused
     from .intra_frame import decide_frame
 
     enc._apply_lam_scale()
@@ -104,52 +101,29 @@ def engine_pre_analysis(enc) -> None:
     merange = int(getattr(enc, "merange", 12))
     lam8 = 0.5 * enc.lam_satd
     is_b = enc.hdr.slice_type == 0 and len(enc.ref_lists[1]) > 0
-    poc = int(getattr(enc.hdr, "poc", 0))
 
-    def search8(rp):
-        ref_y = np.asarray(rp.fs.y)
-        if merange > 16:
-            mv, _, sad = jme.motion_search_frame_hier(
-                enc.src_y, ref_y, 8, merange, lam8)
-        else:
-            mv, _, sad = jme.motion_search_frame(
-                enc.src_y, ref_y, 8, merange, lam8)
-        if enc.subme:
-            mv, sad = refine_subpel_frame(
-                enc.src_y, ref_y, mv >> 2, 8, pw, ph,
-                mv_pred_q=mv_pred_field(mv), lam=lam8)
-        return mv, sad
-
-    from .inter_frame import mv_pred_field
     if is_b:
         rp0, rp1 = enc.ref_lists[0][0], enc.ref_lists[1][0]
-        mv0, s0 = search8(rp0)
-        mv1, s1 = search8(rp1)
-        sbi = bi_pred_cost(enc.src_y, np.asarray(rp0.fs.y),
-                           np.asarray(rp1.fs.y), mv0, mv1, 8, pw, ph)
-        bi_bias = lam8 * 8
-        best_uni = np.minimum(s0, s1)
-        enc.dir8 = np.where(sbi + bi_bias < best_uni, 2,
-                            (s1 < s0).astype(np.int8)).astype(np.int8)
-        enc.sad8 = np.minimum(best_uni, sbi + bi_bias)
-        enc.mv0q8, enc.mv1q8 = mv0, mv1
+        mv_q, cost, dir8, sad8 = me_fused(
+            enc.src_y, [rp0.fs.y, rp1.fs.y], merange, lam8, pw, ph,
+            bi=True)
+        enc.dir8 = np.asarray(dir8)
+        enc.sad8 = np.asarray(sad8)
+        enc.mv0q8, enc.mv1q8 = mv_q[0], mv_q[1]
         # 16-tier ME record = min-cost child's motion
         enc.dir16, enc.mv0q, enc.mv1q, enc.sad16 = _child_min_b(
-            enc.dir8, mv0, mv1, enc.sad8)
+            enc.dir8, mv_q[0], mv_q[1], enc.sad8)
     else:
-        best = None
-        for ri, rp in enumerate(enc.ref_lists[0]):
-            mv, sad = search8(rp)
-            c = sad + enc.lam_satd * 2.0 * ri
-            if best is None:
-                best = [mv, sad, c, np.zeros_like(sad, np.int8)]
-            else:
-                m = c < best[2]
-                best[0] = np.where(m[..., None], mv, best[0])
-                best[1] = np.where(m, sad, best[1])
-                best[2] = np.where(m, c, best[2])
-                best[3] = np.where(m, ri, best[3]).astype(np.int8)
-        enc.mv8, enc.sad8, _, enc.ref8 = best
+        mv_q, cost = me_fused(enc.src_y,
+                              [rp.fs.y for rp in enc.ref_lists[0]],
+                              merange, lam8, pw, ph, bi=False)
+        c = cost + enc.lam_satd * 2.0 * np.arange(
+            len(enc.ref_lists[0]), dtype=np.float32)[:, None, None]
+        ri = np.argmin(c, axis=0)
+        enc.ref8 = ri.astype(np.int8)
+        enc.mv8 = np.take_along_axis(
+            mv_q, ri[None, :, :, None], axis=0)[0]
+        enc.sad8 = np.take_along_axis(cost, ri[None], axis=0)[0]
         enc.mv16, enc.ref16, enc.sad16 = _child_min_p(
             enc.mv8, enc.ref8, enc.sad8)
     enc.frame_cplx = float(enc.sad16.sum())
@@ -385,7 +359,7 @@ def run_engine(enc) -> None:
     # syntax whose mvd+ref bits dominate cheap B frames. Snapping to the
     # nearest compatible candidate recovers the sequential walk's
     # merge/skip density; the coding pass re-evaluates residuals after.
-    _snap_merges(enc, maps, ctx, zv, region4)
+    _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b)
     planes, sao_stats = _dispatch_coding(enc, maps, jr, jsrc, to_slot,
                                          slot_of, is_b)
     _fill_and_map_syntax(enc, maps, planes, ctx, zv, region4)
@@ -395,14 +369,20 @@ def run_engine(enc) -> None:
 
 # ===================================================== merge snapping
 
-def _snap_merges(enc, maps, ctx, zv, region4, rounds: int = 3) -> None:
-    """Iteratively replace each merge-decided CU's motion with its best
-    true-list candidate until the lists stabilize. 64-tier CUs are left
-    alone: their zero-residual guarantee was verified for the decided
-    motion (an unmatched one codes as AMVP with rqt_root_cbf=0)."""
+def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
+                 rounds: int = 3) -> None:
+    """Iteratively re-select each merge-decided CU's motion from its TRUE
+    candidate list by real luma SAD (the sequential walk's merge
+    evaluation, batched), keeping the decided motion as AMVP when it
+    beats every candidate. 64-tier CUs are left alone: their
+    zero-residual guarantee was verified for the decided motion."""
+    import jax.numpy as jnp
+
+    from ..ops.interdecide import cand_sads_jit
+
     sps = enc.sps
     cfg_w, cfg_h = sps.width, sps.height
-    h8, w8 = maps.log2m.shape
+    qp_map8, lam_tab, lams_tab, _, _ = enc._qp_tabs
     for _ in range(rounds):
         field = dict(
             mv=np.stack([np.repeat(np.repeat(maps.mv[l], 2, 0), 2, 1)
@@ -430,32 +410,52 @@ def _snap_merges(enc, maps, ctx, zv, region4, rounds: int = 3) -> None:
             lists = merge_lists_vec(field, ctx, xs, ys, n, zv, region4,
                                     cfg_w, cfg_h)
             exact = (lists == rec[:, None, :]).all(2).any(1)
-            um = ~exact
-            if not um.any():
+            um = np.nonzero(~exact)[0]
+            if len(um) == 0:
                 continue
-            # distance: big penalty for dir/ref mismatch + |dmv| L1
-            d = np.zeros(lists.shape[:2], np.int64)
-            for l in range(2):
-                ru = rec[:, l][:, None]
-                rc = lists[:, :, l]
-                both = (ru >= 0) & (rc >= 0)
-                d += np.where((ru >= 0) != (rc >= 0), 1 << 20, 0)
-                d += np.where(both & (ru != rc), 1 << 16, 0)
-                d += np.where(both,
-                              np.abs(lists[:, :, 2 + 2 * l] -
-                                     rec[:, 2 + 2 * l][:, None])
-                              + np.abs(lists[:, :, 3 + 2 * l] -
-                                       rec[:, 3 + 2 * l][:, None]), 0)
-            best = np.argmin(d, 1)
-            nrec = lists[np.arange(len(idxs)), best]
+            # evaluate true candidates + the decided motion by real SAD
+            # (device batch, padded to pow2 to bound compile variants)
+            K = _pad_pow2(len(um), 32)
+            pd = lambda a2, f=0: np.concatenate(
+                [a2, np.full((K - len(a2),) + a2.shape[1:], f, a2.dtype)])
+            xs_u, ys_u = pd(xs[um]), pd(ys[um])
+            lu = pd(lists[um])
+            ru = pd(rec[um])
+            allrec = np.concatenate([lu, ru[:, None, :]], 1)  # (K, C+1, 6)
+            cs0 = to_slot(0, allrec[:, :, 0].T)
+            cs1 = to_slot(1, allrec[:, :, 1].T)
+            cmv0 = np.ascontiguousarray(
+                allrec[:, :, 2:4].transpose(1, 0, 2)).astype(np.int32)
+            cmv1 = np.ascontiguousarray(
+                allrec[:, :, 4:6].transpose(1, 0, 2)).astype(np.int32)
+            sads = np.asarray(cand_sads_jit(
+                jsrc[0], jr[0], jnp.asarray(xs_u), jnp.asarray(ys_u),
+                jnp.asarray(cs0), jnp.asarray(cmv0), jnp.asarray(cs1),
+                jnp.asarray(cmv1), n=n, pic_w=cfg_w, pic_h=cfg_h,
+                has_l1=is_b))[:, :len(um)]              # (C+1, B)
+            lam_s = lams_tab[qp_map8[ys[um] >> 3, xs[um] >> 3]]
+            C = lists.shape[1]
+            csel = sads[:C] + lam_s[None, :] * (
+                2.0 + np.arange(C, dtype=np.float32)[:, None])
+            cvalid = (cs0[:C, :len(um)] >= 0) | (cs1[:C, :len(um)] >= 0)
+            csel = np.where(cvalid, csel, np.inf)
+            best = np.argmin(csel, 0)
+            best_cost = csel[best, np.arange(len(um))]
+            # keeping the decided motion costs AMVP syntax (~12 bins)
+            keep_cost = sads[C] + lam_s * 12.0
+            snap = best_cost <= keep_cost
+            nrec = lists[um, best]
             nn = n >> 3
-            for j in np.nonzero(um)[0]:
-                rr, cc = r8[j], c8[j]
+            for j in np.nonzero(snap)[0]:
+                k = um[j]
+                rr, cc = r8[k], c8[k]
                 for l in range(2):
                     maps.ref[l][rr:rr + nn, cc:cc + nn] = nrec[j, l]
-                    maps.mv[l][rr:rr + nn, cc:cc + nn, 0] = nrec[j, 2 + 2 * l]
-                    maps.mv[l][rr:rr + nn, cc:cc + nn, 1] = nrec[j, 3 + 2 * l]
-            changed = True
+                    maps.mv[l][rr:rr + nn, cc:cc + nn, 0] = \
+                        nrec[j, 2 + 2 * l]
+                    maps.mv[l][rr:rr + nn, cc:cc + nn, 1] = \
+                        nrec[j, 3 + 2 * l]
+                changed = True
         if not changed:
             break
 

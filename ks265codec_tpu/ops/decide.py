@@ -416,14 +416,21 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
            * 2.0 ** ((qpa.astype(np.float64) - 12) / 3.0))
     ls = np.sqrt(lam)
     qpc = np.asarray([chroma_qp(int(q)) for q in qpa], np.int32)
+
+    def dev(a):
+        # device arrays pass through untouched (the caller uploads the
+        # sources ONCE and shares them with the coding dispatch — the
+        # duplicate int32 upload cost seconds per batch on the tunnel)
+        if isinstance(a, jnp.ndarray) and a.dtype == jnp.uint8:
+            return a
+        return jnp.asarray(np.asarray(a, np.uint8))
+
     buf = np.asarray(decide_frames_jit(
-        jnp.asarray(np.asarray(src_planes, np.uint8)),
-        jnp.asarray(np.asarray(src_cbs, np.uint8)),
-        jnp.asarray(np.asarray(src_crs, np.uint8)),
+        dev(src_planes), dev(src_cbs), dev(src_crs),
         jnp.asarray(qpa), jnp.asarray(qpc),
         jnp.asarray(lam.astype(np.float32)),
         jnp.asarray(ls.astype(np.float32)), int(effort), bool(nxn)))
-    F, ph, pw = np.asarray(src_planes).shape
+    F, ph, pw = src_planes.shape
     h32, w32 = ph // 32, pw // 32
     h16, w16 = ph // 16, pw // 16
     h8, w8 = ph // 8, pw // 8

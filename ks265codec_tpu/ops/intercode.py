@@ -203,9 +203,12 @@ def _inter_code_core(src_y, src_cb, src_cr,
                     + 2.0 * jnp.where(nz, jnp.log2(jnp.maximum(aabs, 1.0)),
                                       0.0).sum(axis=(1, 2))) * v
             cidm = jnp.where(valid, cid, n_cu)
+            # chroma contributes RATE but not distortion to the CU-level
+            # zero-forcing gate (round-2 host-walk semantics: luma-only D
+            # with all-plane bits biases toward dropping cheap residuals)
+            zz = jnp.zeros_like(bits)
             a = tuple(jnp.zeros((n_cu + 1,), jnp.float32).at[cidm].add(x)
-                      for x in ((rf * rf).sum(axis=(1, 2)) * v,
-                                (df * df).sum(axis=(1, 2)) * v, bits))
+                      for x in (zz, zz, bits))
             p = pc
         results[key] = (lev, rr, p)
         for i in range(3):

@@ -203,3 +203,22 @@ def _tier_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
 decide_tier_jit = partial(
     jax.jit, static_argnames=("n", "pic_w", "pic_h", "has_l1",
                               "zero_only"))(_tier_core)
+
+
+def _cand_sads_core(src_y, refs_y, xs, ys, cs0, cmv0, cs1, cmv1,
+                    n: int, pic_w: int, pic_h: int, has_l1: bool):
+    """Luma SAD of each candidate (C, B) at block origins (B,)."""
+    src_blk = _take(src_y.astype(jnp.int32), xs, ys, n)
+
+    def f(args):
+        s0, v0, s1, v1 = args
+        p = _pred_blocks(refs_y, s0, v0, s1, v1, xs, ys, n,
+                         pic_w, pic_h, has_l1, False)
+        return jnp.abs(src_blk - p).sum(axis=(1, 2)).astype(jnp.float32)
+
+    return jax.lax.map(f, (cs0, cmv0, cs1, cmv1))
+
+
+cand_sads_jit = partial(
+    jax.jit, static_argnames=("n", "pic_w", "pic_h",
+                              "has_l1"))(_cand_sads_core)

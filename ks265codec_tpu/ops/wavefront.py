@@ -738,7 +738,7 @@ class WavefrontIntraCoder:
 
     def code_frames(self, items, qp_cb_off, qp_cr_off, sps,
                     sbh: bool = False, rdoq: bool = False, post=None,
-                    defer: bool = False):
+                    defer: bool = False, src_dev=None):
         """Batched multi-frame pass. items: list of dicts with keys
         src_y/src_cb/src_cr/log2m/modes8/cmodes8/qp_map8. Returns a list of
         (ry, rcb, rcr, cy, ccb, ccr) numpy tuples, one per frame — or,
@@ -789,12 +789,15 @@ class WavefrontIntraCoder:
                 seg_cls.append(tuple(stacked))
             segs.append(tuple(seg_cls))
         segs = tuple(segs)
-        sy = jnp.asarray(np.stack([it["src_y"] for it in items])
-                         .astype(np.uint8))
-        scb = jnp.asarray(np.stack([it["src_cb"] for it in items])
-                          .astype(np.uint8))
-        scr = jnp.asarray(np.stack([it["src_cr"] for it in items])
-                          .astype(np.uint8))
+        if src_dev is not None:
+            sy, scb, scr = src_dev    # already-uploaded uint8 device stacks
+        else:
+            sy = jnp.asarray(np.stack([it["src_y"] for it in items])
+                             .astype(np.uint8))
+            scb = jnp.asarray(np.stack([it["src_cb"] for it in items])
+                              .astype(np.uint8))
+            scr = jnp.asarray(np.stack([it["src_cr"] for it in items])
+                              .astype(np.uint8))
         if post is None:
             out = _code_intra_frames_batch(
                 sy, scb, scr, segs,
