@@ -706,7 +706,7 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
     ox4 = np.arange(w4)[None, :] & ~(s4 - 1)
     zcu4 = zloc[oy4, ox4]
 
-    esc_cap = max(4096, ph * pw // 24)
+    esc_cap = max(4096, (ph * pw * 3 // 2) // 8)
     buf = code_inter_frame_jit(
         *jsrc, *jr,
         jnp.asarray(slot0), jnp.asarray(mv0),
@@ -744,16 +744,8 @@ def _unpack_row(row, ph, pw, sps, esc_cap):
     dcb = take(np.uint8, (ph // 2, pw // 2))
     dcr = take(np.uint8, (ph // 2, pw // 2))
     M = ph * pw * 3 // 2
-    c8 = take(np.int8, (M,))
-    ecnt = int(take(np.int32, (1,))[0])
-    eidx = take(np.int32, (esc_cap,))
-    eval_ = take(np.int16, (esc_cap,))
-    if ecnt > esc_cap:
-        raise RuntimeError("coefficient escape overflow (%d > %d)"
-                           % (ecnt, esc_cap))
-    flat = c8.astype(np.int16)
-    live = eidx >= 0
-    flat[eidx[live]] = eval_[live]
+    from ..ops.wavefront import unpack_coeffs_sparse
+    flat = unpack_coeffs_sparse(take, M, esc_cap)
     cy = flat[:ph * pw].reshape(ph, pw)
     ccb = flat[ph * pw:ph * pw * 5 // 4].reshape(ph // 2, pw // 2)
     ccr = flat[ph * pw * 5 // 4:].reshape(ph // 2, pw // 2)

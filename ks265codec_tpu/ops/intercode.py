@@ -292,22 +292,18 @@ def _inter_code_core(src_y, src_cb, src_cr,
     dy_, dcb_, dcr_ = deblock_planes(rec_y, rec_cb, rec_cr, bs_v, bs_h,
                                      qp4, boff, toff, cbo, cro,
                                      pic_w, pic_h)
-    # ---- 7. pack one D2H row: recon + int8 coeffs + escapes (+ SAO stats)
+    # ---- 7. pack one D2H row: recon + SPARSE coeffs (+ SAO stats) — the
+    # D2H tunnel is the bottleneck and inter coefficients are mostly zero
     flatc = jnp.concatenate([coef_y.reshape(-1), coef_cb.reshape(-1),
                              coef_cr.reshape(-1)])
-    esc = jnp.abs(flatc) > 127
-    eidx = jnp.nonzero(esc, size=esc_cap, fill_value=-1)[0].astype(jnp.int32)
-    eval_ = jnp.where(eidx >= 0, flatc[jnp.clip(eidx, 0)], 0) \
-        .astype(jnp.int16)
-    ecnt = esc.sum().astype(jnp.int32)
-    c8 = jnp.clip(flatc, -128, 127).astype(jnp.int8)
+    from .wavefront import pack_coeffs_sparse
+    cparts, _ = pack_coeffs_sparse(flatc, esc_cap)
 
     def row(a):
         return _bitcast_rows(a[None])[0]
 
     parts = [row(dy_.astype(jnp.uint8)), row(dcb_.astype(jnp.uint8)),
-             row(dcr_.astype(jnp.uint8)), row(c8), row(ecnt[None]),
-             row(eidx), row(eval_)]
+             row(dcr_.astype(jnp.uint8))] + cparts
     if sao:
         for rec, src, shift in ((dy_, src_y, 0), (dcb_, src_cb, 1),
                                 (dcr_, src_cr, 1)):
