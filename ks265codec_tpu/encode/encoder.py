@@ -553,7 +553,10 @@ class HevcEncoder:
         return (metas, batch, finish)
 
     def _collect_intra_batch(self, ctx) -> None:
-        """Force the deferred device fetch and fill _intra_cache."""
+        """Force the deferred device fetch, run the SAO decision (host,
+        exact) + batched device SAO apply, and fill _intra_cache. The
+        reconstruction never leaves the device unless a consumer reads
+        it (lazy fetch)."""
         metas, batch, finish = ctx
         try:
             results = finish()
@@ -562,12 +565,32 @@ class HevcEncoder:
             log(2, "batched wavefront failed (%s: %s); per-frame path"
                 % (type(ex).__name__, ex))
             return
-        for (di, qp, cplx), it, res in zip(metas, batch, results):
+        sao_on = bool(self.sps.sao_enabled)
+        recon_dev = results[0]["recon_dev"]
+        sao_arr = [None] * len(results)
+        if sao_on and results[0]["sao_stats"] is not None:
+            import jax.numpy as jnp
+
+            from ..ops.saoapply import sao_apply_batch
+            from .sao import decide_from_stats_arrays
+            tier = max(self.cfg.sao, 1)
+            sao_arr = [decide_from_stats_arrays(res["sao_stats"],
+                                                meta[1], tier)
+                       for res, meta in zip(results, metas)]
+            stk = [jnp.asarray(np.stack([a[k] for a in sao_arr]))
+                   for k in range(4)]
+            recon_dev = sao_apply_batch(
+                *recon_dev, *stk, sao_luma=True, sao_chroma=True,
+                w=self.sps.width, h=self.sps.height,
+                cs=self.sps.ctb_size)
+        for (di, qp, cplx), it, res, sa in zip(metas, batch, results,
+                                               sao_arr):
             self._intra_cache[di] = dict(
                 qp=qp, frame_cplx=float(cplx), log2m=it["log2m"],
                 modes8=it["modes8"], cmodes8=it["cmodes8"],
-                qp_map8=it["qp_map8"], planes=res["planes"],
-                sao_stats=res["sao_stats"], deblocked=res["deblocked"])
+                qp_map8=it["qp_map8"], coeffs=res["coeffs"],
+                sao_arrays=sa, deblocked=res["deblocked"],
+                recon_dev=recon_dev, fidx=res["fidx"])
 
     def _encode_picture(self, frame: YUVFrame, display_idx: int,
                         plan, is_idr: bool = False,
@@ -753,11 +776,12 @@ class HevcEncoder:
             if fa is not None and fa.dqp_ctu is not None:
                 enc.dqp_ctu = fa.dqp_ctu
         if cached is not None:
-            # stage 1 already ran in the batched device pass
+            # stage 1 already ran in the batched device pass; the recon
+            # stays device-resident (None planes) and is fetched lazily
             enc.frame_cplx = cached["frame_cplx"]
             enc.apply_coded_planes(cached["log2m"], cached["modes8"],
                                    cached["cmodes8"], cached["qp_map8"],
-                                   *cached["planes"])
+                                   None, None, None, *cached["coeffs"])
         else:
             enc.compute()   # stage 1: decisions + recon + maps + coeffs
         # normative deblock on the reconstruction (refs are filtered pics);
@@ -775,19 +799,26 @@ class HevcEncoder:
                           bool(self.pps.deblocking_filter_disabled),
                           self.pps.cb_qp_offset, self.pps.cr_qp_offset)
         sao_params = None
+        sao_applied = False
         if sao_on:
-            from .sao import _decide_from_stats, decide_sao
-            dev_stats = None
-            if cached is not None:
-                dev_stats = cached.get("sao_stats")
-            elif dev_post is not None:
-                dev_stats = dev_post.get("sao_stats")
-            if dev_stats is not None:
-                sao_params = _decide_from_stats(
-                    fs, dev_stats, qp, max(cfg.sao, 1))
+            from .sao import _decide_from_stats, decide_sao, \
+                params_from_arrays
+            if cached is not None and cached.get("sao_arrays") is not None:
+                # decision arrays already computed at collect time; the
+                # offsets were applied ON DEVICE to the cached recon
+                sao_params = params_from_arrays(fs, *cached["sao_arrays"])
+                sao_applied = True
             else:
-                sao_params = decide_sao(fs, enc.src_y, enc.src_cb,
-                                        enc.src_cr, qp, max(cfg.sao, 1))
+                dev_stats = None
+                if dev_post is not None:
+                    dev_stats = dev_post.get("sao_stats")
+                if dev_stats is not None:
+                    sao_params = _decide_from_stats(
+                        fs, dev_stats, qp, max(cfg.sao, 1))
+                else:
+                    sao_params = decide_sao(fs, enc.src_y, enc.src_cb,
+                                            enc.src_cr, qp,
+                                            max(cfg.sao, 1))
         # stage 2: entropy-code the slice from the maps
         from .map_writer import write_slice_data
         import os as _os
@@ -863,19 +894,24 @@ class HevcEncoder:
                     hdr.nal_type,
                     bytes(bytearray(dbw.getvalue()) + seg_datas[k]),
                     temporal_id=tid)
-        # SAO applies on the already-deblocked recon (normative order)
-        if sao_params is not None:
+        # SAO applies on the already-deblocked recon (normative order);
+        # the batched device path applied it on device already
+        if sao_params is not None and not sao_applied:
             fs.sao = sao_params
             sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
+        if cached is not None and cached.get("recon_dev") is not None:
+            recon = self._lazy_recon(cached["recon_dev"], cached["fidx"],
+                                     poc)
+        else:
+            recon = self._wrap_recon(fs, frame)
         if cfg.md5:
             # self-verifying stream: decoded_picture_hash suffix SEI with
             # the final (post-filter) recon MD5s (Annex D type 132)
             from ..hevc.sei import picture_hash_payload, write_sei_rbsp
-            rec = self._wrap_recon(fs, frame)
             data += write_nal(
                 NalType.SUFFIX_SEI,
                 write_sei_rbsp([(132, picture_hash_payload(
-                    rec.y, rec.u, rec.v))]), temporal_id=tid)
+                    recon.y, recon.u, recon.v))]), temporal_id=tid)
         # DPB update: keep pictures named by this RPS (they cover all
         # future needs of the GOP pattern) plus the new picture
         keep = set()
@@ -894,7 +930,6 @@ class HevcEncoder:
         log(-1, "enc poc %d %s qp %d bits %d" % (
             poc, "I" if is_idr else ("P" if slice_type == P_SLICE
                                      else "B"), qp, len(data) * 8))
-        recon = self._wrap_recon(fs, frame)
         ef = EncodedFrame(data=data, recon=recon, poc=poc, qp=qp,
                           bits=len(data) * 8,
                           slice_type="I" if is_idr
@@ -922,6 +957,24 @@ class HevcEncoder:
                            cplx_rc)
             self.stats.write()
         return ef
+
+    def _lazy_recon(self, dev, fidx: int, poc: int):
+        """Device-resident recon -> lazily-fetched YUV view (conf-window
+        cropped like _wrap_recon)."""
+        from ..utils.yuv import LazyYUV
+        sps = self.sps
+        l, r, t, b = sps.conf_win
+        x0, x1 = 2 * l, sps.width - 2 * r
+        y0, y1 = 2 * t, sps.height - 2 * b
+
+        def fetch():
+            return (np.asarray(dev[0][fidx])[y0:y1, x0:x1],
+                    np.asarray(dev[1][fidx])[y0 // 2:y1 // 2,
+                                             x0 // 2:x1 // 2],
+                    np.asarray(dev[2][fidx])[y0 // 2:y1 // 2,
+                                             x0 // 2:x1 // 2])
+
+        return LazyYUV(fetch, poc=poc)
 
     def _wrap_recon(self, fs: FrameState, src: YUVFrame) -> YUVFrame:
         sps = self.sps

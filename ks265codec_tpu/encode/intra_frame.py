@@ -311,9 +311,13 @@ class IntraFrameEncoder:
     def apply_coded_planes(self, log2m, modes8, cmodes8, qp_map8,
                            ry, rcb, rcr, cy, ccb, ccr):
         """Install a (possibly externally batch-computed) device-pass result
-        into the FrameState + syntax maps."""
+        into the FrameState + syntax maps. ry may be None: the recon then
+        stays device-resident (batched path, lazy fetch) and fs planes are
+        left untouched — nothing downstream of the batched path reads
+        them (deblock/SAO already ran on device, PCM is off there)."""
         fs, syn = self.fs, self.syn
-        fs.y[:], fs.cb[:], fs.cr[:] = ry, rcb, rcr
+        if ry is not None:
+            fs.y[:], fs.cb[:], fs.cr[:] = ry, rcb, rcr
         syn.cy[:] = cy
         syn.ccb[:] = ccb
         syn.ccr[:] = ccr

@@ -81,9 +81,143 @@ def decide_sao(fs, src_y, src_cb, src_cr, qp: int, tier: int):
     return decide_sao_host(fs, src_y, src_cb, src_cr, qp, tier)
 
 
+def _best_offsets_vec(cnt, err, lo: int, hi: int, lam: float):
+    """Vectorized _best_offset over arbitrary-shaped cnt/err arrays.
+    Reproduces the scalar scan exactly: candidates between 0 and the
+    clipped rounded optimum, strict-< (first-visited = larger |h| wins
+    ties, the 0-baseline wins its ties). Returns (h, cost) arrays."""
+    cnt = cnt.astype(np.float64)
+    err = err.astype(np.float64)
+    start = np.clip(np.round(np.divide(err, np.maximum(cnt, 1))), lo, hi)
+    hs = np.arange(-7, 8, dtype=np.float64)
+    shp = (1,) * cnt.ndim
+    hs_b = hs.reshape(hs.shape + shp)
+    cost = (cnt[None] * hs_b * hs_b - 2.0 * hs_b * err[None]
+            + lam * (np.abs(hs_b) + 1.0))
+    valid = ((hs_b != 0) & (np.abs(hs_b) <= np.abs(start[None]))
+             & (np.sign(hs_b) == np.sign(start[None]))
+             & (hs_b >= lo) & (hs_b <= hi) & (cnt[None] > 0))
+    eps = 1e-9
+    adj = np.where(valid, cost - eps * np.abs(hs_b), np.inf)
+    # the 0-baseline carries cost 0.0 and wins ties against any h
+    base = np.full(cnt.shape, -eps * 8.0)
+    all_adj = np.concatenate([adj, base[None]], axis=0)
+    all_h = np.concatenate([np.broadcast_to(hs_b, adj.shape),
+                            np.zeros((1,) + cnt.shape)], axis=0)
+    all_cost = np.concatenate([cost, np.zeros((1,) + cnt.shape)], axis=0)
+    k = np.argmin(all_adj, axis=0)
+    h = np.take_along_axis(all_h, k[None], axis=0)[0]
+    c = np.take_along_axis(all_cost, k[None], axis=0)[0]
+    c = np.where(h == 0, 0.0, c)
+    return h.astype(np.int64), c
+
+
+def decide_from_stats_arrays(stats, qp: int, tier: int):
+    """Vectorized offset search + type decision from per-CTU stats —
+    semantics identical to the scalar _decide_from_stats (property-tested)
+    but whole-grid. Returns (type_, offs, bpos, eocl) arrays shaped
+    (3, ncty, nctx[, 4])."""
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    ncty, nctx = stats[0][0].shape[2:]
+    type_ = np.zeros((3, ncty, nctx), np.int8)
+    offs = np.zeros((3, ncty, nctx, 4), np.int8)
+    bpos = np.zeros((3, ncty, nctx), np.int8)
+    eocl = np.zeros((3, ncty, nctx), np.int8)
+    eps2 = 1e-9
+    cats = (0, 1, 3, 4)
+    bounds = ((0, 7), (0, 7), (-7, 0), (-7, 0))
+    for c in range(3):
+        if c > 0 and tier < 3:
+            continue
+        eo_cnt, eo_err, bo_cnt, bo_err = stats[c]
+        best_cost = np.zeros((ncty, nctx))
+        # --- EO classes
+        eo_classes = (0, 1) if tier <= 1 else (0, 1, 2, 3)
+        eo_h = np.zeros((4, 4, ncty, nctx), np.int64)   # (class, cat)
+        eo_cost = np.full((4, ncty, nctx), np.inf)
+        for eo in eo_classes:
+            cost = np.full((ncty, nctx), lam * 3.0)
+            for k, cat in enumerate(cats):
+                lo, hi = bounds[k]
+                h, cst = _best_offsets_vec(eo_cnt[eo, cat], eo_err[eo, cat],
+                                           lo, hi, lam)
+                eo_h[eo, k] = h
+                cost = cost + cst
+            eo_cost[eo] = cost
+        if c == 2:
+            # chroma shares the Cb decision's type/class
+            sel_t1 = type_[1]
+            sel_e1 = eocl[1]
+            adj = np.where(sel_t1[None] == 2,
+                           np.where(np.arange(4)[:, None, None]
+                                    == sel_e1[None], eo_cost, np.inf),
+                           np.inf)
+        else:
+            adj = eo_cost - eps2 * (4.0 - np.arange(4))[:, None, None]
+        bcls = np.argmin(adj, axis=0)
+        bcost = np.take_along_axis(adj, bcls[None], axis=0)[0]
+        use_eo = bcost < best_cost
+        best_cost = np.where(use_eo, np.take_along_axis(
+            eo_cost, bcls[None], axis=0)[0], best_cost)
+        type_[c] = np.where(use_eo, 2, type_[c])
+        eocl[c] = np.where(use_eo, bcls, eocl[c])
+        for k in range(4):
+            sel_h = np.take_along_axis(
+                eo_h[:, k], bcls[None], axis=0)[0]
+            offs[c, :, :, k] = np.where(use_eo, sel_h, offs[c, :, :, k])
+        # --- BO
+        do_bo = (tier >= 3 and c != 2)
+        bo_allowed = None
+        if c == 2 and tier >= 3:
+            do_bo = True
+            bo_allowed = type_[1] == 1
+        if do_bo:
+            bh, bc = _best_offsets_vec(bo_cnt, bo_err, -7, 7, lam)  # (32,..)
+            wc = np.stack([bc[b:b + 4].sum(axis=0) for b in range(29)])
+            wpos = np.argmin(wc, axis=0)
+            wcost = np.take_along_axis(wc, wpos[None], axis=0)[0] + lam * 8
+            use_bo = wcost < best_cost
+            if bo_allowed is not None:
+                use_bo &= bo_allowed
+            type_[c] = np.where(use_bo, 1, type_[c])
+            bpos[c] = np.where(use_bo, wpos, bpos[c])
+            eocl[c] = np.where(use_bo, 0, eocl[c])
+            for k in range(4):
+                hk = np.take_along_axis(bh, (wpos + k)[None],
+                                        axis=0)[0]
+                offs[c, :, :, k] = np.where(use_bo, hk, offs[c, :, :, k])
+        if c == 1:
+            # Cr inherits Cb's type/class; its own pass may refine offsets
+            type_[2] = type_[1]
+            eocl[2] = eocl[1]
+    return type_, offs, bpos, eocl
+
+
+def params_from_arrays(fs, type_, offs, bpos, eocl):
+    """Build the per-CTU SaoCtuParam grid from decision arrays."""
+    sps = fs.sps
+    for ry in range(sps.pic_height_in_ctbs):
+        for rx in range(sps.pic_width_in_ctbs):
+            p = SaoCtuParam()
+            for c in range(3):
+                p.type_idx[c] = int(type_[c, ry, rx])
+                p.offsets[c] = [int(v) for v in offs[c, ry, rx]]
+                p.band_pos[c] = int(bpos[c, ry, rx])
+                p.eo_class[c] = int(eocl[c, ry, rx])
+            fs.sao[ry][rx] = p
+    return fs.sao
+
+
 def _decide_from_stats(fs, stats, qp: int, tier: int):
-    """Offset search + type decision from per-CTU stats, mirroring
-    decide_sao_host's control flow exactly (same costs, same tie-breaks)."""
+    """Offset search + type decision from per-CTU stats (vectorized; the
+    scalar mirror below is the property-test oracle)."""
+    return params_from_arrays(fs, *decide_from_stats_arrays(stats, qp,
+                                                            tier))
+
+
+def _decide_from_stats_ref(fs, stats, qp: int, tier: int):
+    """Scalar oracle, mirroring decide_sao_host's control flow exactly
+    (same costs, same tie-breaks)."""
     sps = fs.sps
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
     for ry in range(sps.pic_height_in_ctbs):

@@ -576,10 +576,7 @@ def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
         return jnp.concatenate(parts)
 
     cparts = jax.vmap(_pack)(flatc)
-    parts = [_bitcast_rows(dy.astype(jnp.uint8)),
-             _bitcast_rows(dcb.astype(jnp.uint8)),
-             _bitcast_rows(dcr.astype(jnp.uint8)),
-             cparts]
+    parts = [cparts]
     if sao:
         for rec, src, shift in ((dy, src_y, 0), (dcb, src_cb, 1),
                                 (dcr, src_cr, 1)):
@@ -588,7 +585,11 @@ def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
                     r, s.astype(jnp.int32), width >> shift,
                     height >> shift, cs >> shift))(rec, src)
             parts += [_bitcast_rows(a) for a in st]
-    return jnp.concatenate(parts, axis=1)
+    # the reconstruction STAYS ON DEVICE: the host fetches only the small
+    # packed row (coeffs + stats); planes come back lazily on demand (the
+    # ~2 MB/frame recon fetch dominated the tunnel budget)
+    return (jnp.concatenate(parts, axis=1), dy.astype(jnp.uint8),
+            dcb.astype(jnp.uint8), dcr.astype(jnp.uint8))
 
 
 _code_intra_frames_fused = partial(
@@ -636,6 +637,7 @@ def fused_rows_sharded(mesh, arrays, statics: dict):
     if fn is None:
         core = partial(_fused_rows_core, **statics)
         spec_in = jax.tree_util.tree_map(lambda _: P("f"), arrays)
+        out_spec = (P("f"), P("f"), P("f"), P("f"))
         sm = _shard_map()
         # the scan carry starts from replicated zeros and becomes varying
         # on the first step — that is intended (pure per-device DP), so
@@ -643,10 +645,10 @@ def fused_rows_sharded(mesh, arrays, statics: dict):
         # jax, check_rep before)
         try:
             wrapped = sm(core, mesh=mesh, in_specs=tuple(spec_in),
-                         out_specs=P("f"), check_vma=False)
+                         out_specs=out_spec, check_vma=False)
         except TypeError:
             wrapped = sm(core, mesh=mesh, in_specs=tuple(spec_in),
-                         out_specs=P("f"), check_rep=False)
+                         out_specs=out_spec, check_rep=False)
         fn = jax.jit(wrapped)
         _FUSED_SHARDED_CACHE[key] = fn
     return fn(*arrays)
@@ -889,23 +891,24 @@ class WavefrontIntraCoder:
         arrays = (sy, scb, scr, segs, bsv, bsh, qp4)
         mesh = _frame_mesh(F)
         if mesh is not None:
-            buf = fused_rows_sharded(mesh, arrays, statics)
+            bufs = fused_rows_sharded(mesh, arrays, statics)
         else:
-            buf = _code_intra_frames_fused(*arrays, **statics)
+            bufs = _code_intra_frames_fused(*arrays, **statics)
         if defer:
             # jax dispatch is async: start the D2H copy in the background
             # and hand the caller a finisher — the device keeps crunching
             # while the host entropy-codes the previous chunk
             try:
-                buf.copy_to_host_async()
+                bufs[0].copy_to_host_async()
             except AttributeError:      # pragma: no cover - older jax
                 pass
-            return lambda: self._unpack_fused(buf, F, ph, pw, sps, sao,
+            return lambda: self._unpack_fused(bufs, F, ph, pw, sps, sao,
                                               post)
-        return self._unpack_fused(buf, F, ph, pw, sps, sao, post)
+        return self._unpack_fused(bufs, F, ph, pw, sps, sao, post)
 
-    def _unpack_fused(self, buf, F, ph, pw, sps, sao, post):
-        rows = np.asarray(buf)          # the ONE packed D2H fetch
+    def _unpack_fused(self, bufs, F, ph, pw, sps, sao, post):
+        row_buf, dyd, dcbd, dcrd = bufs
+        rows = np.asarray(row_buf)      # the ONE packed D2H fetch
         out = []
         for f in range(F):
             off = 0
@@ -917,9 +920,6 @@ class WavefrontIntraCoder:
                 off += n * np.dtype(dtype).itemsize
                 return a
 
-            dy = take(np.uint8, (ph, pw))
-            dcb = take(np.uint8, (ph // 2, pw // 2))
-            dcr = take(np.uint8, (ph // 2, pw // 2))
             M = ph * pw * 3 // 2
             flat = unpack_coeffs_sparse(take, M, _coeff_cap(M))
             cy = flat[:ph * pw].reshape(ph, pw)
@@ -935,9 +935,12 @@ class WavefrontIntraCoder:
                                   take(np.int32, (32, ncty, nctx)),
                                   take(np.int32, (32, ncty, nctx))))
                 assert off == rows[f].size, (off, rows[f].size)
-            out.append(dict(planes=(dy, dcb, dcr, cy, ccb, ccr),
-                            sao_stats=stats,
-                            deblocked=bool(post.get("deblock", True))))
+            out.append(dict(coeffs=(cy, ccb, ccr), sao_stats=stats,
+                            deblocked=bool(post.get("deblock", True)),
+                            fidx=f))
+        # reconstruction planes stay device-resident (fetched on demand)
+        for d in out:
+            d["recon_dev"] = (dyd, dcbd, dcrd)
         return out
 
     def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,

@@ -36,6 +36,51 @@ class YUVFrame:
         return self.y.tobytes() + self.u.tobytes() + self.v.tobytes()
 
 
+class LazyYUV:
+    """YUVFrame-shaped view whose planes materialize on first access.
+
+    Backs EncodedFrame.recon on the batched device path: the final
+    reconstruction stays on the TPU (the ~2 MB/frame fetch through the
+    device tunnel dominated the encode budget) and is pulled only when a
+    consumer actually reads the pixels (tests, -o recon dump, PSNR)."""
+
+    def __init__(self, fetch, poc: int = 0, pts: int = 0):
+        self._fetch = fetch
+        self._p = None
+        self.poc = poc
+        self.pts = pts
+
+    def _mat(self):
+        if self._p is None:
+            self._p = self._fetch()
+            self._fetch = None
+        return self._p
+
+    @property
+    def y(self):
+        return self._mat()[0]
+
+    @property
+    def u(self):
+        return self._mat()[1]
+
+    @property
+    def v(self):
+        return self._mat()[2]
+
+    @property
+    def width(self):
+        return self.y.shape[1]
+
+    @property
+    def height(self):
+        return self.y.shape[0]
+
+    def tobytes(self) -> bytes:
+        y, u, v = self._mat()
+        return y.tobytes() + u.tobytes() + v.tobytes()
+
+
 def frame_size_bytes(width: int, height: int) -> int:
     return width * height * 3 // 2
 
