@@ -727,10 +727,12 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
         slice_qp=int(hdr.slice_qp),
         dqp=bool(pps.cu_qp_delta_enabled),
         wpp=bool(pps.entropy_coding_sync_enabled))
-    return _unpack_row(np.asarray(buf), ph, pw, sps, esc_cap)
+    row, cyd, ccbd, ccrd = buf
+    return _unpack_row(np.asarray(row), ph, pw, sps, esc_cap,
+                       (cyd, ccbd, ccrd))
 
 
-def _unpack_row(row, ph, pw, sps, esc_cap):
+def _unpack_row(row, ph, pw, sps, esc_cap, dense_dev):
     off = 0
 
     def take(dtype, shape):
@@ -744,8 +746,13 @@ def _unpack_row(row, ph, pw, sps, esc_cap):
     dcb = take(np.uint8, (ph // 2, pw // 2))
     dcr = take(np.uint8, (ph // 2, pw // 2))
     M = ph * pw * 3 // 2
+
+    def dense_fetch():
+        return np.concatenate([np.asarray(d).reshape(-1)
+                               for d in dense_dev])
+
     from ..ops.wavefront import unpack_coeffs_sparse
-    flat = unpack_coeffs_sparse(take, M, esc_cap)
+    flat = unpack_coeffs_sparse(take, M, esc_cap, dense_fetch)
     cy = flat[:ph * pw].reshape(ph, pw)
     ccb = flat[ph * pw:ph * pw * 5 // 4].reshape(ph // 2, pw // 2)
     ccr = flat[ph * pw * 5 // 4:].reshape(ph // 2, pw // 2)

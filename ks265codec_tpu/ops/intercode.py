@@ -311,7 +311,8 @@ def _inter_code_core(src_y, src_cb, src_cr,
                                       pic_w >> shift, pic_h >> shift,
                                       cs >> shift)
             parts += [row(a) for a in st]
-    return jnp.concatenate(parts)
+    # dense coefficients stay device-resident for the sparse-cap fallback
+    return jnp.concatenate(parts), coef_y, coef_cb, coef_cr
 
 
 code_inter_frame_jit = partial(

@@ -77,7 +77,11 @@ def sao_apply_core(y, cb, cr, type_, offs, bpos, eocl,
 def sao_apply_batch(y, cb, cr, type_, offs, bpos, eocl,
                     sao_luma: bool, sao_chroma: bool,
                     w: int, h: int, cs: int):
-    """Batched over frames: planes (F, ...), params (F, 3, ...)."""
-    return jax.vmap(lambda a, b, c, t, o, bp, e: sao_apply_core(
-        a, b, c, t, o, bp, e, sao_luma, sao_chroma, w, h, cs))(
-            y, cb, cr, type_, offs, bpos, eocl)
+    """Batched over frames: planes (F, ...), params (F, 3, ...).
+    lax.map (sequential per frame), NOT vmap: the full-plane where-chains
+    would otherwise materialize per-frame temps for the whole batch at
+    once (21 GB HLO temp at 16x720p) for an op that is memory-bound
+    anyway."""
+    return jax.lax.map(
+        lambda args: sao_apply_core(*args, sao_luma, sao_chroma, w, h, cs),
+        (y, cb, cr, type_, offs, bpos, eocl))

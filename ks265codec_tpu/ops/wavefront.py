@@ -39,8 +39,10 @@ _ESC_CAP = 4096
 
 def _coeff_cap(M: int) -> int:
     """Static nonzero-value capacity for the sparse coefficient packing:
-    frame-size-proportional (the round-2 fixed cap was a 4K cliff)."""
-    return max(4096, M // 5)
+    frame-size-proportional (the round-2 fixed cap was a 4K cliff).
+    Overflowing frames refetch the device-resident dense planes instead
+    of recomputing (graceful, no cliff)."""
+    return max(4096, M // 4)
 
 
 def _round_up(v, m):
@@ -514,9 +516,11 @@ def _b1(a):
     return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
 
 
-def unpack_coeffs_sparse(take, M: int, cap: int):
+def unpack_coeffs_sparse(take, M: int, cap: int, dense_fetch=None):
     """Host-side inverse of pack_coeffs_sparse; `take(dtype, shape)` reads
-    consecutive fields from the fetched row. Returns flat int16 (M,)."""
+    consecutive fields from the fetched row. Returns flat int16 (M,).
+    dense_fetch: zero-arg fallback returning the dense coefficients when
+    the static cap overflowed (still must consume the row fields)."""
     ecap = max(cap // 16, 64)
     bitmap = take(np.uint8, (M // 8,))
     cnt = int(take(np.int32, (1,))[0])
@@ -525,6 +529,8 @@ def unpack_coeffs_sparse(take, M: int, cap: int):
     eidx = take(np.int32, (ecap,))
     evals = take(np.int16, (ecap,))
     if cnt > cap or nesc > ecap:
+        if dense_fetch is not None:
+            return dense_fetch()
         raise RuntimeError("sparse coeff overflow (%d > %d or %d > %d)"
                            % (cnt, cap, nesc, ecap))
     flat = np.zeros(M, np.int16)
@@ -580,16 +586,19 @@ def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
     if sao:
         for rec, src, shift in ((dy, src_y, 0), (dcb, src_cb, 1),
                                 (dcr, src_cr, 1)):
-            st = jax.vmap(
-                lambda r, s: sao_stats_plane_core(
-                    r, s.astype(jnp.int32), width >> shift,
-                    height >> shift, cs >> shift))(rec, src)
+            # lax.map, NOT vmap: the 32-band masking materializes dozens
+            # of full-plane temps per frame — batched they blow HBM
+            st = jax.lax.map(
+                lambda rs, _shift=shift: sao_stats_plane_core(
+                    rs[0], rs[1].astype(jnp.int32), width >> _shift,
+                    height >> _shift, cs >> _shift), (rec, src))
             parts += [_bitcast_rows(a) for a in st]
-    # the reconstruction STAYS ON DEVICE: the host fetches only the small
-    # packed row (coeffs + stats); planes come back lazily on demand (the
-    # ~2 MB/frame recon fetch dominated the tunnel budget)
+    # recon AND dense coefficients STAY ON DEVICE: the host fetches only
+    # the small packed row (sparse coeffs + stats); planes come back
+    # lazily on demand (recon) or on sparse-cap overflow (coeffs)
     return (jnp.concatenate(parts, axis=1), dy.astype(jnp.uint8),
-            dcb.astype(jnp.uint8), dcr.astype(jnp.uint8))
+            dcb.astype(jnp.uint8), dcr.astype(jnp.uint8),
+            cy, ccb, ccr)
 
 
 _code_intra_frames_fused = partial(
@@ -637,7 +646,7 @@ def fused_rows_sharded(mesh, arrays, statics: dict):
     if fn is None:
         core = partial(_fused_rows_core, **statics)
         spec_in = jax.tree_util.tree_map(lambda _: P("f"), arrays)
-        out_spec = (P("f"), P("f"), P("f"), P("f"))
+        out_spec = (P("f"),) * 7
         sm = _shard_map()
         # the scan carry starts from replicated zeros and becomes varying
         # on the first step — that is intended (pure per-device DP), so
@@ -907,7 +916,7 @@ class WavefrontIntraCoder:
         return self._unpack_fused(bufs, F, ph, pw, sps, sao, post)
 
     def _unpack_fused(self, bufs, F, ph, pw, sps, sao, post):
-        row_buf, dyd, dcbd, dcrd = bufs
+        row_buf, dyd, dcbd, dcrd, cyd, ccbd, ccrd = bufs
         rows = np.asarray(row_buf)      # the ONE packed D2H fetch
         out = []
         for f in range(F):
@@ -920,8 +929,15 @@ class WavefrontIntraCoder:
                 off += n * np.dtype(dtype).itemsize
                 return a
 
+            def dense_fetch(f=f):
+                return np.concatenate(
+                    [np.asarray(cyd[f]).reshape(-1),
+                     np.asarray(ccbd[f]).reshape(-1),
+                     np.asarray(ccrd[f]).reshape(-1)])
+
             M = ph * pw * 3 // 2
-            flat = unpack_coeffs_sparse(take, M, _coeff_cap(M))
+            flat = unpack_coeffs_sparse(take, M, _coeff_cap(M),
+                                        dense_fetch)
             cy = flat[:ph * pw].reshape(ph, pw)
             ccb = flat[ph * pw:ph * pw * 5 // 4].reshape(ph // 2, pw // 2)
             ccr = flat[ph * pw * 5 // 4:].reshape(ph // 2, pw // 2)
