@@ -151,6 +151,23 @@ def read_frames(path: str, w: int, h: int, limit: int):
 
 
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if "-seqlist" in argv:
+        # multi-sequence batch mode (AppEncCfg::prepareToTestMoreSeq
+        # analog, run-verified "QY265Test: Sequence Idx:" banner): each
+        # line of the list file holds extra CLI args layered over the
+        # base command; one process sweeps all sequences.
+        i = argv.index("-seqlist")
+        listfile = argv[i + 1]
+        base = argv[:i] + argv[i + 2:]
+        rc = 0
+        with open(listfile) as f:
+            lines = [ln.split() for ln in f
+                     if ln.strip() and not ln.startswith("#")]
+        for k, extra in enumerate(lines):
+            print(f"QY265Test: Sequence Idx: {k}")
+            rc |= main(base + extra)
+        return rc
     a = build_parser().parse_args(argv)
     if a.version:
         print("ks265codec_tpu encoder v0.1")

@@ -83,6 +83,31 @@ class HevcDecoder:
     def decode_all(self, data: bytes) -> list[YUVFrame]:
         return self.decode(data) + self.flush()
 
+    def dump_vui_parameters(self, sps_id: int = 0) -> str:
+        """QY265DumpVUIParameters analog (qy265dec.h:85): human-readable
+        dump of the active SPS's VUI fields; empty string when the SPS
+        (or its VUI) is absent."""
+        sps = self.sps_map.get(sps_id)
+        if sps is None or getattr(sps, "vui", None) is None:
+            return ""
+        v = sps.vui
+        lines = [f"VUI (sps {sps_id}):"]
+        if v.aspect_ratio_idc:
+            lines.append(f"  aspect_ratio_idc {v.aspect_ratio_idc}"
+                         f" sar {v.sar_width}x{v.sar_height}")
+        if v.video_signal_type_present:
+            lines.append(f"  video_format {v.video_format}"
+                         f" full_range {v.video_full_range_flag}")
+        if v.colour_description_present:
+            lines.append(f"  primaries {v.colour_primaries}"
+                         f" transfer {v.transfer_characteristics}"
+                         f" matrix {v.matrix_coeffs}")
+        if v.timing_info_present and v.num_units_in_tick:
+            lines.append(f"  timing {v.time_scale}/{v.num_units_in_tick}"
+                         f" ({v.time_scale / v.num_units_in_tick:.3f} fps)")
+        lines.append(f"  frame_field_info {v.frame_field_info_present}")
+        return "\n".join(lines)
+
     # ------------------------------------------------------------ internal
     def _decode_nal(self, nal) -> None:
         t = nal.nal_type

@@ -14,6 +14,10 @@ TUNES = ["default", "selfshow", "game", "movie", "screen"]
 LATENCIES = ["offline", "livestreaming", "netvideo", "zerolatency"]
 
 RC_FIXQP, RC_CBR, RC_ABR, RC_CRF = 0, 1, 2, 3
+# constrained VBR / constrained quality (qy265enc.h:74 RC_MODES tail):
+# cvbr = ABR machinery with a mandatory VBV cap; cvq = CRF machinery with
+# an ABR-style correction once the running rate overshoots the target
+RC_CVBR, RC_CVQ = 4, 5
 
 
 @dataclass

@@ -15,7 +15,8 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from .config import RC_ABR, RC_CBR, RC_CRF, RC_FIXQP, EncoderConfig
+from .config import RC_ABR, RC_CBR, RC_CRF, RC_CVBR, RC_CVQ, \
+    RC_FIXQP, EncoderConfig
 
 
 def qp_to_qscale(qp: float) -> float:
@@ -62,6 +63,13 @@ class RateControl:
             self.vbv_max = self.target_bps
         if self.mode == RC_CBR and self.vbv_size <= 0:
             self.vbv_size = self.target_bps  # 1 second
+        if self.mode == RC_CVBR:
+            # constrained VBR (qy265enc.h:74): ABR machinery with a
+            # mandatory VBV cap above the mean rate
+            if self.vbv_max <= 0:
+                self.vbv_max = 1.5 * self.target_bps
+            if self.vbv_size <= 0:
+                self.vbv_size = 2.0 * self.target_bps
         self.vbv_fill = self.vbv_size * 0.9
         # bits predictor per type: bits ~= coeff * cplx / qscale
         self.pred = {"I": 1.0, "P": 1.0, "B": 1.0}
@@ -78,10 +86,18 @@ class RateControl:
             return self._clip(qp)
         c = cplx if cplx is not None else self.last_cplx.get(ftype) or 1e5
         blur = c ** (1.0 - self.QCOMP)
-        if self.mode == RC_CRF:
+        if self.mode in (RC_CRF, RC_CVQ):
             qs = self.crf_qscale * blur / max(
                 (self.cplx_sum / self.cplx_count) ** (1.0 - self.QCOMP), 1e-6)
-        else:                    # ABR / CBR
+            if self.mode == RC_CVQ and self.target_bps > 0 \
+                    and self.frames_done > 0:
+                # constrained quality: CRF until the running rate exceeds
+                # the target, then one-sided ABR-style pressure upward
+                wanted = self.target_bps * self.frames_done / self.fps
+                overflow = (self.bits_total - wanted) / max(wanted, 1.0)
+                if overflow > 0:
+                    qs *= min(2.5, 1.0 + overflow * 1.2)
+        else:                    # ABR / CBR / CVBR
             if self.rate_factor is None:
                 # bootstrap: aim qscale so predicted bits hit per-frame target
                 tgt = self.target_bps / self.fps
@@ -147,7 +163,7 @@ class RateControl:
         qs = qp_to_qscale(qp - self._type_offset(ftype, tid))
         self.pred[ftype] += bits * qs / max(cplx, 1.0)
         self.pred_n[ftype] += 1
-        if self.mode in (RC_ABR, RC_CBR):
+        if self.mode in (RC_ABR, RC_CBR, RC_CVBR):
             blur = cplx ** (1.0 - self.QCOMP)
             # rate factor EMA toward achieving target bits
             inst_rf = blur * qs ** -1.0

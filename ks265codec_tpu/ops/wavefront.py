@@ -499,7 +499,7 @@ def pack_coeffs_sparse(flatc, cap: int):
     v8 = jnp.clip(vals, -128, 127).astype(jnp.int8)
     esc = jnp.abs(vals) > 127
     nesc = esc.sum().astype(jnp.int32)
-    ecap = max(cap // 16, 64)
+    ecap = max(cap // 4, 256)
     eidx = jnp.nonzero(esc, size=ecap, fill_value=-1)[0].astype(jnp.int32)
     evals = jnp.where(eidx >= 0, vals[jnp.clip(eidx, 0)], 0) \
         .astype(jnp.int16)
@@ -521,7 +521,7 @@ def unpack_coeffs_sparse(take, M: int, cap: int, dense_fetch=None):
     consecutive fields from the fetched row. Returns flat int16 (M,).
     dense_fetch: zero-arg fallback returning the dense coefficients when
     the static cap overflowed (still must consume the row fields)."""
-    ecap = max(cap // 16, 64)
+    ecap = max(cap // 4, 256)
     bitmap = take(np.uint8, (M // 8,))
     cnt = int(take(np.int32, (1,))[0])
     nesc = int(take(np.int32, (1,))[0])
