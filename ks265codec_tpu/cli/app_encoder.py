@@ -163,10 +163,14 @@ def main(argv=None) -> int:
         rc = 0
         with open(listfile) as f:
             lines = [ln.split() for ln in f
-                     if ln.strip() and not ln.startswith("#")]
+                     if ln.strip() and not ln.strip().startswith("#")]
         for k, extra in enumerate(lines):
             print(f"QY265Test: Sequence Idx: {k}")
-            rc |= main(base + extra)
+            try:
+                rc |= main(base + extra)
+            except SystemExit:
+                # a bad per-sequence arg must not abort the sweep
+                rc |= 1
         return rc
     a = build_parser().parse_args(argv)
     if a.version:

@@ -111,15 +111,25 @@ class HevcDecoder:
     # ------------------------------------------------------------ internal
     def _decode_nal(self, nal) -> None:
         t = nal.nal_type
-        if t == NalType.VPS:
-            v = parse_vps(nal.rbsp)
-            self.vps_map[v.vps_id] = v
-        elif t == NalType.SPS:
-            s = parse_sps(nal.rbsp)
-            self.sps_map[s.sps_id] = s
-        elif t == NalType.PPS:
-            p = parse_pps(nal.rbsp)
-            self.pps_map[p.pps_id] = p
+        if t in (NalType.VPS, NalType.SPS, NalType.PPS):
+            # corrupt parameter sets must not sink the stream: log, flag,
+            # and keep searching (QY_BITSTREAM_ERROR semantics,
+            # qy265def.h:15-20)
+            try:
+                if t == NalType.VPS:
+                    v = parse_vps(nal.rbsp)
+                    self.vps_map[v.vps_id] = v
+                elif t == NalType.SPS:
+                    s = parse_sps(nal.rbsp)
+                    self.sps_map[s.sps_id] = s
+                else:
+                    p = parse_pps(nal.rbsp)
+                    self.pps_map[p.pps_id] = p
+            except Exception as ex:
+                from ..utils.log import log
+                log(2, "parameter set parse error (%s: %s); skipping NAL"
+                    % (type(ex).__name__, ex))
+                self.illegal_stream = True
         elif t in (NalType.PREFIX_SEI, NalType.SUFFIX_SEI):
             from ..hevc.sei import parse_sei_rbsp
             try:
@@ -155,6 +165,10 @@ class HevcDecoder:
             if prev is None or self.cur is None:
                 return      # orphan dependent segment: skip
             ihdr, ref_lists, ctx_end, qp_end, sidx = prev
+            # dependent segments share the slice region: their prediction
+            # may reference the first segment's pixels — materialize the
+            # batched fast path's reconstruction first
+            self._materialize_fast()
             for f in ("slice_type", "slice_qp", "sao_luma", "sao_chroma",
                       "num_ref_idx", "cb_qp_offset", "cr_qp_offset",
                       "deblocking_filter_disabled", "beta_offset_div2",
@@ -192,6 +206,40 @@ class HevcDecoder:
         if self.skip_mode:
             return
         ref_lists = self._build_ref_lists(hdr, sps)
+        if not hdr.first_slice_in_pic:
+            # a further slice joins the picture: the batched fast path is
+            # per-slice-causal only — materialize what was parsed so far
+            self._materialize_fast(sps, pps)
+        if hdr.first_slice_in_pic and self._fast_eligible(sps, pps, hdr):
+            # snapshot the scan-ahead parse state: an aborted attempt
+            # leaves recon_done/slice_id marks on cells AHEAD of the
+            # redo's walk, which would corrupt its availability checks
+            fs0 = self.cur
+            snap = (fs0.recon_done.copy(), fs0.mi_parsed.copy(),
+                    fs0.slice_id.copy())
+            sd = SliceDecoder(self.cur, sps, pps, hdr, nal.rbsp,
+                              reader.pos // 8, self.cur_slice_idx,
+                              ref_lists, epb_pos=nal.epb_pos,
+                              parse_only=True)
+            try:
+                sd.decode()
+                self._fast_pending = (sps, pps, hdr)
+                self._seg_state = (hdr, ref_lists, bytes(sd.cabac.ctx),
+                                   sd.qp_cur, self.cur_slice_idx)
+                self.cur_slice_idx += 1
+                return
+            except Exception as ex:
+                # outside fast-path coverage (or corrupt): redo this slice
+                # with the interleaved scalar path from the same bits
+                from ..utils.log import log
+                from .slice_dec import FastPathAbort
+                lvl = -1 if isinstance(ex, FastPathAbort) else 0
+                log(lvl, "decode fast path off for slice (%s: %s)"
+                    % (type(ex).__name__, ex))
+                self._fast_pending = None
+                fs0.recon_done[:] = snap[0]
+                fs0.mi_parsed[:] = snap[1]
+                fs0.slice_id[:] = snap[2]
         sd = SliceDecoder(self.cur, sps, pps, hdr, nal.rbsp,
                           reader.pos // 8, self.cur_slice_idx, ref_lists,
                           epb_pos=nal.epb_pos)
@@ -224,6 +272,8 @@ class HevcDecoder:
         if not missing.any():
             return
         ref = ref_lists[0][0].fs if ref_lists and ref_lists[0] else None
+        if ref is not None:
+            ref.ensure_planes()
         m_y = np.repeat(np.repeat(missing, 4, 0), 4, 1)
         m_c = m_y[::2, ::2]
         for plane, src, m in (
@@ -342,16 +392,130 @@ class HevcDecoder:
                 l1 = [tmp1[i] for i in hdr.ref_list_modification[1]]
         return [l0, l1]
 
+    def _fast_eligible(self, sps, pps, hdr) -> bool:
+        """Batched-recon fast path coverage: single-tier intra TUs with
+        the standard 64/8 CTB geometry, no PCM/scaling/TS/bypass/CIP.
+        Syntax outside coverage aborts per-CU and falls back."""
+        import os
+        if os.environ.get("KS265_DECODE_FAST") == "0" \
+                or os.environ.get("KS265_SEQ_COMPUTE"):
+            return False
+        from ..hevc.slicehdr import I_SLICE
+        if getattr(self, "_wf_coder", None) is None:
+            from ..ops.wavefront import WavefrontIntraCoder
+            self._wf_coder = WavefrontIntraCoder()
+        return (self._wf_coder.available
+                and hdr.slice_type == I_SLICE
+                and sps.max_transform_hierarchy_depth_intra == 0
+                and sps.log2_ctb == 6 and sps.log2_min_cb == 3
+                and sps.log2_max_tb == 5
+                and sps.bit_depth_luma == 8
+                and not sps.pcm_enabled
+                and not sps.scaling_list_enabled
+                and not pps.transform_skip_enabled
+                and not pps.transquant_bypass_enabled
+                and not pps.constrained_intra_pred
+                and not pps.scaling_list_data_present)
+
+    def _materialize_fast(self, sps=None, pps=None,
+                          final: bool = False) -> None:
+        """Run the batched wavefront reconstruction for a parse-only
+        picture (ONE device dispatch replacing the per-TU host loop).
+        With final=True (whole picture was fast) the dispatch also runs
+        deblock + SAO and the planes stay device-resident — the output
+        fetch overlaps the next picture's parse."""
+        pend = getattr(self, "_fast_pending", None)
+        if pend is None or self.cur is None:
+            return
+        self._fast_pending = None
+        fs = self.cur
+        sps, pps, hdr = pend
+        import numpy as np
+        # cells never parsed (multi-slice pictures, CTB padding) default to
+        # 8x8/DC placeholders: they compute throwaway pixels that later
+        # slices overwrite, and scan-order causality keeps them out of the
+        # parsed region's reference samples
+        parsed8 = fs.mi_parsed[::2, ::2]
+        log2m8 = np.where(
+            parsed8,
+            sps.log2_ctb - fs.cu_depth[::2, ::2].astype(np.int32),
+            3).astype(np.uint8)
+        modes8 = np.where(parsed8, fs.intra_mode[::2, ::2],
+                          1).astype(np.int32)
+        qp_map8 = np.clip(fs.qp[::2, ::2], 0, 51).astype(np.int32)
+        tile8 = None
+        if pps.tiles_enabled:
+            from ..hevc.params import TileGrid
+            tg = getattr(pps, "_tile_grid", None) or TileGrid(pps, sps)
+            tile8 = np.repeat(np.repeat(
+                tg.tile_of_ctb.astype(np.int32), 8, 0), 8, 1)[
+                    :fs.ph >> 3, :fs.pw >> 3]
+        cbo = pps.cb_qp_offset + hdr.cb_qp_offset
+        cro = pps.cr_qp_offset + hdr.cr_qp_offset
+        deblock_ok = (final and bool(pps.loop_filter_across_tiles)
+                      and bool(hdr.loop_filter_across_slices
+                               if hasattr(hdr, "loop_filter_across_slices")
+                               else True))
+        if deblock_ok:
+            from .filters import compute_bs
+            bs_v = compute_bs(fs, True)
+            bs_h = compute_bs(fs, False)
+            qp4 = np.clip(fs.qp, 0, 51).astype(np.int32)
+            sao_on = bool(hdr.sao_luma or hdr.sao_chroma)
+            sao_params = None
+            if sao_on:
+                ncty = sps.pic_height_in_ctbs
+                nctx = sps.pic_width_in_ctbs
+                type_ = np.zeros((3, ncty, nctx), np.int8)
+                offs_ = np.zeros((3, ncty, nctx, 4), np.int8)
+                bpos_ = np.zeros((3, ncty, nctx), np.int8)
+                eocl_ = np.zeros((3, ncty, nctx), np.int8)
+                for ry in range(ncty):
+                    for rx in range(nctx):
+                        p = fs.sao[ry][rx]
+                        for c in range(3):
+                            type_[c, ry, rx] = p.type_idx[c]
+                            offs_[c, ry, rx] = p.offsets[c]
+                            bpos_[c, ry, rx] = p.band_pos[c]
+                            eocl_[c, ry, rx] = p.eo_class[c]
+                sao_params = (type_, offs_, bpos_, eocl_)
+            planes = self._wf_coder.recon_filter_frame(
+                fs.dec_coef_y, fs.dec_coef_cb, fs.dec_coef_cr, log2m8,
+                modes8, fs.dec_cmode8, qp_map8, cbo, cro, sps,
+                bs_v, bs_h, qp4, sao_params,
+                deblock=not bool(hdr.deblocking_filter_disabled),
+                sao=sao_on, sao_chroma=bool(hdr.sao_chroma),
+                boff=hdr.beta_offset_div2, toff=hdr.tc_offset_div2,
+                tile8=tile8, db_cbo=pps.cb_qp_offset,
+                db_cro=pps.cr_qp_offset)
+            fs.attach_device_planes(planes)
+            fs._fast_filtered = True
+        else:
+            ry, rcb, rcr = self._wf_coder.recon_frame(
+                fs.dec_coef_y, fs.dec_coef_cb, fs.dec_coef_cr, log2m8,
+                modes8, fs.dec_cmode8, qp_map8, cbo, cro, sps,
+                tile8=tile8)
+            fs.y[:] = ry
+            fs.cb[:] = rcb
+            fs.cr[:] = rcr
+        # NOTE: fs.dec_coef_* must NOT be mutated after the dispatch —
+        # jnp.asarray aliases host memory zero-copy on the CPU backend and
+        # the computation reads it asynchronously. Each picture gets fresh
+        # planes with its FrameState, so no reset is needed.
+
     def _finish_current_picture(self) -> None:
         if self.cur is None:
             return
         fs, hdr = self.cur, self.cur_hdr
-        # in-loop filters at frame level
-        deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
-                      bool(hdr.deblocking_filter_disabled),
-                      self.pps_map[hdr.pps_id].cb_qp_offset,
-                      self.pps_map[hdr.pps_id].cr_qp_offset)
-        sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
+        self._materialize_fast(final=True)
+        # in-loop filters at frame level (fast-path pictures filtered on
+        # device inside the recon dispatch)
+        if not getattr(fs, "_fast_filtered", False):
+            deblock_frame(fs, hdr.beta_offset_div2, hdr.tc_offset_div2,
+                          bool(hdr.deblocking_filter_disabled),
+                          self.pps_map[hdr.pps_id].cb_qp_offset,
+                          self.pps_map[hdr.pps_id].cr_qp_offset)
+            sao_frame(fs, bool(hdr.sao_luma), bool(hdr.sao_chroma))
         if self._pending_hash is not None:
             from ..hevc.sei import plane_md5
             want = self._pending_hash
@@ -405,6 +569,7 @@ class HevcDecoder:
         return out
 
     def _wrap_output(self, rp: RefPic) -> YUVFrame:
+        rp.fs.ensure_planes()     # fast-path recon is device-resident
         sps = rp.fs.sps
         l, r, t, b = sps.conf_win
         # conformance window offsets are in chroma units for 4:2:0

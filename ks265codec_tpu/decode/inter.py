@@ -469,6 +469,8 @@ def motion_compensate(fs, hdr, ref_lists, xp, yp, nw, nh, mi: MotionInfo,
             if not (use0 if lst == 0 else use1):
                 continue
             rp = ref_lists[lst][mi.ref_idx[lst]]
+            if getattr(rp.fs, "_planes_stale", False):
+                rp.fs.ensure_planes()
             src = (rp.fs.y, rp.fs.cb, rp.fs.cr)[comp]
             mvx, mvy = mi.mv[lst]
             if comp == 0:

@@ -47,6 +47,12 @@ class SaoCtuParam:
     eo_class: list[int] = field(default_factory=lambda: [0, 0, 0])
 
 
+class FastPathAbort(Exception):
+    """Raised by a parse-only SliceDecoder on syntax outside the batched
+    reconstruction's coverage (TU split, NxN, PCM); the caller re-decodes
+    the slice with the interleaved scalar path."""
+
+
 class FrameState:
     """A frame being decoded: padded planes + per-4x4 coding-info grids.
 
@@ -90,8 +96,25 @@ class FrameState:
             [SaoCtuParam() for _ in range(sps.pic_width_in_ctbs)]
             for _ in range(sps.pic_height_in_ctbs)]
         self.poc = 0
+        # encoder device-path frames keep their reconstruction ON the
+        # device; the numpy planes are materialized only on first host
+        # consumer (fallback ref read, weightp, PSNR, MD5)
+        self._dev_planes = None
+        self._planes_stale = False
+
+    def attach_device_planes(self, planes) -> None:
+        self._dev_planes = tuple(planes)
+        self._planes_stale = True
+
+    def ensure_planes(self) -> None:
+        if self._planes_stale:
+            self.y[:] = np.asarray(self._dev_planes[0])
+            self.cb[:] = np.asarray(self._dev_planes[1])
+            self.cr[:] = np.asarray(self._dev_planes[2])
+            self._planes_stale = False
 
     def planes(self):
+        self.ensure_planes()
         return (self.y, self.cb, self.cr)
 
 
@@ -101,8 +124,17 @@ class SliceDecoder:
     def __init__(self, fs: FrameState, sps: SPS, pps: PPS, hdr: SliceHeader,
                  rbsp: bytes, data_start: int, slice_idx: int,
                  ref_lists=None, epb_pos: tuple = (),
-                 init_ctx=None, qp_prev=None):
+                 init_ctx=None, qp_prev=None, parse_only: bool = False):
         self.fs = fs
+        # parse-only fast path: residual levels land in dense planes and
+        # chroma modes in a per-8-cell grid; reconstruction runs afterwards
+        # as ONE batched wavefront dispatch (ops/wavefront.recon_frame)
+        self.parse_only = parse_only
+        if parse_only and getattr(fs, "dec_coef_y", None) is None:
+            fs.dec_coef_y = np.zeros((fs.ph, fs.pw), np.int16)
+            fs.dec_coef_cb = np.zeros((fs.ph // 2, fs.pw // 2), np.int16)
+            fs.dec_coef_cr = np.zeros((fs.ph // 2, fs.pw // 2), np.int16)
+            fs.dec_cmode8 = np.ones((fs.ph >> 3, fs.pw >> 3), np.int32)
         self.data_start = data_start
         self.epb_pos = epb_pos
         self.sps = sps
@@ -426,6 +458,8 @@ class SliceDecoder:
             if log2 == self.min_cb:
                 if not self.cabac.decode_bin(CTX_OFFSET["part_size"]):
                     part = PART_NxN
+                    if self.parse_only:
+                        raise FastPathAbort("NxN")
         else:
             part = self._parse_part_mode_inter(log2)
         self._cu_part = part
@@ -594,6 +628,8 @@ class SliceDecoder:
             else:
                 cbf_cr = 0
         if split:
+            if self.parse_only:
+                raise FastPathAbort("TU split")
             h = 1 << (log2 - 1)
             self._parse_transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0,
                                        cbf_cb, cbf_cr)
@@ -628,6 +664,27 @@ class SliceDecoder:
         do_chroma = (log2 > 2) or (blk_idx == 3)
         c_log2 = (log2 - 1) if log2 > 2 else 2
         cx0, cy0 = (x0 >> 1, y0 >> 1) if log2 > 2 else (x_base >> 1, y_base >> 1)
+        if self.parse_only:
+            # residual levels into dense planes; no pixel work (the
+            # batched wavefront reconstructs the frame in one dispatch)
+            size_ = 1 << log2
+            mode = self._intra_mode_at(x0, y0) if intra else None
+            if cbf_luma:
+                coeffs, _ts = self._residual(x0, y0, log2, 0, mode)
+                fs.dec_coef_y[y0:y0 + size_, x0:x0 + size_] = coeffs
+            fs.recon_done[y4:y4 + b4, x4:x4 + b4] = True
+            if do_chroma:
+                cm = self._cu_chroma_mode if intra else None
+                fs.dec_cmode8[cy0 >> 2, cx0 >> 2] = \
+                    self._cu_chroma_mode if intra else 1
+                csz = 1 << c_log2
+                for c_idx, plane, cbf in ((1, fs.dec_coef_cb, cbf_cb),
+                                          (2, fs.dec_coef_cr, cbf_cr)):
+                    if cbf:
+                        coeffs, _ts = self._residual(cx0, cy0, c_log2,
+                                                     c_idx, cm)
+                        plane[cy0:cy0 + csz, cx0:cx0 + csz] = coeffs
+            return
         # luma
         if intra:
             mode = self._intra_mode_at(x0, y0)

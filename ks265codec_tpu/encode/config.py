@@ -46,6 +46,7 @@ class EncoderConfig:
     intra_period: int = 64           # -iper
     intra_min: int = 0
     bframes: int = 7                 # hierarchical GOP-8 when offline
+    b_adapt: int = 1                 # motion-adaptive mini-GOP shortening
     lookahead: int = 40
     temporal_layers: int = 3
     open_gop: bool = False

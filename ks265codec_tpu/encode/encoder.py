@@ -59,6 +59,8 @@ def decide_weightp(src_y, l0):
     out = []
     any_flag = False
     for rp in l0:
+        if hasattr(rp.fs, "ensure_planes"):
+            rp.fs.ensure_planes()      # device-resident recon -> host
         r = np.asarray(rp.fs.y, np.float64)[:src_y.shape[0],
                                             :src_y.shape[1]][::4, ::4]
         r = r[:sh[0], :sh[1]]
@@ -112,6 +114,8 @@ class HevcEncoder:
         self._intra_cache = {}      # display_idx -> batched compute result
         self._coded_count = 0       # pictures coded (dts derivation)
         self._wf_coder = None
+        from .devdpb import DeviceDPB
+        self.dev_dpb = DeviceDPB()  # device-resident reference planes
         self.stats = None
         self.pass2_dqp = {}
         if cfg.pass_num == 1:
@@ -432,13 +436,47 @@ class HevcEncoder:
                 self.gop_base += 1
                 continue
             if till_idr >= gop_n and len(self.queue) >= gop_n:
-                plans = gop_plan(cfg.latency, cfg.bframes)
-                batch = self.queue[:gop_n]
-                self.queue = self.queue[gop_n:]
+                # honest -lookahead (qy265enc.h:121): with CU-tree on,
+                # hold coding until the analysis window is full so
+                # propagation depth follows the flag, not call pattern
+                la_depth = min(int(cfg.lookahead or 0), 64)
+                if (not flushing and cfg.cutree and la_depth > gop_n
+                        and len(self.queue) < la_depth):
+                    break
+                use_n = gop_n
+                if cfg.b_adapt and gop_n > 2:
+                    # sceneMove analog: high-motion windows drop the deep
+                    # B pyramid (distant refs go stale) down to short
+                    # mini-GOPs / plain P
+                    rs = []
+                    for k in range(gop_n):
+                        # coding-time read: the window is fully queued, so
+                        # forcing the pending analysis batch is correct
+                        fa = self.la.get(idx0 + k, force=True)
+                        if fa is None or fa.icost <= 0:
+                            break
+                        rs.append(fa.pcost / max(fa.icost, 1.0))
+                    if len(rs) == gop_n:
+                        m = float(np.median(rs))
+                        if m > 0.80:
+                            use_n = 1       # inter useless: plain P
+                        elif m > 0.55 and gop_n > 4:
+                            use_n = 4       # shallow pyramid
+                if use_n == 1:
+                    di, f = self.queue.pop(0)
+                    out.append(self._encode_picture(
+                        f, di, LDP[self.gop_base % len(LDP)]))
+                    self.gop_base += 1
+                    continue
+                plans = gop_plan(cfg.latency,
+                                 cfg.bframes if use_n == gop_n
+                                 else use_n - 1)
+                batch = self.queue[:use_n]
+                self.queue = self.queue[use_n:]
                 for plan in plans:
                     di, f = batch[plan.poc_in_gop - 1]
                     out.append(self._encode_picture(f, di, plan))
-                self.gop_base += gop_n
+                self.gop_base += use_n
                 continue
             if till_idr < gop_n and len(self.queue) >= till_idr:
                 for _ in range(till_idr):
@@ -520,7 +558,8 @@ class HevcEncoder:
                             for a in (srcs_y, srcs_cb, srcs_cr))
             decisions = decide_frames(src_dev[0], src_dev[1], src_dev[2],
                                       qps, cfg.lambda_scale,
-                                      effort=int(cfg.decide_effort))
+                                      effort=int(cfg.decide_effort),
+                                      want_costs=False)
             for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
                     items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
                 (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32,
@@ -539,7 +578,8 @@ class HevcEncoder:
                         cbo=self.pps.cb_qp_offset,
                         cro=self.pps.cr_qp_offset,
                         deblock=not self.pps.deblocking_filter_disabled,
-                        sao=bool(self.sps.sao_enabled))
+                        sao=bool(self.sps.sao_enabled),
+                        sao_tier=max(int(cfg.sao), 1))
             finish = self._wf_coder.code_frames(
                 batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
                 sbh=bool(self.pps.sign_data_hiding_enabled),
@@ -760,6 +800,8 @@ class HevcEncoder:
             e.me_method = int(cfg.me)
             e.partitions = int(cfg.partitions)
             e.inter_tu_depth = int(cfg.inter_tu_depth)
+            e.dev_dpb = self.dev_dpb
+            e.sao_tier = max(int(cfg.sao), 1)
             if cfg.noise_reduction:
                 e.noise_reduction = int(cfg.noise_reduction)
                 # noise stats accumulate across the whole sequence
@@ -808,6 +850,14 @@ class HevcEncoder:
                 # offsets were applied ON DEVICE to the cached recon
                 sao_params = params_from_arrays(fs, *cached["sao_arrays"])
                 sao_applied = True
+            elif dev_post is not None \
+                    and dev_post.get("sao_arrays") is not None:
+                # inter engine: decision AND apply ran on device inside
+                # the coding dispatch; the chosen params came back in the
+                # packed row for syntax
+                sao_params = params_from_arrays(fs,
+                                                *dev_post["sao_arrays"])
+                sao_applied = bool(dev_post.get("sao_applied"))
             else:
                 dev_stats = None
                 if dev_post is not None:
@@ -902,6 +952,8 @@ class HevcEncoder:
         if cached is not None and cached.get("recon_dev") is not None:
             recon = self._lazy_recon(cached["recon_dev"], cached["fidx"],
                                      poc)
+        elif dev_post is not None and dev_post.get("recon_dev") is not None:
+            recon = self._lazy_recon(dev_post["recon_dev"], None, poc)
         else:
             recon = self._wrap_recon(fs, frame)
         if cfg.md5:
@@ -926,6 +978,15 @@ class HevcEncoder:
             # is_long_term flag flips only when an RPS signals it as LT
             new_rp.lt_candidate = True
         self.dpb.append(new_rp)
+        # device DPB mirror: engine frames' planes already live on device;
+        # batched-intra frames register their stack slice; host-path
+        # frames upload lazily on first reference use
+        if dev_post is not None and dev_post.get("recon_dev") is not None:
+            self.dev_dpb.put(fs, dev_post["recon_dev"])
+        elif cached is not None and cached.get("recon_dev") is not None:
+            rd, fi = cached["recon_dev"], cached["fidx"]
+            self.dev_dpb.put(fs, tuple(d[fi] for d in rd))
+        self.dev_dpb.trim({id(rp.fs) for rp in self.dpb})
         from ..utils.log import log
         log(-1, "enc poc %d %s qp %d bits %d" % (
             poc, "I" if is_idr else ("P" if slice_type == P_SLICE
@@ -958,9 +1019,10 @@ class HevcEncoder:
             self.stats.write()
         return ef
 
-    def _lazy_recon(self, dev, fidx: int, poc: int):
+    def _lazy_recon(self, dev, fidx, poc: int):
         """Device-resident recon -> lazily-fetched YUV view (conf-window
-        cropped like _wrap_recon)."""
+        cropped like _wrap_recon). fidx indexes a batched stack; None
+        means unbatched per-frame planes (the inter engine's output)."""
         from ..utils.yuv import LazyYUV
         sps = self.sps
         l, r, t, b = sps.conf_win
@@ -968,15 +1030,15 @@ class HevcEncoder:
         y0, y1 = 2 * t, sps.height - 2 * b
 
         def fetch():
-            return (np.asarray(dev[0][fidx])[y0:y1, x0:x1],
-                    np.asarray(dev[1][fidx])[y0 // 2:y1 // 2,
-                                             x0 // 2:x1 // 2],
-                    np.asarray(dev[2][fidx])[y0 // 2:y1 // 2,
-                                             x0 // 2:x1 // 2])
+            pl = dev if fidx is None else tuple(d[fidx] for d in dev)
+            return (np.asarray(pl[0])[y0:y1, x0:x1],
+                    np.asarray(pl[1])[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
+                    np.asarray(pl[2])[y0 // 2:y1 // 2, x0 // 2:x1 // 2])
 
         return LazyYUV(fetch, poc=poc)
 
     def _wrap_recon(self, fs: FrameState, src: YUVFrame) -> YUVFrame:
+        fs.ensure_planes()
         sps = self.sps
         l, r, t, b = sps.conf_win
         x0, x1 = 2 * l, sps.width - 2 * r

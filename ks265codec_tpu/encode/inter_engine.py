@@ -28,17 +28,6 @@ from .merge_vec import (REC, RefCtx, amvp_vec, field_from_fs,
 _ZVAL_CACHE: dict = {}
 
 
-def engine_supported(cfg, sps, pps) -> bool:
-    """Configurations the device engine covers (others fall back to the
-    sequential host walk)."""
-    return (not pps.tiles_enabled and int(getattr(cfg, "slices", 1)) <= 1
-            and not pps.cu_qp_delta_enabled
-            and int(getattr(cfg, "partitions", 0)) == 0
-            and int(getattr(cfg, "inter_tu_depth", 0)) == 0
-            and not sps.pcm_enabled
-            and not int(getattr(cfg, "noise_reduction", 0)))
-
-
 def _zvals(h4, w4, log2_ctb):
     key = (h4, w4, log2_ctb)
     z = _ZVAL_CACHE.get(key)
@@ -62,10 +51,23 @@ def _grid_origins(w, h, n):
         (by.reshape(-1) * n).astype(np.int32), nby, nbx
 
 
+def _mvd_bits(d):
+    """Exact mvd_coding bin count per component (spec 7.3.8.9): gt0/gt1
+    ctx bins + EG1 bypass remainder + sign. d = |mvd| (any shape)."""
+    d = np.abs(d).astype(np.int64)
+    m = np.maximum(d - 2, 0) // 2 + 1
+    eg1 = 2 * (np.floor(np.log2(np.maximum(m, 1))).astype(np.int64)) + 2
+    return np.where(d == 0, 1.0,
+                    np.where(d == 1, 3.0, 3.0 + eg1)).astype(np.float32)
+
+
 def _me_bits_est(mv, pred):
-    d = np.abs(mv.astype(np.float32) - pred.astype(np.float32))
-    return 2.0 + 2.0 * np.log2(1.0 + d[..., 0]) \
-        + 2.0 * np.log2(1.0 + d[..., 1])
+    """AMVP syntax rate for an ME record: true mvd bin counts against the
+    predictor proxy + mvp flag (the old 2*log2 curve underpriced large
+    motion and overpriced small — the CBitCounterRough shape, now with
+    the real binarization)."""
+    d = mv.astype(np.int64) - pred.astype(np.int64)
+    return 1.0 + _mvd_bits(d[..., 0]) + _mvd_bits(d[..., 1])
 
 
 class _Maps:
@@ -76,11 +78,48 @@ class _Maps:
         self.pmode = np.zeros((h8, w8), np.uint8)       # 0 inter, 1 intra
         self.ref = np.full((2, h8, w8), -1, np.int8)
         self.mv = np.zeros((2, h8, w8, 2), np.int32)
-        self.drop64 = np.zeros((h8, w8), bool)          # force-drop region
         self.tiers = {}
 
 
 # ----------------------------------------------------- lean pre-analysis
+
+def _device_inputs(enc):
+    """Upload the source ONCE and build the unique-reference device
+    stacks from the device DPB (references live on device: the coding
+    dispatch put them there — round-3 re-uploaded every ref every frame
+    over the tunnel). Sets enc._src_dev, enc._refs_dev, enc._slot_of."""
+    import jax.numpy as jnp
+
+    if getattr(enc, "_src_dev", None) is None:
+        enc._src_dev = tuple(
+            jnp.asarray(a.astype(np.uint8))
+            for a in (enc.src_y, enc.src_cb, enc.src_cr))
+    if getattr(enc, "_refs_dev", None) is None:
+        uniq, slot_of = [], {}
+        for lst in enc.ref_lists:
+            for rp in lst:
+                if id(rp.fs) not in slot_of:
+                    slot_of[id(rp.fs)] = len(uniq)
+                    uniq.append(rp)
+        dpb = getattr(enc, "dev_dpb", None)
+        if dpb is not None:
+            from .devdpb import stack_refs
+            enc._refs_dev = stack_refs(dpb, uniq)
+        else:
+            enc._refs_dev = (
+                jnp.asarray(np.stack([np.asarray(rp.fs.planes()[0],
+                                                 np.uint8)
+                                      for rp in uniq])),
+                jnp.asarray(np.stack([np.asarray(rp.fs.planes()[1],
+                                                 np.uint8)
+                                      for rp in uniq])),
+                jnp.asarray(np.stack([np.asarray(rp.fs.planes()[2],
+                                                 np.uint8)
+                                      for rp in uniq])))
+        enc._slot_of = slot_of
+        enc._uniq = uniq
+    return enc._src_dev, enc._refs_dev, enc._slot_of
+
 
 def engine_pre_analysis(enc) -> None:
     """ME + intra analysis for the device engine: ONE hierarchical 8-tier
@@ -88,13 +127,16 @@ def engine_pre_analysis(enc) -> None:
     from the best child, then judged properly by the device rough-RD
     arbitration) — replaces the 4-searches-per-ref pre-pass whose dense
     16-tier grid dominated the profile."""
+    import jax.numpy as jnp
+
     from ..ops.me2 import me_fused
     from .intra_frame import decide_frame
 
     enc._apply_lam_scale()
+    src_dev, refs_dev, slot_of = _device_inputs(enc)
     (_, enc.mode16, _, _, _, enc.mode8, enc.cmode8, enc.cmode16,
      _, enc.icost8, enc.icost16, enc.mode4, enc.nxn8) = decide_frame(
-        enc.src_y, enc.src_cb, enc.src_cr, enc.qp,
+        src_dev[0], src_dev[1], src_dev[2], enc.qp,
         effort=getattr(enc, "decide_effort", 1))
     sps = enc.sps
     pw, ph = sps.width, sps.height
@@ -104,8 +146,9 @@ def engine_pre_analysis(enc) -> None:
 
     if is_b:
         rp0, rp1 = enc.ref_lists[0][0], enc.ref_lists[1][0]
+        sl = jnp.asarray([slot_of[id(rp0.fs)], slot_of[id(rp1.fs)]])
         mv_q, cost, dir8, sad8 = me_fused(
-            enc.src_y, [rp0.fs.y, rp1.fs.y], merange, lam8, pw, ph,
+            src_dev[0], refs_dev[0][sl], merange, lam8, pw, ph,
             bi=True)
         enc.dir8 = np.asarray(dir8)
         enc.sad8 = np.asarray(sad8)
@@ -114,8 +157,8 @@ def engine_pre_analysis(enc) -> None:
         enc.dir16, enc.mv0q, enc.mv1q, enc.sad16 = _child_min_b(
             enc.dir8, mv_q[0], mv_q[1], enc.sad8)
     else:
-        mv_q, cost = me_fused(enc.src_y,
-                              [rp.fs.y for rp in enc.ref_lists[0]],
+        sl = jnp.asarray([slot_of[id(rp.fs)] for rp in enc.ref_lists[0]])
+        mv_q, cost = me_fused(src_dev[0], refs_dev[0][sl],
                               merange, lam8, pw, ph, bi=False)
         c = cost + enc.lam_satd * 2.0 * np.arange(
             len(enc.ref_lists[0]), dtype=np.float32)[:, None, None]
@@ -157,7 +200,7 @@ def run_engine(enc) -> None:
     (ME fields + intra decision maps present)."""
     import jax.numpy as jnp
 
-    from ..ops.interdecide import decide_tier_jit
+    from ..ops.interdecide import decide_tiers_fused_jit
 
     fs, sps, pps, hdr = enc.fs, enc.sps, enc.pps, enc.hdr
     cfg_w, cfg_h = sps.width, sps.height
@@ -183,18 +226,11 @@ def run_engine(enc) -> None:
          for q in range(64)], np.int32)
     enc._qp_tabs = (qp_map8, lam_tab, lams_tab, cqpb_tab, cqpr_tab)
 
-    # ---------------------------------------------- reference stacks/slots
-    uniq, slot_of = [], {}
-    for lst in ref_lists:
-        for rp in lst:
-            if id(rp.fs) not in slot_of:
-                slot_of[id(rp.fs)] = len(uniq)
-                uniq.append(rp)
+    # ------------------------------------- device inputs (pre-uploaded)
+    jsrc, jr, slot_of = _device_inputs(enc)
+    uniq = enc._uniq
     sl = [np.array([slot_of[id(rp.fs)] for rp in ref_lists[l]] + [0],
                    np.int32) for l in range(2)]          # +sentinel
-    refs_y = np.stack([np.asarray(rp.fs.y, np.uint8) for rp in uniq])
-    refs_cb = np.stack([np.asarray(rp.fs.cb, np.uint8) for rp in uniq])
-    refs_cr = np.stack([np.asarray(rp.fs.cr, np.uint8) for rp in uniq])
 
     def to_slot(l, r):
         r = np.asarray(r)
@@ -232,11 +268,6 @@ def run_engine(enc) -> None:
         if hdr.collocated_ref_idx < len(ref_lists[lstc]):
             col_pic = ref_lists[lstc][hdr.collocated_ref_idx]
     ctx = RefCtx(ref_lists, hdr, sps, col_pic)
-
-    jr = (jnp.asarray(refs_y), jnp.asarray(refs_cb), jnp.asarray(refs_cr))
-    jsrc = (jnp.asarray(enc.src_y.astype(np.uint8)),
-            jnp.asarray(enc.src_cb.astype(np.uint8)),
-            jnp.asarray(enc.src_cr.astype(np.uint8)))
 
     # --------------------------------------------------- per-tier decide
     def me_rec_tier(n):
@@ -277,8 +308,49 @@ def run_engine(enc) -> None:
                 crop(rr1).astype(np.int32), crop(m1).astype(np.int32),
                 crop(bits))
 
-    def tier(n, me_rec=None, icost=None, zero_only=False):
+    # ---- 8-tier pruning (goDownJudge analog): the dense 8-tier decide
+    # is ~70% of the fused dispatch's work (14400 blocks at 720p) but
+    # most 16-blocks never split. Evaluate only the top quarter of
+    # 16-blocks by split-gain score (ME SAD drop of independent children
+    # + intra cost drop), children of the rest inherit "don't split".
+    # The subset size is STATIC (B16//4) so the dispatch compiles once.
+    def _split_subset():
+        nby16, nbx16 = cfg_h // 16, cfg_w // 16
+        s16 = enc.sad16[:nby16, :nbx16].astype(np.float64)
+        s8 = enc.sad8[:nby16 * 2, :nbx16 * 2].astype(np.float64)
+        c8sum = s8.reshape(nby16, 2, nbx16, 2).sum(axis=(1, 3))
+        gain = s16 - c8sum
+        i16 = enc.icost16[:nby16, :nbx16].astype(np.float64)
+        i8 = enc.icost8[:nby16 * 2, :nbx16 * 2].astype(np.float64)
+        i8sum = i8.reshape(nby16, 2, nbx16, 2).sum(axis=(1, 3))
+        score = np.maximum(gain, 0) + np.maximum(i16 - i8sum, 0)
+        B16 = nby16 * nbx16
+        k16 = max(1, B16 // 4)
+        sel16 = np.argsort(-score.reshape(-1), kind="stable")[:k16]
+        r16, c16 = sel16 // nbx16, sel16 % nbx16
+        # children 8-block flat indices in the 8-grid raster
+        nbx8 = cfg_w // 8
+        base = (r16 * 2)[:, None] * nbx8 + (c16 * 2)[:, None]
+        off = np.array([0, 1, nbx8, nbx8 + 1])
+        return np.sort((base + off[None, :]).reshape(-1))
+
+    idx8 = _split_subset()
+
+    def tier_prep(n, me_rec=None, icost=None, zero_only=False,
+                  subset=None):
+        """Host prep of one tier's decide inputs: merge candidates from
+        the approximate field + ME record + intra cost, returned as a
+        dict holding the traced-arg tuple for the FUSED decide dispatch.
+        With `subset` (flat indices into the full tier grid) only those
+        blocks are evaluated; the rest scatter back as 'never chosen'."""
         xs, ys, nby, nbx = _grid_origins(cfg_w, cfg_h, n)
+        B_full = len(xs)
+        if subset is not None:
+            xs, ys = xs[subset], ys[subset]
+            if me_rec is not None:
+                me_rec = tuple(a[subset] for a in me_rec)
+            if icost is not None:
+                icost = icost[subset]
         B = len(xs)
         cands = merge_lists_vec(afield, ctx, xs, ys, n, zv, region4,
                                 cfg_w, cfg_h)            # (B, C, REC)
@@ -292,38 +364,58 @@ def run_engine(enc) -> None:
         cvalid = (cs0 >= 0) | (cs1 >= 0)
         for j in range(1, C):           # duplicate records never win
             cvalid[j] &= ~(cands[:, :j] == cands[:, j:j + 1]).all(2).any(1)
-        com = (jsrc[0], jsrc[1], jsrc[2], jr[0], jr[1], jr[2],
-               jnp.asarray(xs), jnp.asarray(ys),
-               jnp.asarray(cs0), jnp.asarray(cmv0),
-               jnp.asarray(cs1), jnp.asarray(cmv1), jnp.asarray(cvalid))
-        fl = lambda v: jnp.full((B,), v, jnp.float32)
         qpb = qp_map8[ys >> 3, xs >> 3]
-        qps = (jnp.asarray(qpb), jnp.asarray(cqpb_tab[qpb]),
-               jnp.asarray(cqpr_tab[qpb]))
-        lamb = jnp.asarray(lam_tab[qpb])
-        lamsb = jnp.asarray(lams_tab[qpb])
         if zero_only:
-            zi = jnp.zeros((B,), jnp.int32)
-            zm = jnp.zeros((B, 2), jnp.int32)
-            has_zero, first = decide_tier_jit(
-                *com, zi - 1, zm, zi - 1, zm, fl(0.0), fl(np.inf), *qps,
-                lamb, lamsb, n=n, pic_w=cfg_w, pic_h=cfg_h,
-                has_l1=is_b, zero_only=True)
-            return dict(xs=xs, ys=ys, nby=nby, nbx=nbx, cands=cands,
-                        has_zero=np.asarray(has_zero),
-                        zidx=np.asarray(first))
-        ms0, mmv0, ms1, mmv1, me_bits = me_rec
-        out = decide_tier_jit(
-            *com, jnp.asarray(to_slot(0, ms0)), jnp.asarray(mmv0),
-            jnp.asarray(to_slot(1, ms1)), jnp.asarray(mmv1),
-            jnp.asarray(me_bits.astype(np.float32)),
-            jnp.asarray(icost.astype(np.float32)), *qps,
-            lamb, lamsb, n=n, pic_w=cfg_w, pic_h=cfg_h,
-            has_l1=is_b, zero_only=False)
-        choice, bidx, cost = (np.asarray(o) for o in out[:3])
+            zi = np.full(B, -1, np.int32)
+            zm = np.zeros((B, 2), np.int32)
+            ms0j, mmv0, ms1j, mmv1 = zi, zm, zi, zm
+            me_bits = np.zeros(B, np.float32)
+            icost = np.full(B, np.inf, np.float32)
+            me = None
+        else:
+            ms0, mmv0, ms1, mmv1, me_bits = me_rec
+            ms0j, ms1j = to_slot(0, ms0), to_slot(1, ms1)
+            me = (ms0, mmv0, ms1, mmv1)
+        args = tuple(jnp.asarray(a) for a in (
+            xs, ys, cs0, cmv0, cs1, cmv1, cvalid,
+            ms0j, np.asarray(mmv0, np.int32),
+            ms1j, np.asarray(mmv1, np.int32),
+            np.asarray(me_bits, np.float32),
+            np.asarray(icost, np.float32),
+            qpb, cqpb_tab[qpb], cqpr_tab[qpb],
+            lam_tab[qpb], lams_tab[qpb]))
         return dict(xs=xs, ys=ys, nby=nby, nbx=nbx, cands=cands,
-                    choice=choice, bidx=bidx, cost=cost,
-                    me=(ms0, mmv0, ms1, mmv1))
+                    me=me, args=args, n=n, zero_only=zero_only, B=B,
+                    subset=subset, B_full=B_full)
+
+    def decide_fused(tiers):
+        """ONE device dispatch for every tier's decision + one packed
+        fetch (per-tier dispatches paid ~30 ms link round-trip each)."""
+        meta = tuple((t["n"], t["zero_only"]) for t in tiers)
+        buf = np.asarray(decide_tiers_fused_jit(
+            *jsrc, *jr, tuple(t["args"] for t in tiers), meta=meta,
+            pic_w=cfg_w, pic_h=cfg_h, has_l1=is_b))
+        off = 0
+
+        def take(dt, nel):
+            nonlocal off
+            a = np.frombuffer(buf, dt, nel, off)
+            off += nel * np.dtype(dt).itemsize
+            return a
+
+        for t in tiers:
+            B = t["B"]
+            if t["zero_only"]:
+                t["has_zero"] = take(np.uint8, B).astype(bool)
+                t["zidx"] = take(np.uint8, B).astype(np.int32)
+            else:
+                t["choice"] = take(np.uint8, B).astype(np.int8)
+                t["bidx"] = take(np.uint8, B).astype(np.int64)
+                t["cost"] = take(np.float32, B).copy()
+            if t["subset"] is not None:
+                _scatter_subset(t, cfg_w, cfg_h)
+        assert off == buf.size, (off, buf.size)
+        return tiers
 
     def crop_cost(a, n):
         return a[:cfg_h // n, :cfg_w // n].astype(np.float32).reshape(-1)
@@ -335,16 +427,21 @@ def run_engine(enc) -> None:
     # early-CU skips make later CUs' candidates zero-ish and cheap).
     maps = None
     for _ in range(2):
-        t8 = tier(8, me_rec_tier(8), crop_cost(enc.icost8, 8))
-        t16 = tier(16, me_rec_tier(16), crop_cost(enc.icost16, 16))
-        t32 = None
+        tiers = [tier_prep(8, me_rec_tier(8), crop_cost(enc.icost8, 8),
+                           subset=idx8),
+                 tier_prep(16, me_rec_tier(16),
+                           crop_cost(enc.icost16, 16))]
         if cfg_w >= 32 and cfg_h >= 32:
-            t32 = tier(32, me_rec_tier(32),
-                       np.full((cfg_h // 32) * (cfg_w // 32), np.inf,
-                               np.float32))
-        t64 = None
+            tiers.append(tier_prep(
+                32, me_rec_tier(32),
+                np.full((cfg_h // 32) * (cfg_w // 32), np.inf,
+                        np.float32)))
         if cfg_w >= 64 and cfg_h >= 64:
-            t64 = tier(64, zero_only=True)
+            tiers.append(tier_prep(64, zero_only=True))
+        decide_fused(tiers)
+        t8, t16 = tiers[0], tiers[1]
+        t32 = tiers[2] if len(tiers) > 2 else None
+        t64 = tiers[3] if len(tiers) > 3 else None
         maps = _assemble_maps(enc, t8, t16, t32, t64, h8, w8)
         # decided field -> next iteration's candidate source
         afield = dict(
@@ -360,11 +457,44 @@ def run_engine(enc) -> None:
     # nearest compatible candidate recovers the sequential walk's
     # merge/skip density; the coding pass re-evaluates residuals after.
     _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b)
-    planes, sao_stats = _dispatch_coding(enc, maps, jr, jsrc, to_slot,
-                                         slot_of, is_b)
-    _fill_and_map_syntax(enc, maps, planes, ctx, zv, region4)
+    rec_dev, coeffs, sao_arrays = _dispatch_coding(
+        enc, maps, jr, jsrc, to_slot, slot_of, is_b)
+    _fill_and_map_syntax(enc, maps, coeffs, ctx, zv, region4)
+    # final reconstruction (deblocked + SAO'd on device) stays on device:
+    # it is the next frames' reference picture and the host only reads it
+    # lazily (recon consumer, PSNR, fallback paths)
+    enc.fs.attach_device_planes(rec_dev)
     enc.device_post = dict(deblocked=not pps.deblocking_filter_disabled,
-                           sao_stats=sao_stats)
+                           sao_arrays=sao_arrays, recon_dev=rec_dev,
+                           sao_applied=True)
+
+
+def _scatter_subset(t, cfg_w, cfg_h):
+    """Expand a subset-evaluated tier back to the full grid: unevaluated
+    blocks carry infinite cost (never chosen by the split arbitration)."""
+    n = t["n"]
+    xs, ys, nby, nbx = _grid_origins(cfg_w, cfg_h, n)
+    B = len(xs)
+    sub = t["subset"]
+    cands = np.zeros((B,) + t["cands"].shape[1:], t["cands"].dtype)
+    cands[:, :, 0:2] = -1
+    cands[sub] = t["cands"]
+    choice = np.full(B, 2, np.int8)
+    choice[sub] = t["choice"]
+    bidx = np.zeros(B, np.int64)
+    bidx[sub] = t["bidx"]
+    cost = np.full(B, np.inf, np.float32)
+    cost[sub] = t["cost"]
+    me = t["me"]
+    if me is not None:
+        ms0 = np.full(B, -1, np.int32)
+        ms1 = np.full(B, -1, np.int32)
+        mmv0 = np.zeros((B, 2), np.int32)
+        mmv1 = np.zeros((B, 2), np.int32)
+        ms0[sub], mmv0[sub], ms1[sub], mmv1[sub] = me
+        me = (ms0, mmv0, ms1, mmv1)
+    t.update(xs=xs, ys=ys, nby=nby, nbx=nbx, cands=cands, choice=choice,
+             bidx=bidx, cost=cost, me=me, B=B, subset=None)
 
 
 # ===================================================== merge snapping
@@ -378,7 +508,7 @@ def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
     zero-residual guarantee was verified for the decided motion."""
     import jax.numpy as jnp
 
-    from ..ops.interdecide import cand_sads_jit
+    from ..ops.interdecide import snap_sads_fused_jit
 
     sps = enc.sps
     cfg_w, cfg_h = sps.width, sps.height
@@ -390,7 +520,8 @@ def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
             ref=np.stack([np.repeat(np.repeat(maps.ref[l], 2, 0), 2, 1)
                           for l in range(2)]),
             inter=np.repeat(np.repeat(maps.pmode == 0, 2, 0), 2, 1))
-        changed = False
+        # ---- host prep for every tier, then ONE fused SAD dispatch
+        prep = []
         for key, (t, act, n) in maps.tiers.items():
             if n == 64:
                 continue
@@ -428,16 +559,32 @@ def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
                 allrec[:, :, 2:4].transpose(1, 0, 2)).astype(np.int32)
             cmv1 = np.ascontiguousarray(
                 allrec[:, :, 4:6].transpose(1, 0, 2)).astype(np.int32)
-            sads = np.asarray(cand_sads_jit(
-                jsrc[0], jr[0], jnp.asarray(xs_u), jnp.asarray(ys_u),
-                jnp.asarray(cs0), jnp.asarray(cmv0), jnp.asarray(cs1),
-                jnp.asarray(cmv1), n=n, pic_w=cfg_w, pic_h=cfg_h,
-                has_l1=is_b))[:, :len(um)]              # (C+1, B)
+            args = tuple(jnp.asarray(v) for v in
+                         (xs_u, ys_u, cs0, cmv0, cs1, cmv1))
+            prep.append(dict(n=n, K=K, C1=allrec.shape[1], xs=xs, ys=ys,
+                             r8=r8, c8=c8, um=um, lists=lists,
+                             cs0=cs0, cs1=cs1, args=args))
+        if not prep:
+            break
+        meta = tuple(p["n"] for p in prep)
+        buf = np.asarray(snap_sads_fused_jit(
+            jsrc[0], jr[0], tuple(p["args"] for p in prep), meta=meta,
+            pic_w=cfg_w, pic_h=cfg_h, has_l1=is_b))
+        off = 0
+        changed = False
+        for p in prep:
+            nel = p["C1"] * p["K"]
+            sads = np.frombuffer(buf, np.float32, nel, off) \
+                .reshape(p["C1"], p["K"])[:, :len(p["um"])]
+            off += nel * 4
+            um, lists, xs, ys = p["um"], p["lists"], p["xs"], p["ys"]
+            r8, c8, n = p["r8"], p["c8"], p["n"]
             lam_s = lams_tab[qp_map8[ys[um] >> 3, xs[um] >> 3]]
             C = lists.shape[1]
             csel = sads[:C] + lam_s[None, :] * (
                 2.0 + np.arange(C, dtype=np.float32)[:, None])
-            cvalid = (cs0[:C, :len(um)] >= 0) | (cs1[:C, :len(um)] >= 0)
+            cvalid = (p["cs0"][:C, :len(um)] >= 0) \
+                | (p["cs1"][:C, :len(um)] >= 0)
             csel = np.where(cvalid, csel, np.inf)
             best = np.argmin(csel, 0)
             best_cost = csel[best, np.arange(len(um))]
@@ -456,6 +603,7 @@ def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
                     maps.mv[l][rr:rr + nn, cc:cc + nn, 1] = \
                         nrec[j, 3 + 2 * l]
                 changed = True
+        assert off == buf.size, (off, buf.size)
         if not changed:
             break
 
@@ -537,7 +685,13 @@ def _assemble_maps(enc, t8, t16, t32, t64, h8, w8):
                              act32.shape)
     sp = act16 & split16
     act16 = act16 & ~sp
-    act8 = np.repeat(np.repeat(sp, 2, 0), 2, 1)[:nby8, :nbx8]
+    # 8-cells beyond the 16-tier's coverage (coded dims not a multiple of
+    # 16 — cannot happen with the current 16-aligned SPS, but kept safe)
+    # are always 8-tier CUs
+    act8 = np.ones((nby8, nbx8), bool)
+    r8 = np.repeat(np.repeat(sp, 2, 0), 2, 1)
+    act8[:min(r8.shape[0], nby8), :min(r8.shape[1], nbx8)] = \
+        r8[:nby8, :nbx8]
 
     def fill_tier(t, rec, n, active):
         nn = n >> 3
@@ -580,7 +734,6 @@ def _assemble_maps(enc, t8, t16, t32, t64, h8, w8):
                      np.full(len(bidx), -1, np.int32),
                      np.zeros((len(bidx), 2), np.int32))
         fill_tier(t64, rec64, 64, skip64)
-        maps.drop64 |= up8(skip64, 64)
     maps.tiers = dict(t8=(t8, act8, 8), t16=(t16, act16, 16))
     if act32 is not None:
         maps.tiers["t32"] = (t32, act32, 32)
@@ -707,6 +860,7 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
     zcu4 = zloc[oy4, ox4]
 
     esc_cap = max(4096, (ph * pw * 3 // 2) // 8)
+    sao_tier = int(getattr(enc, "sao_tier", 4))
     buf = code_inter_frame_jit(
         *jsrc, *jr,
         jnp.asarray(slot0), jnp.asarray(mv0),
@@ -726,13 +880,16 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
         deblock=not pps.deblocking_filter_disabled, esc_cap=esc_cap,
         slice_qp=int(hdr.slice_qp),
         dqp=bool(pps.cu_qp_delta_enabled),
-        wpp=bool(pps.entropy_coding_sync_enabled))
-    row, cyd, ccbd, ccrd = buf
-    return _unpack_row(np.asarray(row), ph, pw, sps, esc_cap,
-                       (cyd, ccbd, ccrd))
+        wpp=bool(pps.entropy_coding_sync_enabled), sao_tier=sao_tier)
+    row, dy, dcb, dcr, cyd, ccbd, ccrd = buf
+    coeffs, sao_arrays = _unpack_row(np.asarray(row), ph, pw, sps,
+                                     esc_cap, (cyd, ccbd, ccrd))
+    return (dy, dcb, dcr), coeffs, sao_arrays
 
 
 def _unpack_row(row, ph, pw, sps, esc_cap, dense_dev):
+    """Sparse coefficients + chosen SAO params from the packed D2H row
+    (reconstruction planes stay on device)."""
     off = 0
 
     def take(dtype, shape):
@@ -742,9 +899,6 @@ def _unpack_row(row, ph, pw, sps, esc_cap, dense_dev):
         off += n * np.dtype(dtype).itemsize
         return a
 
-    dy = take(np.uint8, (ph, pw))
-    dcb = take(np.uint8, (ph // 2, pw // 2))
-    dcr = take(np.uint8, (ph // 2, pw // 2))
     M = ph * pw * 3 // 2
 
     def dense_fetch():
@@ -756,18 +910,17 @@ def _unpack_row(row, ph, pw, sps, esc_cap, dense_dev):
     cy = flat[:ph * pw].reshape(ph, pw)
     ccb = flat[ph * pw:ph * pw * 5 // 4].reshape(ph // 2, pw // 2)
     ccr = flat[ph * pw * 5 // 4:].reshape(ph // 2, pw // 2)
-    stats = None
+    sao_arrays = None
     if sps.sao_enabled:
         ncty = ph // sps.ctb_size
         nctx = pw // sps.ctb_size
-        stats = []
-        for _ in range(3):
-            stats.append((take(np.int32, (4, 5, ncty, nctx)),
-                          take(np.int32, (4, 5, ncty, nctx)),
-                          take(np.int32, (32, ncty, nctx)),
-                          take(np.int32, (32, ncty, nctx))))
+        type_ = take(np.int8, (3, ncty, nctx))
+        offs_ = take(np.int8, (3, ncty, nctx, 4))
+        bpos_ = take(np.int8, (3, ncty, nctx))
+        eocl_ = take(np.int8, (3, ncty, nctx))
+        sao_arrays = (type_, offs_, bpos_, eocl_)
     assert off == row.size, (off, row.size)
-    return (dy, dcb, dcr, cy, ccb, ccr), stats
+    return (cy, ccb, ccr), sao_arrays
 
 
 def _intra_segs(enc, maps):
@@ -927,11 +1080,12 @@ def _bs_inputs(enc, maps):
 
 # ===================================================== fs/syn filling
 
-def _fill_and_map_syntax(enc, maps, planes, ctx, zv, region4):
-    """Vectorized FrameState/EncSyntax fill + TRUE-field syntax mapping."""
+def _fill_and_map_syntax(enc, maps, coeffs, ctx, zv, region4):
+    """Vectorized FrameState/EncSyntax fill + TRUE-field syntax mapping.
+    Pixel planes are NOT touched here — the reconstruction stays on
+    device (run_engine attaches it to fs for lazy materialization)."""
     fs, syn, sps, hdr = enc.fs, enc.syn, enc.sps, enc.hdr
-    dy, dcb, dcr, cy, ccb, ccr = planes
-    fs.y[:], fs.cb[:], fs.cr[:] = dy, dcb, dcr
+    cy, ccb, ccr = coeffs
     syn.cy[:] = cy
     syn.ccb[:] = ccb
     syn.ccr[:] = ccr

@@ -89,6 +89,12 @@ class PFrameEncoder(IntraFrameEncoder):
                     % (type(ex).__name__, ex))
                 self.use_device_engine = False
                 self._skip_pre = False
+        # the host walk reads reference pixels on the host; device-path
+        # frames keep them on device until someone asks
+        for lst in self.ref_lists:
+            for rp in lst:
+                if hasattr(rp.fs, "ensure_planes"):
+                    rp.fs.ensure_planes()
         self.compute_sequential()
 
     def _pre_analyze(self) -> None:

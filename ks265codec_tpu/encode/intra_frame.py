@@ -214,9 +214,16 @@ def decide_frame(src_y: np.ndarray, src_cb: np.ndarray,
     ONE decision implementation. Returns (split32, mode16, mode32, cplx,
     split16, mode8, cm8, cm16, cm32)."""
     from ..ops.decide import decide_frames
-    return decide_frames(np.asarray(src_y, np.uint8)[None],
-                         np.asarray(src_cb, np.uint8)[None],
-                         np.asarray(src_cr, np.uint8)[None],
+
+    def one(a):
+        # device uint8 planes pass through (the inter engine shares its
+        # single source upload with this decision pass)
+        import jax.numpy as jnp
+        if isinstance(a, jnp.ndarray) and a.dtype == jnp.uint8:
+            return a[None]
+        return np.asarray(a, np.uint8)[None]
+
+    return decide_frames(one(src_y), one(src_cb), one(src_cr),
                          [qp], lam_scale, effort=effort, nxn=nxn)[0]
 
 

@@ -50,8 +50,13 @@ class Lookahead:
         # batch floor: probes (scenecut peeks) must not force 1-frame
         # flushes — CU-tree propagation only sees blocks within one
         # flush window, and single-frame windows propagate nothing. The
-        # reorder depth (bframes) is the natural window.
+        # reorder depth (bframes) is the floor; with CU-tree enabled the
+        # window honors -lookahead (qy265enc.h:121) so propagation depth
+        # follows the flag, not the caller's push/read pattern.
         self._min_flush = max(1, int(getattr(cfg, "bframes", 0) or 0))
+        if getattr(cfg, "cutree", 0) and getattr(cfg, "lookahead", 0):
+            self._min_flush = max(self._min_flush,
+                                  min(int(cfg.lookahead), 64))
 
     def push(self, display_idx: int, y: np.ndarray) -> None:
         """Buffer the frame (downsample stays on device). Features are
@@ -109,8 +114,16 @@ class Lookahead:
             pcost = float(row[1]) if not first else icost
             cost = float(row[2]) if not first else icost
             var = None
+            mean8 = None
             if want_var:
                 var = row[3:3 + nb].reshape(hh // 8, hw // 8)
+                if int(self.cfg.aq_mode) >= 3:
+                    # dark-bias needs block means: fetch this frame's
+                    # half-res plane (aq 3 is opt-in; the extra D2H is
+                    # its documented cost)
+                    hplane = np.asarray(halves[k]).astype(np.float64)
+                    mean8 = hplane[:(hh // 8) * 8, :(hw // 8) * 8] \
+                        .reshape(hh // 8, 8, hw // 8, 8).mean((1, 3))
             cut = False
             if not first and di - self._last_cut >= SCENECUT_MIN_GAP:
                 cut = pcost >= SCENECUT_BIAS * max(icost, 1.0) \
@@ -121,7 +134,7 @@ class Lookahead:
                     from ..utils.log import log
                     log(0, "scenecut at display %d (pcost %.0f icost %.0f)"
                         % (di, pcost, icost))
-            dqp = self._aq_offsets(var) if want_var else None
+            dqp = self._aq_offsets(var, mean8) if want_var else None
             if tree_dqps[k] is not None:
                 dqp = (tree_dqps[k] if dqp is None
                        else np.clip(dqp.astype(np.int32)
@@ -148,15 +161,32 @@ class Lookahead:
         pc = getattr(self, "_pcosts", [])
         return float(np.median(pc)) if pc else 0.0
 
-    def _aq_offsets(self, var: np.ndarray) -> np.ndarray:
-        """aq_mode 1: CTU-granular dQP from relative block energy
-        (calcFrameAdaptQuant analog; x264 AQ shape). var is per-8x8 block
-        of the HALF plane -> a CTU (64 luma) covers 4x4 blocks."""
+    def _aq_offsets(self, var: np.ndarray,
+                    mean8: np.ndarray | None = None) -> np.ndarray:
+        """CTU-granular dQP from relative block energy
+        (calcFrameAdaptQuant analog; qy265enc.h:145 aq modes):
+          1: variance AQ (x264 shape) — offsets from log2 energy vs the
+             frame average;
+          2: auto-variance — offsets z-normalized by the frame's energy
+             SPREAD, so flat and busy content get comparable dynamics;
+          3: auto-variance with a dark-area bias (extra rate for blocks
+             whose mean luma is low, where banding is most visible).
+        var is per-8x8 block of the HALF plane -> a CTU covers 4x4."""
+        mode = int(self.cfg.aq_mode)
         strength = 1.0 * float(self.cfg.aq_strength)
         e = np.log2(1.0 + var)
         cty, ctx = e.shape[0] // 4, e.shape[1] // 4
         ectu = e[:cty * 4, :ctx * 4].reshape(cty, 4, ctx, 4).mean((1, 3))
-        dqp = -strength * 1.5 * (ectu - ectu.mean())
+        if mode >= 2:
+            spread = max(float(ectu.std()), 0.5)
+            dqp = -strength * 2.0 * (ectu - ectu.mean()) / spread
+        else:
+            dqp = -strength * 1.5 * (ectu - ectu.mean())
+        if mode >= 3 and mean8 is not None:
+            mctu = mean8[:cty * 4, :ctx * 4].reshape(cty, 4, ctx, 4) \
+                .mean((1, 3))
+            dqp = dqp - np.where(mctu < 60.0, 2.0,
+                                 np.where(mctu < 90.0, 1.0, 0.0))
         return np.clip(np.round(dqp), -6, 6).astype(np.int8)
 
     def _cutree(self, packed, want_var: bool, nby: int, nbx: int):

@@ -19,6 +19,18 @@ if _plat_env:
     except Exception:                   # pragma: no cover
         pass
 
+# Bit-exactness is load-bearing: every f32 matmul feeding the bitstream
+# (split-8-bit DCT, MC filter matmuls, one-hot selects) is exact ONLY at
+# full f32 precision. The TPU MXU's default matmul precision truncates
+# inputs to bf16 (measured: errors up to ~5e2 on the DCT split shapes),
+# which silently corrupts reconstruction — CPU tests never see it. Force
+# the highest precision tier globally; decision-only matmuls that could
+# tolerate bf16 are not worth the footgun.
+try:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+except Exception:                       # pragma: no cover
+    pass
+
 # The cache directory is keyed by (platform, host CPU fingerprint): the
 # repo (and ~/.cache) persists across container hosts, and CPU AOT
 # artifacts embed the compiling host's machine features (AMX,

@@ -383,16 +383,25 @@ def _decide_one(plane, cbp, crp, qp, qpc, lam, ls, effort: int,
             nxn8.astype(jnp.uint8))
 
 
-@partial(jax.jit, static_argnames=("effort", "nxn"))
+@partial(jax.jit, static_argnames=("effort", "nxn", "costs"))
 def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int,
-                      nxn: bool = False):
+                      nxn: bool = False, costs: bool = True):
     """Batched over frames: planes (F, ph, pw) uint8; qp/qpc/lam/ls (F,).
     Returns ONE packed uint8 vector (a single D2H fetch: the per-map
-    fetches cost ~tens of ms each through the device tunnel)."""
-    outs = jax.vmap(partial(_decide_one, effort=effort, nxn=nxn))(
-        planes, cbs, crs, qp, qpc, lam, ls)
+    fetches cost ~tens of ms each through the device tunnel). Mode maps
+    travel as uint8 (values 0..34) and the rough-RD cost maps / NxN tier
+    only when a consumer asked (`costs` — the inter engine's icost maps;
+    `nxn`) — the full int32 pack was ~500 KB/frame at 720p, several
+    tunnel-seconds per 16-frame batch."""
+    outs = list(jax.vmap(partial(_decide_one, effort=effort, nxn=nxn))(
+        planes, cbs, crs, qp, qpc, lam, ls))
+    for i in (1, 2, 5, 6, 7, 8, 11):          # mode maps: values < 256
+        outs[i] = outs[i].astype(jnp.uint8)
+    sel = list(range(9)) + ([9, 10] if costs else []) \
+        + ([11, 12] if nxn else [])
     parts = []
-    for o in outs:
+    for i in sel:
+        o = outs[i]
         if o.dtype == jnp.bool_:
             o = o.astype(jnp.uint8)
         if o.dtype == jnp.uint8:
@@ -405,11 +414,13 @@ def decide_frames_jit(planes, cbs, crs, qp, qpc, lam, ls, effort: int,
 
 def decide_frames(src_planes, src_cbs, src_crs, qps,
                   lam_scale: float = 1.0, effort: int = 1,
-                  nxn: bool = False):
+                  nxn: bool = False, want_costs: bool = True):
     """Host wrapper. src_planes (F, ph, pw) uint8/int (+ chroma at half
     res); qps list of ints. Returns per-frame tuples
     (split32, mode16, mode32, cplx, split16, mode8, cm8, cm16, cm32,
-    cost8, cost16)."""
+    cost8, cost16, mode4, nxn8). With want_costs=False the cost maps come
+    back as zeros (and with nxn=False the mode4/nxn8 maps) — callers that
+    only need the maps skip the fetch bytes."""
     from ..hevc.tables import chroma_qp
     qpa = np.asarray(qps, np.int32)
     lam = (0.57 * lam_scale
@@ -429,18 +440,21 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
         dev(src_planes), dev(src_cbs), dev(src_crs),
         jnp.asarray(qpa), jnp.asarray(qpc),
         jnp.asarray(lam.astype(np.float32)),
-        jnp.asarray(ls.astype(np.float32)), int(effort), bool(nxn)))
+        jnp.asarray(ls.astype(np.float32)), int(effort), bool(nxn),
+        bool(want_costs)))
     F, ph, pw = src_planes.shape
     h32, w32 = ph // 32, pw // 32
     h16, w16 = ph // 16, pw // 16
     h8, w8 = ph // 8, pw // 8
-    specs = [(np.uint8, (F, h32, w32)), (np.int32, (F, h16, w16)),
-             (np.int32, (F, h32, w32)), (np.float32, (F,)),
-             (np.uint8, (F, h16, w16)), (np.int32, (F, h8, w8)),
-             (np.int32, (F, h8, w8)), (np.int32, (F, h16, w16)),
-             (np.int32, (F, h32, w32)), (np.float32, (F, h8, w8)),
-             (np.float32, (F, h16, w16)), (np.int32, (F, h8 * 2, w8 * 2)),
-             (np.uint8, (F, h8, w8))]
+    specs = [(np.uint8, (F, h32, w32)), (np.uint8, (F, h16, w16)),
+             (np.uint8, (F, h32, w32)), (np.float32, (F,)),
+             (np.uint8, (F, h16, w16)), (np.uint8, (F, h8, w8)),
+             (np.uint8, (F, h8, w8)), (np.uint8, (F, h16, w16)),
+             (np.uint8, (F, h32, w32))]
+    if want_costs:
+        specs += [(np.float32, (F, h8, w8)), (np.float32, (F, h16, w16))]
+    if nxn:
+        specs += [(np.uint8, (F, h8 * 2, w8 * 2)), (np.uint8, (F, h8, w8))]
     outs = []
     off = 0
     for dt, shape in specs:
@@ -448,8 +462,17 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
         outs.append(np.frombuffer(buf, dt, n, off).reshape(shape))
         off += n * np.dtype(dt).itemsize
     assert off == buf.size, (off, buf.size)
-    return [(outs[0][f].astype(bool), outs[1][f], outs[2][f],
-             float(outs[3][f]), outs[4][f].astype(bool), outs[5][f],
-             outs[6][f], outs[7][f], outs[8][f], outs[9][f], outs[10][f],
-             outs[11][f], outs[12][f].astype(bool))
+    if not want_costs:
+        outs[9:9] = [np.zeros((F, h8, w8), np.float32),
+                     np.zeros((F, h16, w16), np.float32)]
+    if not nxn:
+        outs += [np.zeros((F, h8 * 2, w8 * 2), np.uint8),
+                 np.zeros((F, h8, w8), np.uint8)]
+    return [(outs[0][f].astype(bool), outs[1][f].astype(np.int32),
+             outs[2][f].astype(np.int32),
+             float(outs[3][f]), outs[4][f].astype(bool),
+             outs[5][f].astype(np.int32), outs[6][f].astype(np.int32),
+             outs[7][f].astype(np.int32), outs[8][f].astype(np.int32),
+             outs[9][f], outs[10][f],
+             outs[11][f].astype(np.int32), outs[12][f].astype(bool))
             for f in range(len(qps))]

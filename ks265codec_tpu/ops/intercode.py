@@ -150,8 +150,14 @@ def _inter_code_core(src_y, src_cb, src_cr,
                      pic_w: int, pic_h: int,
                      boff: int, toff: int, cbo: int, cro: int,
                      sao: bool, cs: int, deblock: bool, esc_cap: int,
-                     slice_qp: int, dqp: bool, wpp: bool):
-    """One frame's complete inter coding; returns one packed uint8 row.
+                     slice_qp: int, dqp: bool, wpp: bool,
+                     sao_tier: int = 4):
+    """One frame's complete inter coding; returns one packed uint8 row
+    plus the final (deblocked + SAO'd) reconstruction planes, which STAY
+    on device — they are the next frames' reference pictures (device DPB)
+    and the host only ever fetches them lazily (recon consumer / fallback
+    paths). The SAO decision itself runs on device (ops/saodecide) so the
+    row carries ~5 KB of chosen params instead of ~300 KB of stats.
 
     tu_packs: dict (is_luma, n) -> (xs, ys, qp, cu_id, valid) padded
     arrays; chroma packs additionally carry plane (0/1) as 6th field.
@@ -292,8 +298,7 @@ def _inter_code_core(src_y, src_cb, src_cr,
     dy_, dcb_, dcr_ = deblock_planes(rec_y, rec_cb, rec_cr, bs_v, bs_h,
                                      qp4, boff, toff, cbo, cro,
                                      pic_w, pic_h)
-    # ---- 7. pack one D2H row: recon + SPARSE coeffs (+ SAO stats) — the
-    # D2H tunnel is the bottleneck and inter coefficients are mostly zero
+    # ---- 7. SAO: stats -> device decision -> device apply (one graph)
     flatc = jnp.concatenate([coef_y.reshape(-1), coef_cb.reshape(-1),
                              coef_cr.reshape(-1)])
     from .wavefront import pack_coeffs_sparse
@@ -302,21 +307,40 @@ def _inter_code_core(src_y, src_cb, src_cr,
     def row(a):
         return _bitcast_rows(a[None])[0]
 
-    parts = [row(dy_.astype(jnp.uint8)), row(dcb_.astype(jnp.uint8)),
-             row(dcr_.astype(jnp.uint8))] + cparts
+    # pack one D2H row: SPARSE coeffs + chosen SAO params — the D2H
+    # tunnel is the bottleneck; recon planes do NOT travel
+    parts = list(cparts)
+    dy_u8 = dy_.astype(jnp.uint8)
+    dcb_u8 = dcb_.astype(jnp.uint8)
+    dcr_u8 = dcr_.astype(jnp.uint8)
     if sao:
-        for rec, src, shift in ((dy_, src_y, 0), (dcb_, src_cb, 1),
-                                (dcr_, src_cr, 1)):
-            st = sao_stats_plane_core(rec, src.astype(jnp.int32),
-                                      pic_w >> shift, pic_h >> shift,
-                                      cs >> shift)
-            parts += [row(a) for a in st]
-    # dense coefficients stay device-resident for the sparse-cap fallback
-    return jnp.concatenate(parts), coef_y, coef_cb, coef_cr
+        from .saodecide import sao_decide_core
+        from .saoapply import sao_apply_core
+        ncl = 2 if sao_tier <= 1 else 4
+        use_bo = sao_tier >= 3
+        stats = []
+        planes = ((dy_, src_y, 0),) if sao_tier < 3 else \
+            ((dy_, src_y, 0), (dcb_, src_cb, 1), (dcr_, src_cr, 1))
+        for rec, src, shift in planes:
+            stats.append(sao_stats_plane_core(
+                rec, src.astype(jnp.int32), pic_w >> shift,
+                pic_h >> shift, cs >> shift, classes=ncl, bo=use_bo))
+        while len(stats) < 3:
+            stats.append(stats[0])     # never read below tier 3
+        type_, offs_, bpos_, eocl_ = sao_decide_core(stats, slice_qp,
+                                                     sao_tier)
+        dy_u8, dcb_u8, dcr_u8 = sao_apply_core(
+            dy_u8, dcb_u8, dcr_u8, type_, offs_, bpos_, eocl_,
+            True, sao_tier >= 3, pic_w, pic_h, cs)
+        parts += [row(a) for a in (type_, offs_, bpos_, eocl_)]
+    # recon + dense coefficients stay device-resident (DPB / lazy fetch /
+    # sparse-cap fallback)
+    return (jnp.concatenate(parts), dy_u8, dcb_u8, dcr_u8,
+            coef_y, coef_cb, coef_cr)
 
 
 code_inter_frame_jit = partial(
     jax.jit, static_argnames=(
         "has_l1", "sbh", "strong", "n_cu", "h8", "w8", "pic_w", "pic_h",
         "boff", "toff", "cbo", "cro", "sao", "cs", "deblock",
-        "esc_cap", "slice_qp", "dqp", "wpp"))(_inter_code_core)
+        "esc_cap", "slice_qp", "dqp", "wpp", "sao_tier"))(_inter_code_core)

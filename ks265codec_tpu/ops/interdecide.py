@@ -205,6 +205,63 @@ decide_tier_jit = partial(
                               "zero_only"))(_tier_core)
 
 
+def _b1(a):
+    if a.dtype == jnp.uint8:
+        return a.reshape(-1)
+    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+
+
+def _tiers_fused_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
+                      tier_args, meta, pic_w: int, pic_h: int,
+                      has_l1: bool):
+    """ALL CU tiers' decisions in one traced graph, one packed uint8 row
+    out (choice/bidx/cost per tier; has_zero/first for zero_only tiers).
+    The per-tier dispatches cost ~30 ms of link round-trip each on the
+    device tunnel — 8 per frame at two decision iterations.
+
+    meta: static tuple of (n, zero_only) per tier; tier_args: matching
+    tuple of per-tier traced-input tuples."""
+    parts = []
+    for (n, zero_only), ta in zip(meta, tier_args):
+        (xs, ys, cs0, cmv0, cs1, cmv1, cvalid, ms0, mmv0, ms1, mmv1,
+         me_bits, icost, qp, qpcb, qpcr, lam, lams) = ta
+        out = _tier_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
+                         xs, ys, cs0, cmv0, cs1, cmv1, cvalid,
+                         ms0, mmv0, ms1, mmv1, me_bits, icost,
+                         qp, qpcb, qpcr, lam, lams,
+                         n=n, pic_w=pic_w, pic_h=pic_h, has_l1=has_l1,
+                         zero_only=zero_only)
+        if zero_only:
+            parts += [_b1(out[0].astype(jnp.uint8)),
+                      _b1(out[1].astype(jnp.uint8))]
+        else:
+            parts += [_b1(out[0].astype(jnp.uint8)),
+                      _b1(out[1].astype(jnp.uint8)), _b1(out[2])]
+    return jnp.concatenate(parts)
+
+
+decide_tiers_fused_jit = partial(
+    jax.jit, static_argnames=("meta", "pic_w", "pic_h",
+                              "has_l1"))(_tiers_fused_core)
+
+
+def _snap_sads_core(src_y, refs_y, tier_args, meta, pic_w: int,
+                    pic_h: int, has_l1: bool):
+    """Candidate SADs for several tiers in one dispatch, packed f32."""
+    parts = []
+    for n, ta in zip(meta, tier_args):
+        xs, ys, cs0, cmv0, cs1, cmv1 = ta
+        s = _cand_sads_core(src_y, refs_y, xs, ys, cs0, cmv0, cs1, cmv1,
+                            n=n, pic_w=pic_w, pic_h=pic_h, has_l1=has_l1)
+        parts.append(_b1(s))
+    return jnp.concatenate(parts)
+
+
+snap_sads_fused_jit = partial(
+    jax.jit, static_argnames=("meta", "pic_w", "pic_h",
+                              "has_l1"))(_snap_sads_core)
+
+
 def _cand_sads_core(src_y, refs_y, xs, ys, cs0, cmv0, cs1, cmv1,
                     n: int, pic_w: int, pic_h: int, has_l1: bool):
     """Luma SAD of each candidate (C, B) at block origins (B,)."""

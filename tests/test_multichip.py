@@ -61,3 +61,28 @@ def test_sharded_batch_bit_identical():
     for a, b in zip(rec_multi, rec_one):
         assert (a.y == b.y).all() and (a.u == b.u).all() \
             and (a.v == b.v).all()
+
+
+def test_gop_sharded_inter_bit_identical():
+    """Closed GOPs sharded round-robin across the 8-device mesh produce
+    the SAME bytes as the serial encode (SURVEY.md 5.7 GOP axis): IDR
+    boundaries make GOPs independent, fixed-QP RC is GOP-stationary."""
+    import jax
+
+    from ks265codec_tpu.parallel import encode_gops_sharded
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    frames = _clip(8, 96, 64)
+    mk = lambda: EncoderConfig(width=96, height=64, preset="fast",
+                               latency="zerolatency", qp=32,
+                               intra_period=4, frame_rate=30)
+    bs_serial, _ = encode_sequence(frames, mk())
+    bs_shard, coded = encode_gops_sharded(frames, mk(),
+                                          devices=jax.devices())
+    assert bs_shard == bs_serial
+    assert [ef.display_idx for ef in coded] == list(range(8))
+    # P frames actually present (the inter engine ran per shard)
+    assert any(ef.slice_type == "P" for ef in coded)
+    from ks265codec_tpu.decode.decoder import HevcDecoder
+    out = HevcDecoder().decode_all(bs_shard)
+    assert len(out) == 8

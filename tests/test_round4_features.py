@@ -1,0 +1,121 @@
+"""Round-4 features: adaptive B placement (sceneMove analog), AQ modes
+2/3, the honest -lookahead window, GOP sharding (see test_multichip),
+and the batched decode fast path (exactness covered by the conformance
+suite; fallback coverage here)."""
+
+import numpy as np
+import pytest
+
+from ks265codec_tpu.decode.decoder import HevcDecoder
+from ks265codec_tpu.encode.config import EncoderConfig
+from ks265codec_tpu.encode.encoder import HevcEncoder
+
+W, H = 192, 96
+
+
+def _frames(n, motion):
+    """motion: per-frame pixel displacement (0 = static)."""
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.clip(110 + 60 * np.sin(xx / 17.0) + 50 * np.cos(yy / 13.0)
+                   + rng.randn(H, W) * 2, 0, 255)
+    out = []
+    from ks265codec_tpu.utils.yuv import YUVFrame
+    for t in range(n):
+        if motion >= 99:        # unpredictable content: fresh noise field
+            y = rng.randint(0, 256, (H, W)).astype(np.uint8)
+        else:
+            d = int(motion * t)
+            y = np.roll(base, (d, 2 * d), (0, 1)).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 136, np.uint8)
+        out.append(YUVFrame(y, u, v, poc=t))
+    return out
+
+
+def _roundtrip(frames, cfg):
+    enc = HevcEncoder(cfg)
+    bs, recs = b"", []
+    for f in frames:
+        for ef in enc.encode_frame(f):
+            bs += ef.data
+            recs.append(ef)
+    for ef in enc.flush():
+        bs += ef.data
+        recs.append(ef)
+    dec = HevcDecoder().decode_all(bs)
+    recs.sort(key=lambda e: e.display_idx)
+    assert len(dec) == len(recs)
+    for d, r in zip(dec, recs):
+        assert np.array_equal(np.asarray(d.y), np.asarray(r.recon.y))
+        assert np.array_equal(np.asarray(d.u), np.asarray(r.recon.u))
+        assert np.array_equal(np.asarray(d.v), np.asarray(r.recon.v))
+    return recs
+
+
+def test_adaptive_b_placement():
+    """A high-motion window drops the B pyramid (use_n shrinks); a static
+    clip keeps it (the reference's sceneMove adaptive GOP)."""
+    static = _roundtrip(
+        _frames(9, 0.0),
+        EncoderConfig(width=W, height=H, preset="fast", qp=32,
+                      intra_period=32, frame_rate=30, lookahead=8))
+    assert any(r.slice_type == "B" for r in static)
+    moving = _roundtrip(
+        _frames(9, 99.0),
+        EncoderConfig(width=W, height=H, preset="fast", qp=32,
+                      intra_period=32, frame_rate=30, lookahead=8))
+    nb_static = sum(r.slice_type == "B" for r in static)
+    nb_moving = sum(r.slice_type == "B" for r in moving)
+    assert nb_moving < nb_static
+
+
+@pytest.mark.parametrize("mode", [2, 3])
+def test_aq_modes_roundtrip(mode):
+    frames = _frames(3, 1.0)
+    recs = _roundtrip(
+        frames,
+        EncoderConfig(width=W, height=H, preset="fast", qp=32,
+                      intra_period=1, aq_mode=mode, frame_rate=30))
+    assert len(recs) == 3
+
+
+def test_lookahead_window_honored():
+    """With CU-tree on, coding holds until -lookahead frames queue up:
+    the analysis window follows the flag, not the caller's read pattern."""
+    frames = _frames(16, 0.5)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=33,
+                        intra_period=64, frame_rate=30, lookahead=12,
+                        bframes=3)
+    enc = HevcEncoder(cfg)
+    emitted_at = None
+    for i, f in enumerate(frames):
+        if enc.encode_frame(f) and emitted_at is None:
+            emitted_at = i
+    tail = enc.flush()
+    assert tail
+    # the first inter output must wait for the lookahead window (frame 0
+    # is the IDR and may come out immediately)
+    assert emitted_at is None or emitted_at == 0 or emitted_at >= 11
+
+
+def test_decode_fast_path_abort_matches_scalar():
+    """A stream with intra NxN (outside fast-path coverage) decodes
+    identically through the abort->redo path and the scalar path."""
+    import os
+    frames = _frames(2, 0.0)
+    cfg = EncoderConfig(width=W, height=H, preset="medium", qp=34,
+                        intra_period=1, frame_rate=30)
+    enc = HevcEncoder(cfg)
+    bs = b"".join(ef.data for f in frames for ef in enc.encode_frame(f))
+    bs += b"".join(ef.data for ef in enc.flush())
+    fast = HevcDecoder().decode_all(bs)
+    os.environ["KS265_DECODE_FAST"] = "0"
+    try:
+        ref = HevcDecoder().decode_all(bs)
+    finally:
+        del os.environ["KS265_DECODE_FAST"]
+    for a, b in zip(ref, fast):
+        assert np.array_equal(a.y, b.y)
+        assert np.array_equal(a.u, b.u)
+        assert np.array_equal(a.v, b.v)
