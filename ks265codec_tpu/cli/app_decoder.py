@@ -18,7 +18,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", dest="bitstream", required=True)
     p.add_argument("-o", dest="output", default=None)
     p.add_argument("-frms", dest="frames", type=int, default=0)
-    p.add_argument("-threads", type=int, default=1)
+    p.add_argument("-threads", type=int, default=0)
     p.add_argument("-md5", dest="md5", type=int, default=0)
     p.add_argument("-log", dest="log_level", type=int, default=1)
     p.add_argument("-p", dest="skip", type=int, default=0,

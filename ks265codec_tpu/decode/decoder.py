@@ -44,7 +44,14 @@ class HevcDecoder:
     POC-ordered frames, flush() drains.
     """
 
-    def __init__(self, threads: int = 1, skip_mode: bool = False):
+    def __init__(self, threads: int = 0, skip_mode: bool = False):
+        # threads: 0/auto and >1 keep the decode PIPELINE (the batched
+        # recon dispatch runs asynchronously while the host parses the
+        # next picture; output planes fetch lazily); 1 forces fully
+        # synchronous single-threaded decode (recon materializes before
+        # the next picture parses) — the ST/MT strategy split of
+        # CDecTaskManage{ST,MT} mapped onto the dataflow pipeline.
+        self.threads = int(threads)
         self.vps_map: dict[int, object] = {}
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
@@ -456,6 +463,25 @@ class HevcDecoder:
                       and bool(hdr.loop_filter_across_slices
                                if hasattr(hdr, "loop_filter_across_slices")
                                else True))
+        # decode-to-host runs the recon dispatch on the CPU backend by
+        # default (KS265_DECODE_DEVICE=tpu opts into accelerator recon
+        # for transcode pipelines where the planes stay device-resident):
+        # the product of decode is host pixels, and fetching them back
+        # through a narrow accelerator link costs more than the compute
+        import contextlib
+        import os as _os
+        import jax as _jax
+        devctx = contextlib.nullcontext()
+        pol = _os.environ.get("KS265_DECODE_DEVICE", "auto")
+        try:
+            plat = _jax.default_backend()
+        except Exception:
+            plat = "cpu"
+        if pol == "cpu" or (pol == "auto" and plat != "cpu"):
+            try:
+                devctx = _jax.default_device(_jax.devices("cpu")[0])
+            except Exception:
+                devctx = contextlib.nullcontext()
         if deblock_ok:
             from .filters import compute_bs
             bs_v = compute_bs(fs, True)
@@ -479,22 +505,26 @@ class HevcDecoder:
                             bpos_[c, ry, rx] = p.band_pos[c]
                             eocl_[c, ry, rx] = p.eo_class[c]
                 sao_params = (type_, offs_, bpos_, eocl_)
-            planes = self._wf_coder.recon_filter_frame(
-                fs.dec_coef_y, fs.dec_coef_cb, fs.dec_coef_cr, log2m8,
-                modes8, fs.dec_cmode8, qp_map8, cbo, cro, sps,
-                bs_v, bs_h, qp4, sao_params,
-                deblock=not bool(hdr.deblocking_filter_disabled),
-                sao=sao_on, sao_chroma=bool(hdr.sao_chroma),
-                boff=hdr.beta_offset_div2, toff=hdr.tc_offset_div2,
-                tile8=tile8, db_cbo=pps.cb_qp_offset,
-                db_cro=pps.cr_qp_offset)
+            with devctx:
+                planes = self._wf_coder.recon_filter_frame(
+                    fs.dec_coef_y, fs.dec_coef_cb, fs.dec_coef_cr, log2m8,
+                    modes8, fs.dec_cmode8, qp_map8, cbo, cro, sps,
+                    bs_v, bs_h, qp4, sao_params,
+                    deblock=not bool(hdr.deblocking_filter_disabled),
+                    sao=sao_on, sao_chroma=bool(hdr.sao_chroma),
+                    boff=hdr.beta_offset_div2, toff=hdr.tc_offset_div2,
+                    tile8=tile8, db_cbo=pps.cb_qp_offset,
+                    db_cro=pps.cr_qp_offset)
             fs.attach_device_planes(planes)
             fs._fast_filtered = True
+            if self.threads == 1:
+                fs.ensure_planes()     # ST strategy: no pipeline overlap
         else:
-            ry, rcb, rcr = self._wf_coder.recon_frame(
-                fs.dec_coef_y, fs.dec_coef_cb, fs.dec_coef_cr, log2m8,
-                modes8, fs.dec_cmode8, qp_map8, cbo, cro, sps,
-                tile8=tile8)
+            with devctx:
+                ry, rcb, rcr = self._wf_coder.recon_frame(
+                    fs.dec_coef_y, fs.dec_coef_cb, fs.dec_coef_cr, log2m8,
+                    modes8, fs.dec_cmode8, qp_map8, cbo, cro, sps,
+                    tile8=tile8)
             fs.y[:] = ry
             fs.cb[:] = rcb
             fs.cr[:] = rcr

@@ -353,16 +353,23 @@ class HevcEncoder:
                 use_cra = bool(cfg.open_gop) and idx0 != 0 and iper > 1
                 if iper == 1 and cfg.latency == "offline" and cfg.fpp:
                     # all-intra: batch frames through ONE device wavefront
-                    # dispatch (FPP analog) — frames are independent
+                    # dispatch (FPP analog) — frames are independent.
+                    # Batch size scales inversely with pixel count: the
+                    # 35-mode decide pass holds ~GB-scale intermediates
+                    # per 4K frame and a 16-frame batch OOMs the chip
+                    # (observed TPU worker crash at 3840x2160)
+                    max_b = max(1, (16 * 1280 * 720)
+                                // max(cfg.width * cfg.height, 1))
+                    sizes = [b for b in (16, 8, 4, 2, 1) if b <= max_b]
                     pend = getattr(self, "_intra_pending", None)
-                    if not flushing and len(self.queue) < 16 \
+                    if not flushing and len(self.queue) < sizes[0] \
                             and pend is None:
                         break       # wait for a full batch (async contract)
                     if pend is not None:
                         ctx, items = pend
                         self._intra_pending = None
                     else:
-                        n = next(b for b in (16, 8, 4, 2, 1)
+                        n = next(b for b in sizes
                                  if len(self.queue) >= b)
                         items = self.queue[:n]
                         self.queue = self.queue[n:]
@@ -374,9 +381,9 @@ class HevcEncoder:
                     # chunk's RC QPs are one batch staler, the
                     # CEncRcAbrSync bounded-staleness contract)
                     if ctx is not None and (flushing
-                                            or len(self.queue) >= 16):
-                        m = next((b for b in (16, 8, 4, 2)
-                                  if len(self.queue) >= b), 0)
+                                            or len(self.queue) >= sizes[0]):
+                        m = next((b for b in sizes if b > 1
+                                  and len(self.queue) >= b), 0)
                         if m > 1:
                             nitems = self.queue[:m]
                             self.queue = self.queue[m:]

@@ -30,6 +30,12 @@ import numpy as np
 
 from . import cost as jcost
 from . import intra as jintra
+# import EAGERLY: these modules hold module-level jnp constant tables; a
+# lazy first import DURING a jit trace binds those constants to that
+# trace, and any later trace (new shapes, e.g. 4K stripes) dies with
+# UnexpectedTracerError
+from . import transforms as _transforms_eager  # noqa: F401
+from . import wavefront as _wavefront_eager    # noqa: F401
 
 _HDR_BITS = {8: 7.0, 16: 5.0, 32: 4.0}
 # luma mode bits: prev_intra_pred_flag + mpm_idx / 5-bit rem_mode
@@ -436,13 +442,53 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
             return a
         return jnp.asarray(np.asarray(a, np.uint8))
 
+    F, ph, pw = src_planes.shape
+    # large frames (4K) run as row STRIPES: the full-frame decide kernel
+    # faults the TPU worker above ~2.5 MP (observed 3840x2160 crash, not
+    # an OOM — 12 GB allocs succeed). Stripe seams only perturb the MPM
+    # neighbor estimate of each stripe's first block row.
+    import os
+    cap_px = int(os.environ.get("KS265_DECIDE_STRIPE_PX", 2_500_000))
+    stripe_rows = ph
+    if ph * pw > cap_px:
+        stripe_rows = max(512 if cap_px >= 2_500_000 else 32,
+                          ((cap_px // pw) // 32) * 32)
+    if stripe_rows < ph and ph % 32 == 0:
+        dy, dcb, dcr = dev(src_planes), dev(src_cbs), dev(src_crs)
+        parts = []
+        for y0 in range(0, ph, stripe_rows):
+            y1 = min(y0 + stripe_rows, ph)
+            parts.append((y1 - y0, np.asarray(decide_frames_jit(
+                dy[:, y0:y1], dcb[:, y0 // 2:y1 // 2],
+                dcr[:, y0 // 2:y1 // 2],
+                jnp.asarray(qpa), jnp.asarray(qpc),
+                jnp.asarray(lam.astype(np.float32)),
+                jnp.asarray(ls.astype(np.float32)), int(effort),
+                bool(nxn), bool(want_costs)))))
+        per_stripe = [
+            _unpack_decide(buf_s, F, hs, pw, want_costs, nxn, qps)
+            for hs, buf_s in parts]
+        out = []
+        for f in range(F):
+            cat = []
+            for i in range(13):
+                vals = [st[f][i] for st in per_stripe]
+                if i == 3:      # scalar complexity: sum over stripes
+                    cat.append(float(np.sum(vals)))
+                else:
+                    cat.append(np.concatenate(vals, axis=0))
+            out.append(tuple(cat))
+        return out
     buf = np.asarray(decide_frames_jit(
         dev(src_planes), dev(src_cbs), dev(src_crs),
         jnp.asarray(qpa), jnp.asarray(qpc),
         jnp.asarray(lam.astype(np.float32)),
         jnp.asarray(ls.astype(np.float32)), int(effort), bool(nxn),
         bool(want_costs)))
-    F, ph, pw = src_planes.shape
+    return _unpack_decide(buf, F, ph, pw, want_costs, nxn, qps)
+
+
+def _unpack_decide(buf, F, ph, pw, want_costs, nxn, qps):
     h32, w32 = ph // 32, pw // 32
     h16, w16 = ph // 16, pw // 16
     h8, w8 = ph // 8, pw // 8
