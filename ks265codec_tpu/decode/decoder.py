@@ -220,7 +220,16 @@ class HevcDecoder:
         if hdr.first_slice_in_pic and self._fast_eligible(sps, pps, hdr):
             # snapshot the scan-ahead parse state: an aborted attempt
             # leaves recon_done/slice_id marks on cells AHEAD of the
-            # redo's walk, which would corrupt its availability checks
+            # redo's walk, which would corrupt its availability checks.
+            # INVARIANT: the snapshot is deliberately PARTIAL. The
+            # aborted parse also dirtied fs.qp/intra_mode/cu_depth/
+            # cbf_luma/fs.sao and the dec_coef_* planes; that is safe
+            # only because (a) the scalar redo re-parses the whole slice
+            # and rewrites every cell the fast parse touched, and (b)
+            # _fast_pending stays None on abort so the dirty coefficient
+            # planes are never materialized. Any change that materializes
+            # despite an abort, or lets the redo skip cells, must widen
+            # this snapshot.
             fs0 = self.cur
             snap = (fs0.recon_done.copy(), fs0.mi_parsed.copy(),
                     fs0.slice_id.copy())

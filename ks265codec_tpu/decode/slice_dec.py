@@ -61,7 +61,12 @@ class FrameState:
     store" re-designed as arrays).
     """
 
+    _serial_next = 0    # process-wide monotonic id (DeviceDPB keying —
+    #                     unlike id(), never reused after gc)
+
     def __init__(self, sps: SPS):
+        self.serial = FrameState._serial_next
+        FrameState._serial_next += 1
         self.sps = sps
         cs = sps.ctb_size
         self.pw = sps.pic_width_in_ctbs * cs   # padded sizes

@@ -20,18 +20,22 @@ import numpy as np
 
 
 class DeviceDPB:
-    """id(FrameState) -> (y, cb, cr) uint8 padded device planes."""
+    """FrameState.serial -> (y, cb, cr) uint8 padded device planes.
+
+    Keyed by the monotonic per-FrameState serial, not id(): CPython ids
+    are reused after gc, so a stale entry could silently alias a new
+    frame if a caller ever delayed trim()."""
 
     def __init__(self):
         self.entries: dict[int, tuple] = {}
 
     def put(self, fs, planes) -> None:
-        self.entries[id(fs)] = tuple(planes)
+        self.entries[fs.serial] = tuple(planes)
 
     def get_or_upload(self, fs):
         """Device planes for a reference picture; uploads (once) when the
         frame was reconstructed host-side."""
-        key = id(fs)
+        key = fs.serial
         planes = self.entries.get(key)
         if planes is None:
             import jax.numpy as jnp

@@ -993,7 +993,7 @@ class HevcEncoder:
         elif cached is not None and cached.get("recon_dev") is not None:
             rd, fi = cached["recon_dev"], cached["fidx"]
             self.dev_dpb.put(fs, tuple(d[fi] for d in rd))
-        self.dev_dpb.trim({id(rp.fs) for rp in self.dpb})
+        self.dev_dpb.trim({rp.fs.serial for rp in self.dpb})
         from ..utils.log import log
         log(-1, "enc poc %d %s qp %d bits %d" % (
             poc, "I" if is_idr else ("P" if slice_type == P_SLICE

@@ -451,9 +451,20 @@ def decide_frames(src_planes, src_cbs, src_crs, qps,
     cap_px = int(os.environ.get("KS265_DECIDE_STRIPE_PX", 2_500_000))
     stripe_rows = ph
     if ph * pw > cap_px:
-        stripe_rows = max(512 if cap_px >= 2_500_000 else 32,
-                          ((cap_px // pw) // 32) * 32)
-    if stripe_rows < ph and ph % 32 == 0:
+        # floor at 32 (the decide grid granularity), never above the cap:
+        # a fixed 512-row floor re-created >cap stripes for very wide
+        # frames, re-exposing the kernel fault the striping works around
+        stripe_rows = max(32, ((cap_px // pw) // 32) * 32)
+        if ph % 32 != 0:
+            # stripes must cut on 32-row grid lines; a non-32-multiple
+            # padded height (CTB 16 streams) can't, and the full-frame
+            # dispatch is the documented TPU fault — fail loudly instead
+            raise ValueError(
+                "decide pass: frame %dx%d exceeds the safe dispatch size "
+                "(%d px) but padded height is not a multiple of 32; "
+                "raise KS265_DECIDE_STRIPE_PX only if the backend "
+                "tolerates it" % (pw, ph, cap_px))
+    if stripe_rows < ph:
         dy, dcb, dcr = dev(src_planes), dev(src_cbs), dev(src_crs)
         parts = []
         for y0 in range(0, ph, stripe_rows):

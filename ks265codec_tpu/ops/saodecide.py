@@ -35,8 +35,13 @@ def _best_offsets(cnt, err, lo: float, hi: float, lam: float):
     valid = ((hs_b != 0) & (jnp.abs(hs_b) <= jnp.abs(start[None]))
              & (jnp.sign(hs_b) == jnp.sign(start[None]))
              & (hs_b >= lo) & (hs_b <= hi) & (cnt[None] > 0))
-    # larger |h| wins exact ties (scan order): sort key (cost, -|h|)
-    adj = jnp.where(valid, cost * 16.0 - jnp.abs(hs_b), jnp.inf)
+    # larger |h| wins exact ties (scan order). Two-stage argmin — a
+    # single "cost*16-|h|" key underflows in f32 (ULP(cost*16) > 7 for
+    # large-CTU stats, silently dropping the |h| term): find the minimal
+    # cost, then the largest |h| among exactly cost-minimal entries.
+    cost_v = jnp.where(valid, cost, jnp.inf)
+    cmin = jnp.min(cost_v, axis=0)
+    adj = jnp.where(cost_v == cmin[None], -jnp.abs(hs_b), jnp.inf)
     k = jnp.argmin(adj, axis=0)
     h = jnp.take_along_axis(jnp.broadcast_to(hs_b, cost.shape),
                             k[None], axis=0)[0]

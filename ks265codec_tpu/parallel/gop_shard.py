@@ -11,10 +11,13 @@ CEncOutputBsFpp analog — trivial here because GOP-major order IS decode
 order).
 
 Rate control: fixed-QP and CRF are GOP-stationary (bit-identical to the
-serial encode, asserted by tests/test_multichip.py). ABR/CBR shards carry
-bounded-stale RC state: each shard's controller starts from the global
-target with its GOP's budget share — the CEncRcAbrSync contract at GOP
-grain.
+serial encode, asserted by tests/test_multichip.py). ABR/CBR run but are
+approximate at GOP grain: each shard's controller independently targets
+the global bits/sec over its own GOP window (correct on average for
+equal-duration GOPs) — cross-GOP bit redistribution and VBV buffer
+continuity across joins are NOT enforced, so CBR+VBV output may violate
+the buffer model at GOP boundaries; a warning is logged. The full
+CEncRcAbrSync-style stale-state exchange is future work.
 """
 
 from __future__ import annotations
@@ -29,14 +32,18 @@ def encode_gops_sharded(frames, cfg, devices=None):
     Returns (annexb bytes, list of EncodedFrame in coding order)."""
     import jax
 
-    from ..encode.config import RC_FIXQP, RC_CRF
+    from ..encode.config import RC_CBR, RC_ABR
     from ..encode.encoder import HevcEncoder
 
     devices = list(devices if devices is not None else jax.devices())
     iper = int(cfg.intra_period)
     if iper <= 0:
         raise ValueError("GOP sharding requires closed GOPs (-iper N > 0)")
-    del RC_FIXQP, RC_CRF   # rc semantics documented above; all modes run
+    if cfg.rc in (RC_CBR, RC_ABR):
+        from ..utils.log import log
+        log(2, "GOP sharding with rc=%d: per-shard controllers are "
+            "independent — VBV continuity across GOP joins is not "
+            "enforced" % cfg.rc)
     chunks = [frames[i:i + iper] for i in range(0, len(frames), iper)]
     outs = []
     for gi, chunk in enumerate(chunks):
@@ -53,6 +60,9 @@ def encode_gops_sharded(frames, cfg, devices=None):
         for ef in efs:
             ef.display_idx += base      # global display indices
             ef.pts += base
+            ef.dts += base      # coded-picture offset: every prior shard
+            #                     coded exactly iper pictures, so the
+            #                     global dts clock advances by gi*iper
         outs.append(efs)
     coded = [ef for efs in outs for ef in efs]
     return b"".join(ef.data for ef in coded), coded

@@ -72,7 +72,9 @@ def run_reference(frames, W, H, qp, preset, latency, iper):
     with open(raw, "wb") as f:
         for (y, u, v) in frames:
             f.write(y.tobytes() + u.tobytes() + v.tobytes())
-    bs = WORK / f"ref_q{qp}.265"
+    # key every varying knob into the filename — a bare ref_q{qp} name
+    # let interleaved runs with different preset/iper reuse stale streams
+    bs = WORK / f"ref_q{qp}_{preset}_{latency}_i{iper}.265"
     t0 = time.time()
     subprocess.run(
         [str(WORK / "appencoder"), "-i", str(raw), "-wdt", str(W), "-hgt",
@@ -81,7 +83,8 @@ def run_reference(frames, W, H, qp, preset, latency, iper):
          "-rc", "0", "-qp", str(qp), "-iper", str(iper)],
         check=True, capture_output=True, cwd=str(WORK))
     dt = time.time() - t0
-    dec = WORK / "refdec.yuv"
+    dec = bs.with_suffix(".dec.yuv")   # unique per config: concurrent
+    #                                    runs share WORK
     subprocess.run([str(WORK / "appdecoder"), "-b", str(bs), "-o", str(dec),
                     "-threads", "1"], check=True, capture_output=True,
                    cwd=str(WORK))
