@@ -549,37 +549,45 @@ class HevcEncoder:
         batch, metas = [], []
         try:
             import jax.numpy as jnp
+
+            from ..utils.trace import stage
             qps = [self._intra_frame_qp(di) for di, _ in items]
-            srcs_y = np.stack([
-                IntraFrameEncoder._pad(f.y.astype(np.int32), ph, pw)
-                for _, f in items])
-            srcs_cb = np.stack([
-                IntraFrameEncoder._pad(f.u.astype(np.int32), ph // 2,
-                                       pw // 2) for _, f in items])
-            srcs_cr = np.stack([
-                IntraFrameEncoder._pad(f.v.astype(np.int32), ph // 2,
-                                       pw // 2) for _, f in items])
+            with stage("ai.pad_stack"):
+                srcs_y = np.stack([
+                    IntraFrameEncoder._pad(f.y.astype(np.int32), ph, pw)
+                    for _, f in items])
+                srcs_cb = np.stack([
+                    IntraFrameEncoder._pad(f.u.astype(np.int32), ph // 2,
+                                           pw // 2) for _, f in items])
+                srcs_cr = np.stack([
+                    IntraFrameEncoder._pad(f.v.astype(np.int32), ph // 2,
+                                           pw // 2) for _, f in items])
             # upload the batch sources ONCE (uint8) and share the device
             # arrays between the decision and coding dispatches
-            src_dev = tuple(jnp.asarray(a.astype(np.uint8))
-                            for a in (srcs_y, srcs_cb, srcs_cr))
-            decisions = decide_frames(src_dev[0], src_dev[1], src_dev[2],
-                                      qps, cfg.lambda_scale,
-                                      effort=int(cfg.decide_effort),
-                                      want_costs=False)
-            for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
-                    items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
-                (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32,
-                 _c8, _c16, _m4, _nxn) = dec
-                log2m, modes8, cmodes8 = decision_maps8(
-                    s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3,
-                    cm8, cm16, cm32)
-                qp_map8 = np.full(log2m.shape, qp, np.uint8)
-                batch.append(dict(src_y=src_y, src_cb=src_cb, src_cr=src_cr,
-                                  log2m=log2m, modes8=modes8,
-                                  cmodes8=cmodes8, qp_map8=qp_map8,
-                                  tile8=tile8, n_tile_cols=ntc))
-                metas.append((di, qp, cplx))
+            with stage("ai.upload"):
+                src_dev = tuple(jnp.asarray(a.astype(np.uint8))
+                                for a in (srcs_y, srcs_cb, srcs_cr))
+            with stage("ai.decide"):
+                decisions = decide_frames(src_dev[0], src_dev[1],
+                                          src_dev[2],
+                                          qps, cfg.lambda_scale,
+                                          effort=int(cfg.decide_effort),
+                                          want_costs=False)
+            with stage("ai.maps8"):
+                for (di, frame), qp, dec, src_y, src_cb, src_cr in zip(
+                        items, qps, decisions, srcs_y, srcs_cb, srcs_cr):
+                    (s32, m16, m32, cplx, s16, m8, cm8, cm16, cm32,
+                     _c8, _c16, _m4, _nxn) = dec
+                    log2m, modes8, cmodes8 = decision_maps8(
+                        s32, s16, m8, m16, m32, sps, ph >> 3, pw >> 3,
+                        cm8, cm16, cm32)
+                    qp_map8 = np.full(log2m.shape, qp, np.uint8)
+                    batch.append(dict(src_y=src_y, src_cb=src_cb,
+                                      src_cr=src_cr,
+                                      log2m=log2m, modes8=modes8,
+                                      cmodes8=cmodes8, qp_map8=qp_map8,
+                                      tile8=tile8, n_tile_cols=ntc))
+                    metas.append((di, qp, cplx))
             post = dict(boff=self.pps.beta_offset_div2,
                         toff=self.pps.tc_offset_div2,
                         cbo=self.pps.cb_qp_offset,
@@ -587,11 +595,13 @@ class HevcEncoder:
                         deblock=not self.pps.deblocking_filter_disabled,
                         sao=bool(self.sps.sao_enabled),
                         sao_tier=max(int(cfg.sao), 1))
-            finish = self._wf_coder.code_frames(
-                batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset, sps,
-                sbh=bool(self.pps.sign_data_hiding_enabled),
-                rdoq=bool(cfg.rdoq), post=post, defer=True,
-                src_dev=src_dev)
+            with stage("ai.code_dispatch"):
+                finish = self._wf_coder.code_frames(
+                    batch, self.pps.cb_qp_offset, self.pps.cr_qp_offset,
+                    sps,
+                    sbh=bool(self.pps.sign_data_hiding_enabled),
+                    rdoq=bool(cfg.rdoq), post=post, defer=True,
+                    src_dev=src_dev)
         except Exception as ex:
             from ..utils.log import log
             log(2, "batched wavefront failed (%s: %s); per-frame path"
@@ -605,8 +615,10 @@ class HevcEncoder:
         reconstruction never leaves the device unless a consumer reads
         it (lazy fetch)."""
         metas, batch, finish = ctx
+        from ..utils.trace import stage
         try:
-            results = finish()
+            with stage("ai.finish_fetch"):
+                results = finish()
         except Exception as ex:
             from ..utils.log import log
             log(2, "batched wavefront failed (%s: %s); per-frame path"
@@ -621,15 +633,17 @@ class HevcEncoder:
             from ..ops.saoapply import sao_apply_batch
             from .sao import decide_from_stats_arrays
             tier = max(self.cfg.sao, 1)
-            sao_arr = [decide_from_stats_arrays(res["sao_stats"],
-                                                meta[1], tier)
-                       for res, meta in zip(results, metas)]
-            stk = [jnp.asarray(np.stack([a[k] for a in sao_arr]))
-                   for k in range(4)]
-            recon_dev = sao_apply_batch(
-                *recon_dev, *stk, sao_luma=True, sao_chroma=True,
-                w=self.sps.width, h=self.sps.height,
-                cs=self.sps.ctb_size)
+            with stage("ai.sao_decide_host"):
+                sao_arr = [decide_from_stats_arrays(res["sao_stats"],
+                                                    meta[1], tier)
+                           for res, meta in zip(results, metas)]
+            with stage("ai.sao_apply"):
+                stk = [jnp.asarray(np.stack([a[k] for a in sao_arr]))
+                       for k in range(4)]
+                recon_dev = sao_apply_batch(
+                    *recon_dev, *stk, sao_luma=True, sao_chroma=True,
+                    w=self.sps.width, h=self.sps.height,
+                    cs=self.sps.ctb_size)
         for (di, qp, cplx), it, res, sa in zip(metas, batch, results,
                                                sao_arr):
             self._intra_cache[di] = dict(

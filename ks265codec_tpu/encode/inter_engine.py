@@ -132,12 +132,15 @@ def engine_pre_analysis(enc) -> None:
     from ..ops.me2 import me_fused
     from .intra_frame import decide_frame
 
+    from ..utils.trace import stage
     enc._apply_lam_scale()
-    src_dev, refs_dev, slot_of = _device_inputs(enc)
-    (_, enc.mode16, _, _, _, enc.mode8, enc.cmode8, enc.cmode16,
-     _, enc.icost8, enc.icost16, enc.mode4, enc.nxn8) = decide_frame(
-        src_dev[0], src_dev[1], src_dev[2], enc.qp,
-        effort=getattr(enc, "decide_effort", 1))
+    with stage("inter.upload_inputs"):
+        src_dev, refs_dev, slot_of = _device_inputs(enc)
+    with stage("inter.intra_decide"):
+        (_, enc.mode16, _, _, _, enc.mode8, enc.cmode8, enc.cmode16,
+         _, enc.icost8, enc.icost16, enc.mode4, enc.nxn8) = decide_frame(
+            src_dev[0], src_dev[1], src_dev[2], enc.qp,
+            effort=getattr(enc, "decide_effort", 1))
     sps = enc.sps
     pw, ph = sps.width, sps.height
     merange = int(getattr(enc, "merange", 12))
@@ -147,19 +150,21 @@ def engine_pre_analysis(enc) -> None:
     if is_b:
         rp0, rp1 = enc.ref_lists[0][0], enc.ref_lists[1][0]
         sl = jnp.asarray([slot_of[id(rp0.fs)], slot_of[id(rp1.fs)]])
-        mv_q, cost, dir8, sad8 = me_fused(
-            src_dev[0], refs_dev[0][sl], merange, lam8, pw, ph,
-            bi=True)
-        enc.dir8 = np.asarray(dir8)
-        enc.sad8 = np.asarray(sad8)
+        with stage("inter.me_fused"):
+            mv_q, cost, dir8, sad8 = me_fused(
+                src_dev[0], refs_dev[0][sl], merange, lam8, pw, ph,
+                bi=True)
+            enc.dir8 = np.asarray(dir8)
+            enc.sad8 = np.asarray(sad8)
         enc.mv0q8, enc.mv1q8 = mv_q[0], mv_q[1]
         # 16-tier ME record = min-cost child's motion
         enc.dir16, enc.mv0q, enc.mv1q, enc.sad16 = _child_min_b(
             enc.dir8, mv_q[0], mv_q[1], enc.sad8)
     else:
         sl = jnp.asarray([slot_of[id(rp.fs)] for rp in enc.ref_lists[0]])
-        mv_q, cost = me_fused(src_dev[0], refs_dev[0][sl],
-                              merange, lam8, pw, ph, bi=False)
+        with stage("inter.me_fused"):
+            mv_q, cost = me_fused(src_dev[0], refs_dev[0][sl],
+                                  merange, lam8, pw, ph, bi=False)
         c = cost + enc.lam_satd * 2.0 * np.arange(
             len(enc.ref_lists[0]), dtype=np.float32)[:, None, None]
         ri = np.argmin(c, axis=0)
@@ -391,10 +396,12 @@ def run_engine(enc) -> None:
     def decide_fused(tiers):
         """ONE device dispatch for every tier's decision + one packed
         fetch (per-tier dispatches paid ~30 ms link round-trip each)."""
+        from ..utils.trace import stage
         meta = tuple((t["n"], t["zero_only"]) for t in tiers)
-        buf = np.asarray(decide_tiers_fused_jit(
-            *jsrc, *jr, tuple(t["args"] for t in tiers), meta=meta,
-            pic_w=cfg_w, pic_h=cfg_h, has_l1=is_b))
+        with stage("inter.decide_fused"):
+            buf = np.asarray(decide_tiers_fused_jit(
+                *jsrc, *jr, tuple(t["args"] for t in tiers), meta=meta,
+                pic_w=cfg_w, pic_h=cfg_h, has_l1=is_b))
         off = 0
 
         def take(dt, nel):
@@ -567,9 +574,11 @@ def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
         if not prep:
             break
         meta = tuple(p["n"] for p in prep)
-        buf = np.asarray(snap_sads_fused_jit(
-            jsrc[0], jr[0], tuple(p["args"] for p in prep), meta=meta,
-            pic_w=cfg_w, pic_h=cfg_h, has_l1=is_b))
+        from ..utils.trace import stage
+        with stage("inter.snap_sads"):
+            buf = np.asarray(snap_sads_fused_jit(
+                jsrc[0], jr[0], tuple(p["args"] for p in prep), meta=meta,
+                pic_w=cfg_w, pic_h=cfg_h, has_l1=is_b))
         off = 0
         changed = False
         for p in prep:
@@ -861,7 +870,9 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
 
     esc_cap = max(4096, (ph * pw * 3 // 2) // 8)
     sao_tier = int(getattr(enc, "sao_tier", 4))
-    buf = code_inter_frame_jit(
+    from ..utils.trace import stage
+    with stage("inter.code_dispatch"):
+        buf = code_inter_frame_jit(
         *jsrc, *jr,
         jnp.asarray(slot0), jnp.asarray(mv0),
         jnp.asarray(slot1), jnp.asarray(mv1), wts0, wts1,
@@ -880,10 +891,11 @@ def _dispatch_coding(enc, maps, jr, jsrc, to_slot, slot_of, is_b):
         deblock=not pps.deblocking_filter_disabled, esc_cap=esc_cap,
         slice_qp=int(hdr.slice_qp),
         dqp=bool(pps.cu_qp_delta_enabled),
-        wpp=bool(pps.entropy_coding_sync_enabled), sao_tier=sao_tier)
+            wpp=bool(pps.entropy_coding_sync_enabled), sao_tier=sao_tier)
     row, dy, dcb, dcr, cyd, ccbd, ccrd = buf
-    coeffs, sao_arrays = _unpack_row(np.asarray(row), ph, pw, sps,
-                                     esc_cap, (cyd, ccbd, ccrd))
+    with stage("inter.code_fetch"):
+        coeffs, sao_arrays = _unpack_row(np.asarray(row), ph, pw, sps,
+                                         esc_cap, (cyd, ccbd, ccrd))
     return (dy, dcb, dcr), coeffs, sao_arrays
 
 

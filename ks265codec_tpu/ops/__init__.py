@@ -19,15 +19,23 @@ if _plat_env:
     except Exception:                   # pragma: no cover
         pass
 
-# Bit-exactness is load-bearing: every f32 matmul feeding the bitstream
-# (split-8-bit DCT, MC filter matmuls, one-hot selects) is exact ONLY at
-# full f32 precision. The TPU MXU's default matmul precision truncates
-# inputs to bf16 (measured: errors up to ~5e2 on the DCT split shapes),
-# which silently corrupts reconstruction — CPU tests never see it. Force
-# the highest precision tier globally; decision-only matmuls that could
-# tolerate bf16 are not worth the footgun.
+# Matmul precision contract. The TPU MXU's default precision truncates
+# f32 inputs to bf16, which is EXACT for integers with <= 8 significant
+# bits (|v| <= 256, or any 8-bit limb) and accumulates in f32 (exact
+# below 2^24). Every conformance-critical matmul in this package is
+# therefore written so each operand is bf16-exact — 8-bit limb splits
+# for wide integers (ops/wavefront._mm_lhs/_mm_rhs, ops/mc stage 2),
+# one-hot selects, filter/DCT matrices (coeffs <= 90) — and runs at the
+# fast 1-pass DEFAULT tier. Decision-only matmuls (SATD in ops/cost) are
+# allowed to be approximate on TPU: they rank candidates, never feed the
+# bitstream. Round 4 instead forced "highest" globally (6 bf16 passes
+# per matmul) which cost ~40% of all-intra throughput; the per-site
+# exactness audit replaced it. RULE for new code: any matmul whose
+# output feeds reconstruction or syntax must keep every operand within
+# bf16's 8-bit-exact integer range (split limbs if not) — do NOT rely
+# on the global precision default.
 try:
-    _jax.config.update("jax_default_matmul_precision", "highest")
+    _jax.config.update("jax_default_matmul_precision", "default")
 except Exception:                       # pragma: no cover
     pass
 

@@ -36,9 +36,13 @@ def sad(a: jax.Array, b: jax.Array) -> jax.Array:
 def satd4(a: jax.Array, b: jax.Array) -> jax.Array:
     """4x4 Hadamard SATD per block, HM normalization ((sum+1)>>1).
 
-    Computed in f32 (exact: |d| <= 2^15, Hadamard sums < 2^24) — XLA
-    compiles float matmuls far faster than integer dots and they hit the
-    MXU on TPU."""
+    f32 matmuls; on CPU these are exact (|d| <= 2^15, sums < 2^24). On
+    TPU at DEFAULT matmul precision the MXU truncates inputs to bf16, so
+    SATD is approximate (~0.4% relative): acceptable — SATD only ranks
+    candidates (decision drift, never conformance), and the 1-pass bf16
+    matmul is 6x the throughput of the exact tier. Conformance-critical
+    matmuls instead use 8-bit limb splits (ops/wavefront._mm_*, ops/mc)
+    that are bit-exact at DEFAULT precision."""
     d = (a - b).astype(jnp.float32)
     t = _H4.astype(jnp.float32) @ d @ _H4.astype(jnp.float32)
     s = jnp.sum(jnp.abs(t), axis=(-2, -1)).astype(jnp.int32)

@@ -52,6 +52,28 @@ def _take(plane, xs, ys, n: int):
                  (xs[:, None] + d[None, :])[:, None, :]]
 
 
+def _map_cands(f, args, B: int, n: int, bi: bool):
+    """Evaluate f over the candidate axis with bounded parallelism.
+
+    lax.map serializes the C merge candidates (each step's gathers+SADs
+    underfill the chip -> pure latency); a bare vmap materializes
+    C * B * (n+7)^2 patches at once (4K frames: GBs). Chunk C so each
+    step stays under a ~32M-element working set, vmap inside the chunk,
+    lax.map over chunks only when needed."""
+    C = args[0].shape[0]
+    per = max(1, B * (n + 7) * (n + 7) * (2 if bi else 1))
+    chunk = int(max(1, min(C, 32_000_000 // per)))
+    if chunk >= C:
+        return jax.vmap(f)(args)
+    npad = (-C) % chunk
+    padded = tuple(jnp.concatenate([a, jnp.repeat(a[:1], npad, axis=0)])
+                   if npad else a for a in args)
+    shaped = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in padded)
+    out = jax.lax.map(lambda ch: jax.vmap(f)(ch), shaped)
+    out = out.reshape((-1,) + out.shape[2:])[:C]
+    return out
+
+
 def _rough_tu_inter(res, qp, n: int, log2: int):
     """(D_pix, bits, all_zero) rough-RD of one inter TU batch (deadzone
     1/6 rounding — the inter twin of decide._rough_tu_cost)."""
@@ -147,7 +169,8 @@ def _tier_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
                          pic_w, pic_h, has_l1, False)
         return jnp.abs(src_blk - p).sum(axis=(1, 2)).astype(jnp.float32)
 
-    sads = jax.lax.map(cand_sad, (cs0, cmv0, cs1, cmv1))     # (C, B)
+    sads = _map_cands(cand_sad, (cs0, cmv0, cs1, cmv1),
+                      cs0.shape[1], n, has_l1)               # (C, B)
     csel = sads + lam_satd[None, :] * (2.0 + jnp.arange(C)[:, None])
     csel = jnp.where(cvalid, csel, jnp.inf)
     best = jnp.argmin(csel, axis=0)                          # (B,)
@@ -173,7 +196,8 @@ def _tier_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
                                 qp, qpcb, qpcr, pic_w, pic_h, has_l1)
             return z
 
-        zall = jax.lax.map(cand_zero, (cs0, cmv0, cs1, cmv1)) & cvalid
+        zall = _map_cands(cand_zero, (cs0, cmv0, cs1, cmv1),
+                          cs0.shape[1], n, has_l1) & cvalid
         first = jnp.argmax(zall, axis=0)
         has_zero = zall.any(axis=0)
         return has_zero, first.astype(jnp.int32)
@@ -273,7 +297,7 @@ def _cand_sads_core(src_y, refs_y, xs, ys, cs0, cmv0, cs1, cmv1,
                          pic_w, pic_h, has_l1, False)
         return jnp.abs(src_blk - p).sum(axis=(1, 2)).astype(jnp.float32)
 
-    return jax.lax.map(f, (cs0, cmv0, cs1, cmv1))
+    return _map_cands(f, (cs0, cmv0, cs1, cmv1), cs0.shape[1], n, has_l1)
 
 
 cand_sads_jit = partial(

@@ -99,8 +99,17 @@ def _interp_cells(ref_stack, slot, mvx, mvy, t: int, base_r, base_c,
                      preferred_element_type=_F32)         # (K, n_in, t)
     hcols = jnp.einsum("kij,kjm->kim", patch.astype(_F32), mh,
                        preferred_element_type=_F32)       # (K, n_in, t)
-    v = jnp.einsum("kim,kin->knm", hcols, mv_,
-                   preferred_element_type=_F32)           # (K, t, t)
+    # second separable stage: hcols holds 15-bit integers, beyond bf16's
+    # 8-bit-exact range — split into 8-bit limbs so the einsum stays
+    # bit-exact at DEFAULT matmul precision (hi <= 88, lo in [0,255],
+    # filter taps <= 64: every operand is bf16-exact, f32 accumulation
+    # stays < 2^24). Two 1-pass MXU matmuls beat one 6-pass HIGHEST.
+    hc_hi = jnp.floor(hcols * (1.0 / 256.0))
+    hc_lo = hcols - 256.0 * hc_hi
+    v = (jnp.einsum("kim,kin->knm", hc_hi, mv_,
+                    preferred_element_type=_F32) * 256.0
+         + jnp.einsum("kim,kin->knm", hc_lo, mv_,
+                      preferred_element_type=_F32))       # (K, t, t)
     return v.astype(jnp.int32) >> 6
 
 

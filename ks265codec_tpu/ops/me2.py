@@ -62,14 +62,28 @@ def _dense_l2(src_q, ref_q, sr: int, lam: float):
     n = 2 * sr + 1
     src = src_q.astype(jnp.int32)
 
-    def step(_, o):
+    def one(o):
         dy, dx = o // n, o % n
         sh = jax.lax.dynamic_slice(pad, (dy, dx), (H, W))
         d = jnp.abs(src - sh)
-        sad = d.reshape(nby, 4, nbx, 4).sum(axis=(1, 3))
-        return None, sad
+        return d.reshape(nby, 4, nbx, 4).sum(axis=(1, 3))
 
-    _, grid = jax.lax.scan(step, None, jnp.arange(n * n))   # (n2, nby, nbx)
+    # chunked scan-of-vmap: a plain scan serializes n^2 (up to 1089 at
+    # merange 64) tiny shifted-SAD steps that each underfill the chip —
+    # 16 offsets per step keeps the VPU busy without the (n2, H, W)
+    # full-materialization a bare vmap would cost
+    n2 = n * n
+    CH = 16
+    npad = (-n2) % CH
+    offs_all = jnp.concatenate(
+        [jnp.arange(n2), jnp.zeros((npad,), jnp.int32)]) \
+        .reshape(-1, CH)
+
+    def step(_, oc):
+        return None, jax.vmap(one)(oc)
+
+    _, grid = jax.lax.scan(step, None, offs_all)   # (n2/CH, CH, nby, nbx)
+    grid = grid.reshape(-1, nby, nbx)[:n2]
     grid = grid.transpose(1, 2, 0)                          # (nby, nbx, n2)
     best1 = jnp.argmin(grid, axis=2)
     mv1 = jnp.stack([best1 % n - sr, best1 // n - sr], axis=-1)

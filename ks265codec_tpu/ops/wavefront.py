@@ -208,9 +208,17 @@ def _refs_from_borders(bot, rgt, cor, r, c, avail_l, avail_c, avail_t,
 # ----------------------------------------------------------- transform path
 
 def _mm_lhs(t, x):
-    """Exact t @ x for int32 x with |x| < 2^17 and |t| <= 90: split x into
-    8-bit halves so each f32 matmul is exact (< 2^24) and rides the MXU —
-    int32 dots hit pathologically slow XLA emitters on both backends."""
+    """Exact t @ x for int32 x with |x| < 2^16 and |t| <= 90: split x into
+    8-bit halves so each f32 matmul is exact and rides the MXU —
+    int32 dots hit pathologically slow XLA emitters on both backends.
+
+    Exact at DEFAULT (bf16) matmul precision, which is what the package
+    runs at: hi = x>>8 in [-256, 255] and lo in [0, 255] are bf16-exact
+    integers, |t| <= 90 is bf16-exact, and the MXU accumulates in f32
+    (sums < 2^24). Callers stay inside the 2^16 bound: residuals are
+    9-bit, stage intermediates are <= ~46k after their shifts, dequant
+    levels are clip16'd. Widening any input past 2^16 breaks exactness
+    SILENTLY — re-audit before doing that."""
     tf = t.astype(jnp.float32)
     hi = (x >> 8).astype(jnp.float32)
     lo = (x & 255).astype(jnp.float32)
