@@ -55,6 +55,8 @@ class HevcDecoder:
         self.vps_map: dict[int, object] = {}
         self.sps_map: dict[int, SPS] = {}
         self.pps_map: dict[int, PPS] = {}
+        from ..utils.pool import FramePool
+        self.frame_pool = FramePool()
         self.dpb: list[RefPic] = []
         self.out_queue: list[RefPic] = []
         self.cur: FrameState | None = None
@@ -82,9 +84,11 @@ class HevcDecoder:
         self._finish_current_picture()
         out = list(self.frames_out)
         self.frames_out.clear()
-        for rp in sorted(self.out_queue, key=lambda r: r.poc):
-            out.append(self._wrap_output(rp))
+        pend = sorted(self.out_queue, key=lambda r: r.poc)
         self.out_queue.clear()
+        for rp in pend:
+            out.append(self._wrap_output(rp))
+            self._release_if_dead(rp)
         return out
 
     def decode_all(self, data: bytes) -> list[YUVFrame]:
@@ -337,7 +341,7 @@ class HevcDecoder:
             self._bump_all()
         else:
             self._apply_rps(hdr, sps)
-        fs = FrameState(sps)
+        fs = self.frame_pool.acquire(sps)
         fs.poc = hdr.poc
         self.cur = fs
         self.cur_hdr = hdr
@@ -577,20 +581,37 @@ class HevcDecoder:
         reorder = fs.sps.num_reorder_pics[-1]
         self.out_queue.sort(key=lambda r: r.poc)
         while len(self.out_queue) > reorder:
-            self.frames_out.append(self._wrap_output(self.out_queue.pop(0)))
+            rp0 = self.out_queue.pop(0)
+            self.frames_out.append(self._wrap_output(rp0))
+            self._release_if_dead(rp0)
         self._cleanup_dpb(fs.sps)
 
     def _cleanup_dpb(self, sps: SPS) -> None:
         # a picture leaves the DPB only when it is no longer used for
         # reference AND already output (never evict live refs)
+        dead = [rp for rp in self.dpb
+                if not (rp.used_for_ref or rp in self.out_queue)]
         self.dpb = [rp for rp in self.dpb
                     if rp.used_for_ref or rp in self.out_queue]
+        for rp in dead:
+            self._release_if_dead(rp)
+
+    def _release_if_dead(self, rp: RefPic) -> None:
+        """Recycle a picture's storage once nothing references it (left
+        both the DPB and the output queue, and is not mid-decode)."""
+        if rp in self.dpb or rp in self.out_queue:
+            return
+        if self.cur is rp.fs:
+            return
+        self.frame_pool.release(rp.fs)
 
     def _bump_all(self) -> None:
         self.out_queue.sort(key=lambda r: r.poc)
-        for rp in self.out_queue:
-            self.frames_out.append(self._wrap_output(rp))
+        pend = self.out_queue[:]
         self.out_queue.clear()
+        for rp in pend:
+            self.frames_out.append(self._wrap_output(rp))
+            self._release_if_dead(rp)
 
     def _drain_ready(self) -> list[YUVFrame]:
         """Output pictures per the bumping rule (num_reorder_pics)."""
@@ -604,7 +625,9 @@ class HevcDecoder:
         reorder = sps.num_reorder_pics[-1]
         self.out_queue.sort(key=lambda r: r.poc)
         while len(self.out_queue) > reorder:
-            out.append(self._wrap_output(self.out_queue.pop(0)))
+            rp0 = self.out_queue.pop(0)
+            out.append(self._wrap_output(rp0))
+            self._release_if_dead(rp0)
         return out
 
     def _wrap_output(self, rp: RefPic) -> YUVFrame:

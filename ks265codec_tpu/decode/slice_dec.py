@@ -62,45 +62,80 @@ class FrameState:
     """
 
     _serial_next = 0    # process-wide monotonic id (DeviceDPB keying —
-    #                     unlike id(), never reused after gc)
+    #                     unlike id(), never reused after gc OR pool reuse)
 
     def __init__(self, sps: SPS):
-        self.serial = FrameState._serial_next
-        FrameState._serial_next += 1
-        self.sps = sps
         cs = sps.ctb_size
         self.pw = sps.pic_width_in_ctbs * cs   # padded sizes
         self.ph = sps.pic_height_in_ctbs * cs
-        self.y = np.zeros((self.ph, self.pw), np.int32)
-        self.cb = np.zeros((self.ph // 2, self.pw // 2), np.int32)
-        self.cr = np.zeros((self.ph // 2, self.pw // 2), np.int32)
+        self.y = np.empty((self.ph, self.pw), np.int32)
+        self.cb = np.empty((self.ph // 2, self.pw // 2), np.int32)
+        self.cr = np.empty((self.ph // 2, self.pw // 2), np.int32)
         h4, w4 = self.ph // 4, self.pw // 4
         self.h4, self.w4 = h4, w4
         # per-4x4 grids
-        self.recon_done = np.zeros((h4, w4), bool)
-        self.pred_mode = np.zeros((h4, w4), np.int8)       # MODE_INTER/INTRA
-        self.intra_mode = np.full((h4, w4), 1, np.int8)    # luma mode
-        self.cu_depth = np.zeros((h4, w4), np.int8)
-        self.skip = np.zeros((h4, w4), bool)
-        self.qp = np.zeros((h4, w4), np.int8)
-        self.cbf_luma = np.zeros((h4, w4), bool)
-        self.tu_edge_h = np.zeros((h4, w4), bool)  # top edge of a TU at this 4x4
-        self.tu_edge_v = np.zeros((h4, w4), bool)  # left edge
-        self.pu_edge_h = np.zeros((h4, w4), bool)
-        self.pu_edge_v = np.zeros((h4, w4), bool)
-        self.cu_edge_h = np.zeros((h4, w4), bool)
-        self.cu_edge_v = np.zeros((h4, w4), bool)
-        self.slice_id = np.zeros((h4, w4), np.int32)
+        self.recon_done = np.empty((h4, w4), bool)
+        self.pred_mode = np.empty((h4, w4), np.int8)       # MODE_INTER/INTRA
+        self.intra_mode = np.empty((h4, w4), np.int8)      # luma mode
+        self.cu_depth = np.empty((h4, w4), np.int8)
+        self.skip = np.empty((h4, w4), bool)
+        self.qp = np.empty((h4, w4), np.int8)
+        self.cbf_luma = np.empty((h4, w4), bool)
+        self.tu_edge_h = np.empty((h4, w4), bool)  # top edge of a TU at this 4x4
+        self.tu_edge_v = np.empty((h4, w4), bool)  # left edge
+        self.pu_edge_h = np.empty((h4, w4), bool)
+        self.pu_edge_v = np.empty((h4, w4), bool)
+        self.cu_edge_h = np.empty((h4, w4), bool)
+        self.cu_edge_v = np.empty((h4, w4), bool)
+        self.slice_id = np.empty((h4, w4), np.int32)
         # motion: [list][h4][w4][xy], refidx -1 = unused
-        self.mv = np.zeros((2, h4, w4, 2), np.int32)
-        self.ref_idx = np.full((2, h4, w4), -1, np.int8)
-        self.ref_poc = np.zeros((2, h4, w4), np.int32)
-        self.ref_lt = np.zeros((2, h4, w4), bool)      # ref is long-term
-        self.mi_parsed = np.zeros((h4, w4), bool)      # motion/mode parsed
+        self.mv = np.empty((2, h4, w4, 2), np.int32)
+        self.ref_idx = np.empty((2, h4, w4), np.int8)
+        self.ref_poc = np.empty((2, h4, w4), np.int32)
+        self.ref_lt = np.empty((2, h4, w4), bool)      # ref is long-term
+        self.mi_parsed = np.empty((h4, w4), bool)      # motion/mode parsed
+        self.reset(sps)
+
+    def reset(self, sps: SPS) -> None:
+        """(Re)initialize for a new picture, reusing every allocation —
+        the frame-pool contract (reference CFramePool / TComPicYuv reuse,
+        SURVEY.md 2.1 memory pool). A recycled frame gets a FRESH serial
+        so DeviceDPB entries of its former life can never alias it."""
+        self.serial = FrameState._serial_next
+        FrameState._serial_next += 1
+        self.sps = sps
+        for a in (self.y, self.cb, self.cr, self.recon_done,
+                  self.pred_mode, self.cu_depth, self.skip, self.qp,
+                  self.cbf_luma, self.tu_edge_h, self.tu_edge_v,
+                  self.pu_edge_h, self.pu_edge_v, self.cu_edge_h,
+                  self.cu_edge_v, self.slice_id, self.mv, self.ref_poc,
+                  self.ref_lt, self.mi_parsed):
+            a.fill(0)
+        self.intra_mode.fill(1)
+        self.ref_idx.fill(-1)
+        # the parse-only fast path aliases dec_coef_* / planes into async
+        # device dispatches zero-copy (decoder.py ~540): if a fetch was
+        # still pending at recycle time, mutating them would corrupt it —
+        # drop the references instead (the arrays die with the dispatch)
+        if getattr(self, "_planes_stale", False):
+            self.y = np.zeros_like(self.y)
+            self.cb = np.zeros_like(self.cb)
+            self.cr = np.zeros_like(self.cr)
+            if getattr(self, "dec_coef_y", None) is not None:
+                self.dec_coef_y = None
+                self.dec_coef_cb = None
+                self.dec_coef_cr = None
+                self.dec_cmode8 = None
+        elif getattr(self, "dec_coef_y", None) is not None:
+            for a in (self.dec_coef_y, self.dec_coef_cb,
+                      self.dec_coef_cr):
+                a.fill(0)
+            self.dec_cmode8.fill(1)
         self.sao: list[list[SaoCtuParam]] = [
             [SaoCtuParam() for _ in range(sps.pic_width_in_ctbs)]
             for _ in range(sps.pic_height_in_ctbs)]
         self.poc = 0
+        self._fast_filtered = False   # decoder fast path marks filters done
         # encoder device-path frames keep their reconstruction ON the
         # device; the numpy planes are materialized only on first host
         # consumer (fallback ref read, weightp, PSNR, MD5)

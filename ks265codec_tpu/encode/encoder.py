@@ -114,8 +114,10 @@ class HevcEncoder:
         self._intra_cache = {}      # display_idx -> batched compute result
         self._coded_count = 0       # pictures coded (dts derivation)
         self._wf_coder = None
+        from ..utils.pool import FramePool
         from .devdpb import DeviceDPB
         self.dev_dpb = DeviceDPB()  # device-resident reference planes
+        self.frame_pool = FramePool()  # host FrameState recycling
         self.stats = None
         self.pass2_dqp = {}
         if cfg.pass_num == 1:
@@ -665,6 +667,8 @@ class HevcEncoder:
             # reference across the CRA (spec 8.1 NoRaslOutputFlag rules)
             poc = self.gop_base + 1
             self.gop_base += 1
+            for rp in self.dpb:
+                self.frame_pool.release(rp.fs)
             self.dpb.clear()
             slice_type = I_SLICE
             tid = 0
@@ -672,6 +676,8 @@ class HevcEncoder:
         elif is_idr:
             self.poc = 0
             self.gop_base = 0
+            for rp in self.dpb:
+                self.frame_pool.release(rp.fs)
             self.dpb.clear()
             poc = 0
             slice_type = I_SLICE
@@ -831,7 +837,7 @@ class HevcEncoder:
                 e._nr_state = self._nr_shared
             return e
 
-        fs = FrameState(self.sps)
+        fs = self.frame_pool.acquire(self.sps)
         fs.poc = poc
         enc = make_enc(fs)
         if cfg.aq_mode or cfg.cutree:
@@ -990,9 +996,15 @@ class HevcEncoder:
         keep = set()
         if not is_idr:
             keep = {poc + d for d in hdr.st_rps.delta_pocs}
+        dead = [rp for rp in self.dpb
+                if not (rp.poc in keep
+                        or (getattr(rp, "lt_candidate", False)
+                            and cfg.long_term_ref))]
         self.dpb = [rp for rp in self.dpb
                     if rp.poc in keep or (getattr(rp, "lt_candidate", False)
                                           and cfg.long_term_ref)]
+        for rp in dead:
+            self.frame_pool.release(rp.fs)
         new_rp = RefPic(fs, poc)
         if cfg.long_term_ref and is_idr:
             # encoder INTENT to keep this picture long-term; the normative
