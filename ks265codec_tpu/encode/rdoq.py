@@ -94,6 +94,6 @@ def rdoq_jnp(c, qp, n: int, log2: int):
     """Batched jnp twin: c (K, n, n) signed coefficients, qp (K,)."""
     from ..ops.transforms import _QUANT_SCALE
     qbits = (29 + qp // 6 - 8 - log2)[:, None, None]
-    t = jnp.abs(c) * _QUANT_SCALE[(qp % 6)[:, None, None]]
+    t = jnp.abs(c) * jnp.asarray(_QUANT_SCALE)[(qp % 6)[:, None, None]]
     f = t.astype(jnp.float32) * jnp.ldexp(jnp.float32(1.0), -qbits)
     return _rdoq_core(jnp, c, f)

@@ -22,8 +22,11 @@ def _hadamard(n: int) -> np.ndarray:
     return h
 
 
-_H4 = jnp.asarray(_hadamard(4), jnp.int32)
-_H8 = jnp.asarray(_hadamard(8), jnp.int32)
+# numpy, not jnp: module-level jnp constants get captured as committed
+# device buffers and poison the axon tunnel's dispatch path process-wide
+# (see ops/transforms.py)
+_H4 = np.asarray(_hadamard(4), np.int32)
+_H8 = np.asarray(_hadamard(8), np.int32)
 
 
 @jax.jit

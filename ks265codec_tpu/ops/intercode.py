@@ -129,7 +129,7 @@ def _effective_qp4(qp4, cbfq4, zin4, zcu4, slice_qp, wpp: bool, cs: int,
         fl_any = anyc.reshape(-1)
         fl_pl = planned_last.reshape(-1)
         idx = jnp.where(fl_any, jnp.arange(nr * nc), -1)
-        idx_excl = jnp.concatenate([jnp.array([-1]), idx[:-1]])
+        idx_excl = jnp.concatenate([np.array([-1]), idx[:-1]])
         last = jax.lax.associative_scan(jnp.maximum, idx_excl)
         qprev = jnp.where(last >= 0, fl_pl[jnp.clip(last, 0)],
                           slice_qp).reshape(nr, nc)

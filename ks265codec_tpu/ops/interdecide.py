@@ -86,13 +86,13 @@ def _rough_tu_inter(res, qp, n: int, log2: int):
     c = (_mm_rhs(e, t.T) + (1 << (shift2 - 1))) >> shift2
     qpv = qp[:, None, None]
     qbits = 29 + qpv // 6 - 8 - log2
-    scale = _QUANT_SCALE[qpv % 6]
+    scale = jnp.asarray(_QUANT_SCALE)[qpv % 6]
     rnd = jnp.int32(85) << (qbits - 9)
     a = jnp.abs(c)
     lev = jnp.clip((a * scale + rnd) >> qbits, 0, 32767)
     s = 8 + log2 - 5
     p = qpv // 6
-    tv = lev * (16 * _LEVEL_SCALE[qpv % 6])
+    tv = lev * (16 * jnp.asarray(_LEVEL_SCALE)[qpv % 6])
     sp = jnp.maximum(s - p, 0)
     ps = jnp.maximum(p - s, 0)
     drnd = jnp.where(s - p >= 1,

@@ -83,8 +83,10 @@ def _build_tables(n: int):
             f[mi] = np.broadcast_to(fact[None, :], (n, n))
     filt = np.array([1 if use_filtered_refs(m, n) else 0
                      for m in range(2, 35)], np.int32)
-    return (jnp.asarray(ext_idx), jnp.asarray(g), jnp.asarray(f),
-            jnp.asarray(filt))
+    # numpy, not jnp: these are captured by jitted predict fns, and a
+    # captured device-array constant poisons the axon tunnel dispatch
+    # path process-wide (see ops/transforms.py)
+    return ext_idx, g, f, filt
 
 
 _TABLES = {n: _build_tables(n) for n in (4, 8, 16, 32)}
@@ -102,7 +104,7 @@ def predict_all_modes(refs_u: jax.Array, refs_f: jax.Array, n: int,
     ext_idx, g, f, filt = _TABLES[n]
     both = jnp.stack([refs_u, refs_f], axis=1)        # (N, 2, L)
     # gather 1: per-mode ext arrays from the mode's chosen ref set
-    sel = filt if is_luma else jnp.zeros_like(filt)
+    sel = filt if is_luma else np.zeros_like(filt)
     e = both[:, sel[:, None], ext_idx]                # (N, 33, 3n+2)
     # gather 2: angular lerp
     m_ix = jnp.arange(33)[:, None, None]

@@ -89,27 +89,33 @@ def _interp_cells(ref_stack, slot, mvx, mvy, t: int, base_r, base_c,
     xs = jnp.clip(ix[:, None] + jnp.arange(n_in)[None, :], 0, pic_w - 1)
     patch = ref_stack[slot[:, None, None], ys[:, :, None], xs[:, None, :]]
     nph = mats.shape[0]
-    # one-hot phase select -> per-cell filter matrix (exact: weights 0/1),
-    # then batched fixed-size matmuls ride the MXU
+    K = patch.shape[0]
+    # Phase-expanded separable filtering. A per-cell filter matrix (one
+    # per block, selected by phase) makes every stage a BATCHED matmul of
+    # tiny (n_in x t) operands — thousands of 15x15x8 MXU ops, the
+    # dominant cost of the whole inter decide (measured ~10 ms per call
+    # at K=3600 vs ~0.1 ms for the gathers). Instead compute ALL nph
+    # phase outputs with one large 2-D matmul (8x the FLOPs, but FLOPs
+    # are free here) and select the phase with a broadcast one-hot sum on
+    # the VPU. Exactness at DEFAULT (bf16) matmul precision: patch is
+    # 8-bit, taps <= 64, f32 accumulation over n_in <= 15 stays < 2^24;
+    # stage-2 operands are 15-bit so they go through an 8-bit limb split
+    # (hi <= 88, lo in [0, 255]).
+    mats_f = jnp.asarray(mats).transpose(1, 0, 2) \
+        .reshape(n_in, nph * t)                           # (n_in, nph*t)
     oh_x = jax.nn.one_hot(fx, nph, dtype=_F32)            # (K, nph)
     oh_y = jax.nn.one_hot(fy, nph, dtype=_F32)
-    mh = jnp.einsum("kp,pjm->kjm", oh_x, mats,
-                    preferred_element_type=_F32)          # (K, n_in, t)
-    mv_ = jnp.einsum("kp,pin->kin", oh_y, mats,
-                     preferred_element_type=_F32)         # (K, n_in, t)
-    hcols = jnp.einsum("kij,kjm->kim", patch.astype(_F32), mh,
-                       preferred_element_type=_F32)       # (K, n_in, t)
-    # second separable stage: hcols holds 15-bit integers, beyond bf16's
-    # 8-bit-exact range — split into 8-bit limbs so the einsum stays
-    # bit-exact at DEFAULT matmul precision (hi <= 88, lo in [0,255],
-    # filter taps <= 64: every operand is bf16-exact, f32 accumulation
-    # stays < 2^24). Two 1-pass MXU matmuls beat one 6-pass HIGHEST.
+    h_all = (patch.astype(_F32).reshape(K * n_in, n_in) @ mats_f) \
+        .reshape(K, n_in, nph, t)                         # (K, i, p, m)
+    hcols = (h_all * oh_x[:, None, :, None]).sum(axis=2)  # (K, n_in, t)
     hc_hi = jnp.floor(hcols * (1.0 / 256.0))
     hc_lo = hcols - 256.0 * hc_hi
-    v = (jnp.einsum("kim,kin->knm", hc_hi, mv_,
-                    preferred_element_type=_F32) * 256.0
-         + jnp.einsum("kim,kin->knm", hc_lo, mv_,
-                      preferred_element_type=_F32))       # (K, t, t)
+    hc = jnp.concatenate([hc_hi, hc_lo], axis=0)          # (2K, n_in, t)
+    v_all = (hc.transpose(0, 2, 1).reshape(2 * K * t, n_in) @ mats_f) \
+        .reshape(2, K, t, nph, t)                         # (2, K, m, p, n)
+    v_all = v_all[0] * 256.0 + v_all[1]                   # exact: < 2^24
+    v = (v_all * oh_y[:, None, :, None]).sum(axis=2)      # (K, m, n)
+    v = v.transpose(0, 2, 1)                              # (K, n, m)
     return v.astype(jnp.int32) >> 6
 
 

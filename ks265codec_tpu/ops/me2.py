@@ -153,7 +153,7 @@ def _subpel8(src, ref, mv_full, lam: float, pic_w: int, pic_h: int):
         p14 = _interp_cand(windows, 8, qx, qy)
         pix = jnp.clip((p14 + 32) >> 6, 0, 255)
         c = _satd8(pix, blocks).astype(jnp.float32)
-        d = jnp.abs(mvq0 + jnp.asarray([qx, qy]) - pred_q)
+        d = jnp.abs(mvq0 + np.asarray([qx, qy], np.int32) - pred_q)
         c = c + lam * (2.0 + 2.0 * jnp.log2(1.0 + d[:, 0])
                        + 2.0 * jnp.log2(1.0 + d[:, 1]))
         costs.append(c)

@@ -20,10 +20,17 @@ import numpy as np
 
 from ..hevc.tables import DCT, DST4, LEVEL_SCALE, QUANT_SCALE
 
-_T = {n: jnp.asarray(DCT[n], jnp.int32) for n in (4, 8, 16, 32)}
-_TDST = jnp.asarray(DST4, jnp.int32)
-_LEVEL_SCALE = jnp.asarray(LEVEL_SCALE, jnp.int32)
-_QUANT_SCALE = jnp.asarray(QUANT_SCALE, jnp.int32)
+# NUMPY, never jnp: a module-level jnp constant becomes a COMMITTED
+# device buffer captured by every traced graph that touches it, and on
+# the axon TPU tunnel ONE such capture permanently degrades the whole
+# process's dispatch path (measured: every later dispatch 30-1700x
+# slower — this was the round-4 all-intra regression). numpy constants
+# lower to plain HLO literals. Convert with jnp.asarray() INSIDE a trace
+# when a tracer-index gather is needed; that is safe.
+_T = {n: np.asarray(DCT[n], np.int32) for n in (4, 8, 16, 32)}
+_TDST = np.asarray(DST4, np.int32)
+_LEVEL_SCALE = np.asarray(LEVEL_SCALE, np.int32)
+_QUANT_SCALE = np.asarray(QUANT_SCALE, np.int32)
 
 
 def _mat(log2: int, is_dst: bool) -> jnp.ndarray:
@@ -74,7 +81,7 @@ def quantize(coeffs: jax.Array, qp: jax.Array, log2: int,
     """
     qp = jnp.asarray(qp, jnp.int32)
     qbits = 29 + qp // 6 - bd - log2
-    scale = _QUANT_SCALE[qp % 6]
+    scale = jnp.asarray(_QUANT_SCALE)[qp % 6]
     # all-int32: |coeff| < 2^15, scale < 2^15, rnd < 2^26 → sum < 2^31
     rnd = jnp.int32(171 if intra else 85) << (qbits - 9)
     a = jnp.abs(coeffs)
@@ -93,7 +100,7 @@ def dequantize(levels: jax.Array, qp: jax.Array, log2: int,
     # int32-exact re-association of ((lv*16*ls) << p + 2^(s-1)) >> s:
     # t = lv * (16*ls[qp%6]) fits int32 (< 2^26); then shift by (s-p) with
     # the matching rounding term, or left-shift when p >= s.
-    t = levels * (16 * _LEVEL_SCALE[qp % 6])
+    t = levels * (16 * jnp.asarray(_LEVEL_SCALE)[qp % 6])
     sp = jnp.maximum(s - p, 0)
     ps = jnp.maximum(p - s, 0)
     rnd = jnp.where(s - p >= 1, jnp.int32(1) << jnp.maximum(s - p - 1, 0), 0)

@@ -250,7 +250,7 @@ def _fwd_quant(resi, qp, n: int, log2: int, rdoq: bool = False,
         return rdoq_jnp(c, qp, n, log2)
     qp = qp[:, None, None]
     qbits = 29 + qp // 6 - 8 - log2
-    scale = _QUANT_SCALE[qp % 6]
+    scale = jnp.asarray(_QUANT_SCALE)[qp % 6]
     rnd = jnp.int32(171 if intra else 85) << (qbits - 9)
     a = jnp.abs(c)
     q = jnp.clip((a * scale + rnd) >> qbits, 0, 32767)
@@ -262,7 +262,7 @@ def _dequant_itx(levels, qp, n: int, log2: int):
     qp = qp[:, None, None]
     s = 8 + log2 - 5
     p = qp // 6
-    tv = levels * (16 * _LEVEL_SCALE[qp % 6])
+    tv = levels * (16 * jnp.asarray(_LEVEL_SCALE)[qp % 6])
     sp = jnp.maximum(s - p, 0)
     ps = jnp.maximum(p - s, 0)
     rnd = jnp.where(s - p >= 1, jnp.int32(1) << jnp.maximum(s - p - 1, 0), 0)
@@ -1052,8 +1052,15 @@ class WavefrontIntraCoder:
         return self._unpack_fused(bufs, F, ph, pw, sps, sao, post)
 
     def _unpack_fused(self, bufs, F, ph, pw, sps, sao, post):
+        from ..utils.trace import stage
         row_buf, dyd, dcbd, dcrd, cyd, ccbd, ccrd = bufs
-        rows = np.asarray(row_buf)      # the ONE packed D2H fetch
+        with stage("wf.device_wait"):
+            try:
+                row_buf.block_until_ready()
+            except AttributeError:      # pragma: no cover
+                pass
+        with stage("wf.row_fetch"):
+            rows = np.asarray(row_buf)  # the ONE packed D2H fetch
         out = []
         for f in range(F):
             off = 0
