@@ -85,9 +85,28 @@ def _interp_cells(ref_stack, slot, mvx, mvy, t: int, base_r, base_c,
     ix = base_c + (mvx >> frac_bits) - pad_l
     fy = mvy & ((1 << frac_bits) - 1)
     fx = mvx & ((1 << frac_bits) - 1)
-    ys = jnp.clip(iy[:, None] + jnp.arange(n_in)[None, :], 0, pic_h - 1)
-    xs = jnp.clip(ix[:, None] + jnp.arange(n_in)[None, :], 0, pic_w - 1)
-    patch = ref_stack[slot[:, None, None], ys[:, :, None], xs[:, None, :]]
+    # Patch extraction as batched dynamic_slice on an edge-replicated
+    # margin pad (expandPicture_c analog, done on device — the pad is one
+    # cheap HBM copy, CSE'd within a graph). A per-element clamped fancy
+    # gather runs ~3x slower through XLA's gather path; slicing a padded
+    # plane with the START clamped to [-M, pic-1] reads IDENTICAL values:
+    # in-bounds windows are untouched, windows straddling an edge see the
+    # replicated edge pixels (= the per-element clamp), and windows fully
+    # outside clamp to an all-edge window exactly as coordinate clamping
+    # would. NOTE the pad must replicate the PICTURE edge (slice to
+    # pic_h/pic_w first) — the CTU-alignment pad rows must never leak in.
+    M = n_in + 1
+    padded = jnp.pad(ref_stack[:, :pic_h, :pic_w],
+                     ((0, 0), (M, M), (M, M)), mode="edge")
+    Hp2, Wp2 = pic_h + 2 * M, pic_w + 2 * M
+    rf = padded.reshape(ref_stack.shape[0] * Hp2, Wp2)
+    y0 = jnp.clip(iy, -M, pic_h - 1) + M
+    x0 = jnp.clip(ix, -M, pic_w - 1) + M
+
+    def _one(s, y, x):
+        return jax.lax.dynamic_slice(rf, (s * Hp2 + y, x), (n_in, n_in))
+
+    patch = jax.vmap(_one)(slot, y0, x0)
     nph = mats.shape[0]
     K = patch.shape[0]
     # Phase-expanded separable filtering. A per-cell filter matrix (one
