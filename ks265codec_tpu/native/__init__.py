@@ -256,6 +256,14 @@ def write_slice_native(fs, syn, sps, pps, hdr, sao_params, threads=1):
         ret = _lib.ks_write_slice_tiles_mt(*args, ctypes.c_int(threads))
         if ret == -3:        # config not coverable by the MT path
             ret = _lib.ks_write_slice(*args)
+    elif (threads > 1 and pps.entropy_coding_sync_enabled
+            and ts_to_rs is None and hctb > 1):
+        # WPP rows coded concurrently under the wavefront skew —
+        # byte-identical to the serial writer (same ctx snapshot point)
+        _lib.ks_write_slice_wpp_mt.restype = ctypes.c_long
+        ret = _lib.ks_write_slice_wpp_mt(*args, ctypes.c_int(threads))
+        if ret == -3:
+            ret = _lib.ks_write_slice(*args)
     else:
         ret = _lib.ks_write_slice(*args)
     del maps

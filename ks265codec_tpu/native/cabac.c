@@ -1020,6 +1020,7 @@ static void sw_finish_substream(Enc *e) {
  * (each worker only touches its own tile's region).
  * ========================================================================== */
 #include <pthread.h>
+#include <sched.h>
 
 typedef struct {
     SW tmpl;                       /* template SW (shared input pointers) */
@@ -1293,6 +1294,208 @@ long ks_write_slice(const int32_t *params, const int *bases,
     if (sw.e.overflow) return -2;
     *n_entries = ne;
     return sw.e.out_len;
+}
+
+/* ------------------------------------------------ WPP row-parallel writer
+ * Threaded entropy coding of WPP substreams (qy265executeEncCtuTaskWpp /
+ * initSliceWPP analog): each CTB row is an independent substream whose
+ * starting contexts are the row above's state after its 2nd CTB. Rows are
+ * coded concurrently under the standard wavefront skew — row r may code
+ * CTB x only once row r-1 has finished CTB x+1 — which also makes the
+ * shared `coded` availability map safe: every above-row cell a CTB can
+ * read was written before the release-store of the progress counter the
+ * reader acquire-waits on. Output is byte-identical to ks_write_slice
+ * with wpp=1 (same snapshot point, same per-row qp/ctx resets).         */
+typedef struct {
+    SW tmpl;
+    const uint8_t *init_ctx;
+    int nctx, wctb, hctb, log2_ctb, sao_on, last_term_row;
+    uint8_t **ctxs;       /* per-row working contexts */
+    uint8_t **snaps;      /* per-row ctx snapshot after CTB 1 */
+    uint8_t **bufs;
+    long *caps, *lens;
+    int *errs;
+    volatile int *progress;   /* CTBs completed per row */
+    volatile int next_row;
+    pthread_mutex_t mu;
+} WMTJob;
+
+static void wmt_write_row(WMTJob *j, int r) {
+    SW sw = j->tmpl;
+    uint8_t *ctx = j->ctxs[r];
+    int nctx = j->nctx, wctb = j->wctb;
+    int snap_rx = wctb - 1 < 1 ? wctb - 1 : 1;
+    if (r == 0) {
+        memcpy(ctx, j->init_ctx, (size_t)nctx);
+    } else {
+        int need = snap_rx + 1;      /* row above coded its snapshot CTB */
+        while (__atomic_load_n(&j->progress[r - 1], __ATOMIC_ACQUIRE)
+               < need) {
+            if (j->errs[r - 1]) { j->errs[r] = j->errs[r - 1]; goto bail; }
+            sched_yield();
+        }
+        memcpy(ctx, j->snaps[r - 1], (size_t)nctx);
+    }
+    sw.e.low = 0; sw.e.range = 510; sw.e.bits_left = 23;
+    sw.e.num_buffered = 0; sw.e.buffered_byte = 0xFF;
+    sw.e.out = j->bufs[r]; sw.e.out_len = 0; sw.e.out_cap = j->caps[r];
+    sw.e.ctx = ctx; sw.e.overflow = 0; sw.err = 0;
+    sw.qp_prev = sw.qg_last_qp = sw.p[P_SLICE_QP];
+    for (int rx = 0; rx < wctb; rx++) {
+        if (r > 0) {
+            int need = rx + 2 < wctb ? rx + 2 : wctb;
+            while (__atomic_load_n(&j->progress[r - 1], __ATOMIC_ACQUIRE)
+                   < need) {
+                if (j->errs[r - 1]) {
+                    j->errs[r] = j->errs[r - 1];
+                    goto bail;
+                }
+                sched_yield();
+            }
+        }
+        if (j->sao_on) sw_write_sao(&sw, rx, r);
+        sw.dqp_coded = 0;                        /* begin_qg */
+        sw_write_cq(&sw, rx << j->log2_ctb, r << j->log2_ctb,
+                    j->log2_ctb, 0);
+        sw.qp_prev = sw.qg_last_qp;              /* end_qg */
+        if (sw.err) { j->errs[r] = sw.err; goto bail; }
+        if (rx == snap_rx)
+            memcpy(j->snaps[r], ctx, (size_t)nctx);
+        int last = (r == j->hctb - 1) && (rx == wctb - 1);
+        sw_terminate(&sw.e, last ? 1 : 0);
+        __atomic_store_n(&j->progress[r], rx + 1, __ATOMIC_RELEASE);
+    }
+    if (r < j->hctb - 1)
+        sw_terminate(&sw.e, 1);                  /* end_of_subset */
+    sw_finish_substream(&sw.e);
+    if (sw.e.overflow) { j->errs[r] = -2; goto bail; }
+    j->lens[r] = sw.e.out_len;
+    return;
+bail:
+    /* release waiters so dependent rows do not spin forever */
+    __atomic_store_n(&j->progress[r], wctb, __ATOMIC_RELEASE);
+}
+
+static void *wmt_worker(void *arg) {
+    WMTJob *j = (WMTJob *)arg;
+    for (;;) {
+        pthread_mutex_lock(&j->mu);
+        int r = j->next_row++;
+        pthread_mutex_unlock(&j->mu);
+        if (r >= j->hctb) break;
+        wmt_write_row(j, r);
+    }
+    return NULL;
+}
+
+long ks_write_slice_wpp_mt(const int32_t *params, const int *bases,
+                           const uint8_t *init_ctx,
+                           const uint8_t *depth, const uint8_t *skip,
+                           const uint8_t *pred_mode,
+                           const uint8_t *intra_mode,
+                           const uint8_t *chroma_mode,
+                           const uint8_t *cbf_y, const uint8_t *cbf_cb,
+                           const uint8_t *cbf_cr,
+                           const uint8_t *merge_flag,
+                           const uint8_t *merge_idx,
+                           const uint8_t *inter_dir, const uint8_t *ref0,
+                           const uint8_t *ref1, const uint8_t *mvp0,
+                           const uint8_t *mvp1, const uint8_t *qpmap,
+                           const int16_t *mvd0, const int16_t *mvd1,
+                           const int16_t *cy, const int16_t *ccb,
+                           const int16_t *ccr,
+                           const uint8_t *sao_type,
+                           const int8_t *sao_off,
+                           const uint8_t *sao_band,
+                           const uint8_t *sao_eo,
+                           const int32_t *ts_to_rs,
+                           const int32_t *ctb_tile,
+                           uint8_t *out, long out_cap,
+                           int32_t *entry_sizes, int32_t *n_entries,
+                           uint8_t *work, int nthreads) {
+    tables_init(); scans_init();
+    if (!params[P_WPP] || ctb_tile)
+        return -3;                      /* WPP-only path, no tiles */
+    SW sw;
+    memset(&sw, 0, sizeof(sw));
+    sw.p = params; sw.bases = bases;
+    sw.depth = depth; sw.skip = skip; sw.pred_mode = pred_mode;
+    sw.intra_mode = intra_mode; sw.chroma_mode = chroma_mode;
+    sw.cbf_y = cbf_y; sw.cbf_cb = cbf_cb; sw.cbf_cr = cbf_cr;
+    sw.merge_flag = merge_flag; sw.merge_idx = merge_idx;
+    sw.inter_dir = inter_dir; sw.ref0 = ref0; sw.ref1 = ref1;
+    sw.mvp0 = mvp0; sw.mvp1 = mvp1; sw.qpmap = qpmap;
+    sw.mvd0 = mvd0; sw.mvd1 = mvd1;
+    sw.cy = cy; sw.ccb = ccb; sw.ccr = ccr;
+    sw.sao_type = sao_type; sw.sao_off = sao_off;
+    sw.sao_band = sao_band; sw.sao_eo = sao_eo;
+    sw.w4 = params[P_PW] >> 2; sw.h4 = params[P_PH] >> 2;
+    int log2_ctb = params[P_LOG2_CTB];
+    sw.wctb = (params[P_WIDTH] + (1 << log2_ctb) - 1) >> log2_ctb;
+    sw.hctb = (params[P_HEIGHT] + (1 << log2_ctb) - 1) >> log2_ctb;
+    sw.log2_ctb = log2_ctb;
+    sw.ctb_tile = NULL;
+    sw.cur_tile = 0;
+    int nctx = params[P_NCTX];
+    sw.coded = work + 2 * nctx;
+    memset(sw.coded, 0, (size_t)(sw.w4 * sw.h4));
+    int hctb = sw.hctb, wctb = sw.wctb;
+    if (hctb > 1024) return -3;
+    WMTJob j;
+    j.tmpl = sw; j.init_ctx = init_ctx; j.nctx = nctx;
+    j.wctb = wctb; j.hctb = hctb; j.log2_ctb = log2_ctb;
+    j.sao_on = params[P_SAO_LUMA] || params[P_SAO_CHROMA];
+    j.next_row = 0;
+    int ctb_px = 1 << log2_ctb;
+    uint8_t **ctxs = (uint8_t **)malloc(sizeof(void *) * (size_t)hctb * 3);
+    uint8_t **snaps = ctxs + hctb;
+    uint8_t **bufs = ctxs + 2 * hctb;
+    long *caps = (long *)malloc(sizeof(long) * (size_t)hctb * 2);
+    long *lens = caps + hctb;
+    int *errs = (int *)calloc((size_t)hctb, sizeof(int));
+    int *progress = (int *)calloc((size_t)hctb, sizeof(int));
+    if (!ctxs || !caps || !errs || !progress) return -4;
+    for (int r = 0; r < hctb; r++) {
+        caps[r] = (long)wctb * ctb_px * ctb_px * 3 + (1 << 16);
+        bufs[r] = (uint8_t *)malloc((size_t)caps[r]);
+        ctxs[r] = (uint8_t *)malloc((size_t)nctx * 2);
+        snaps[r] = ctxs[r] + nctx;
+        lens[r] = 0;
+        if (!bufs[r] || !ctxs[r]) return -4;
+    }
+    j.ctxs = ctxs; j.snaps = snaps; j.bufs = bufs;
+    j.caps = caps; j.lens = lens; j.errs = errs;
+    j.progress = progress;
+    pthread_mutex_init(&j.mu, NULL);
+    int nw = nthreads < hctb ? nthreads : hctb;
+    if (nw < 1) nw = 1;
+    if (nw > 64) nw = 64;
+    pthread_t th[64];
+    for (int i = 0; i < nw; i++)
+        pthread_create(&th[i], NULL, wmt_worker, &j);
+    for (int i = 0; i < nw; i++)
+        pthread_join(th[i], NULL);
+    pthread_mutex_destroy(&j.mu);
+    int err = 0;
+    long total = 0;
+    for (int r = 0; r < hctb; r++) {
+        if (errs[r]) err = errs[r];
+        total += lens[r];
+    }
+    if (!err && total > out_cap) err = -2;
+    int ne = 0;
+    if (!err) {
+        long off = 0;
+        for (int r = 0; r < hctb; r++) {
+            memcpy(out + off, bufs[r], (size_t)lens[r]);
+            off += lens[r];
+            if (r < hctb - 1) entry_sizes[ne++] = (int32_t)lens[r];
+        }
+        *n_entries = ne;
+    }
+    for (int r = 0; r < hctb; r++) { free(bufs[r]); free(ctxs[r]); }
+    free(ctxs); free(caps); free(errs); free(progress);
+    return err ? err : total;
 }
 
 /* ==========================================================================

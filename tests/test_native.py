@@ -85,3 +85,50 @@ def test_native_matches_python_roundtrip():
         got, ts = native.parse_residual(dec, log2, c_idx, scan_idx, 0, 0)
         assert ts == 0
         np.testing.assert_array_equal(got, coeffs, err_msg=f"trial {trial}")
+
+
+def test_wpp_mt_writer_matches_serial(monkeypatch, tmp_path):
+    """The WPP row-parallel pthread writer must be byte-identical to the
+    serial writer (same ctx snapshot point after CTB 1, per-row qp reset,
+    same entry sizes) on intra AND inter slices."""
+    import numpy as np
+
+    import ks265codec_tpu.encode.map_writer as MW
+    from ks265codec_tpu.encode.config import EncoderConfig
+    from ks265codec_tpu.encode.encoder import HevcEncoder
+    from ks265codec_tpu.utils.yuv import YUVFrame
+
+    checked = []
+
+    def both(fs, syn, sps, pps, hdr, sao_params=None, threads=1):
+        got_1 = native.write_slice_native(fs, syn, sps, pps, hdr,
+                                          sao_params, threads=1)
+        got_mt = native.write_slice_native(fs, syn, sps, pps, hdr,
+                                           sao_params, threads=4)
+        assert got_1 is not None
+        assert got_mt == got_1
+        checked.append(hdr.slice_type)
+        return got_1
+
+    monkeypatch.setattr(MW, "write_slice_data", both)
+    rng = np.random.RandomState(7)
+    W2, H2 = 192, 128
+    yy, xx = np.mgrid[0:H2, 0:W2]
+    frames = []
+    for t in range(4):
+        y = np.clip(100 + 60 * np.sin((xx + 6 * t) / 19.0)
+                    + rng.randn(H2, W2) * 3, 0, 255).astype(np.uint8)
+        u = np.full((H2 // 2, W2 // 2), 120, np.uint8)
+        v = np.clip(128 + 40 * np.cos((yy[::2, ::2]) / 13.0),
+                    0, 255).astype(np.uint8)
+        frames.append(YUVFrame(y, u, v, poc=t))
+    cfg = EncoderConfig(width=W2, height=H2, preset="fast",
+                        latency="zerolatency", qp=30, intra_period=4,
+                        sao=4)
+    assert cfg.wpp
+    enc = HevcEncoder(cfg)
+    for f in frames:
+        enc.encode_frame(f)
+    enc.flush()
+    assert 2 in checked          # at least one intra slice
+    assert any(t != 2 for t in checked)   # and one inter slice
