@@ -917,9 +917,11 @@ class HevcEncoder:
                 segments=seg_starts)
             slice_data = seg_datas[0]
         else:
-            slice_data, raw_entries = write_slice_data(
-                fs, enc.syn, self.sps, self.pps, hdr, sao_params,
-                threads=nthreads)
+            from ..utils.trace import stage as _stage
+            with _stage("enc.write_slice"):
+                slice_data, raw_entries = write_slice_data(
+                    fs, enc.syn, self.sps, self.pps, hdr, sao_params,
+                    threads=nthreads)
         if self.pps.entropy_coding_sync_enabled or self.pps.tiles_enabled:
             hdr.num_entry_points = len(raw_entries)
             hdr.entry_points = list(raw_entries)

@@ -381,13 +381,21 @@ def run_engine(enc) -> None:
             ms0, mmv0, ms1, mmv1, me_bits = me_rec
             ms0j, ms1j = to_slot(0, ms0), to_slot(1, ms1)
             me = (ms0, mmv0, ms1, mmv1)
+        # narrow dtypes for the H2D upload (the tunnel moves ~20-50 MB/s;
+        # the full-int32 tier args were ~2 MB/frame/iteration): mv fits
+        # int16 (quarter-pel, |mv| << 2^15 at any legal pic size), slots
+        # and qp fit int8. _tier_core upcasts on device.
         args = tuple(jnp.asarray(a) for a in (
-            xs, ys, cs0, cmv0, cs1, cmv1, cvalid,
-            ms0j, np.asarray(mmv0, np.int32),
-            ms1j, np.asarray(mmv1, np.int32),
+            np.asarray(xs, np.int32), np.asarray(ys, np.int32),
+            np.asarray(cs0, np.int8), np.asarray(cmv0, np.int16),
+            np.asarray(cs1, np.int8), np.asarray(cmv1, np.int16),
+            cvalid,
+            np.asarray(ms0j, np.int8), np.asarray(mmv0, np.int16),
+            np.asarray(ms1j, np.int8), np.asarray(mmv1, np.int16),
             np.asarray(me_bits, np.float32),
             np.asarray(icost, np.float32),
-            qpb, cqpb_tab[qpb], cqpr_tab[qpb],
+            np.asarray(qpb, np.int8), np.asarray(cqpb_tab[qpb], np.int8),
+            np.asarray(cqpr_tab[qpb], np.int8),
             lam_tab[qpb], lams_tab[qpb]))
         return dict(xs=xs, ys=ys, nby=nby, nbx=nbx, cands=cands,
                     me=me, args=args, n=n, zero_only=zero_only, B=B,
@@ -434,10 +442,12 @@ def run_engine(enc) -> None:
     # early-CU skips make later CUs' candidates zero-ish and cheap).
     maps = None
     for _ in range(2):
-        tiers = [tier_prep(8, me_rec_tier(8), crop_cost(enc.icost8, 8),
-                           subset=idx8),
-                 tier_prep(16, me_rec_tier(16),
-                           crop_cost(enc.icost16, 16))]
+        from ..utils.trace import stage as _stage
+        with _stage("inter.tier_prep"):
+            tiers = [tier_prep(8, me_rec_tier(8), crop_cost(enc.icost8, 8),
+                               subset=idx8),
+                     tier_prep(16, me_rec_tier(16),
+                               crop_cost(enc.icost16, 16))]
         if cfg_w >= 32 and cfg_h >= 32:
             tiers.append(tier_prep(
                 32, me_rec_tier(32),
@@ -449,7 +459,9 @@ def run_engine(enc) -> None:
         t8, t16 = tiers[0], tiers[1]
         t32 = tiers[2] if len(tiers) > 2 else None
         t64 = tiers[3] if len(tiers) > 3 else None
-        maps = _assemble_maps(enc, t8, t16, t32, t64, h8, w8)
+        from ..utils.trace import stage as _stage
+        with _stage("inter.assemble_maps"):
+            maps = _assemble_maps(enc, t8, t16, t32, t64, h8, w8)
         # decided field -> next iteration's candidate source
         afield = dict(
             mv=np.stack([np.repeat(np.repeat(maps.mv[l], 2, 0), 2, 1)
@@ -464,9 +476,13 @@ def run_engine(enc) -> None:
     # nearest compatible candidate recovers the sequential walk's
     # merge/skip density; the coding pass re-evaluates residuals after.
     _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b)
-    rec_dev, coeffs, sao_arrays = _dispatch_coding(
-        enc, maps, jr, jsrc, to_slot, slot_of, is_b)
-    _fill_and_map_syntax(enc, maps, coeffs, ctx, zv, region4)
+    from ..utils.trace import stage as _stage0
+    with _stage0("inter.dispatch_coding_total"):
+        rec_dev, coeffs, sao_arrays = _dispatch_coding(
+            enc, maps, jr, jsrc, to_slot, slot_of, is_b)
+    from ..utils.trace import stage as _stage
+    with _stage("inter.fill_map_syntax"):
+        _fill_and_map_syntax(enc, maps, coeffs, ctx, zv, region4)
     # final reconstruction (deblocked + SAO'd on device) stays on device:
     # it is the next frames' reference picture and the host only reads it
     # lazily (recon consumer, PSNR, fallback paths)
@@ -560,12 +576,12 @@ def _snap_merges(enc, maps, ctx, zv, region4, jr, jsrc, to_slot, is_b,
             lu = pd(lists[um])
             ru = pd(rec[um])
             allrec = np.concatenate([lu, ru[:, None, :]], 1)  # (K, C+1, 6)
-            cs0 = to_slot(0, allrec[:, :, 0].T)
-            cs1 = to_slot(1, allrec[:, :, 1].T)
+            cs0 = to_slot(0, allrec[:, :, 0].T).astype(np.int8)
+            cs1 = to_slot(1, allrec[:, :, 1].T).astype(np.int8)
             cmv0 = np.ascontiguousarray(
-                allrec[:, :, 2:4].transpose(1, 0, 2)).astype(np.int32)
+                allrec[:, :, 2:4].transpose(1, 0, 2)).astype(np.int16)
             cmv1 = np.ascontiguousarray(
-                allrec[:, :, 4:6].transpose(1, 0, 2)).astype(np.int32)
+                allrec[:, :, 4:6].transpose(1, 0, 2)).astype(np.int16)
             args = tuple(jnp.asarray(v) for v in
                          (xs_u, ys_u, cs0, cmv0, cs1, cmv1))
             prep.append(dict(n=n, K=K, C1=allrec.shape[1], xs=xs, ys=ys,

@@ -164,6 +164,14 @@ def _tier_core(src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
     choice (0=merge, 1=me, 2=intra), merge best index, final motion
     (slot0, mv0, slot1, mv1), rough-RD cost of the winner, and (when
     zero_only) the all-zero-residual flag of the best zero candidate."""
+    # args arrive in narrow dtypes (int8 slots/qp, int16 mv) to shrink
+    # the per-frame H2D upload; compute in int32 on device
+    i32 = jnp.int32
+    cs0, cs1 = cs0.astype(i32), cs1.astype(i32)
+    cmv0, cmv1 = cmv0.astype(i32), cmv1.astype(i32)
+    ms0, ms1 = ms0.astype(i32), ms1.astype(i32)
+    mmv0, mmv1 = mmv0.astype(i32), mmv1.astype(i32)
+    qp, qpcb, qpcr = qp.astype(i32), qpcb.astype(i32), qpcr.astype(i32)
     C = cs0.shape[0]
     src_blk = _take(src_y, xs, ys, n).astype(jnp.int32)
 
@@ -293,6 +301,8 @@ snap_sads_fused_jit = partial(
 def _cand_sads_core(src_y, refs_y, xs, ys, cs0, cmv0, cs1, cmv1,
                     n: int, pic_w: int, pic_h: int, has_l1: bool):
     """Luma SAD of each candidate (C, B) at block origins (B,)."""
+    cs0, cs1 = cs0.astype(jnp.int32), cs1.astype(jnp.int32)
+    cmv0, cmv1 = cmv0.astype(jnp.int32), cmv1.astype(jnp.int32)
     src_blk = _take(src_y.astype(jnp.int32), xs, ys, n)
 
     def f(args):

@@ -45,8 +45,8 @@ def encode_gops_sharded(frames, cfg, devices=None):
             "independent — VBV continuity across GOP joins is not "
             "enforced" % cfg.rc)
     chunks = [frames[i:i + iper] for i in range(0, len(frames), iper)]
-    outs = []
-    for gi, chunk in enumerate(chunks):
+
+    def encode_shard(gi, chunk):
         dev = devices[gi % len(devices)]
         # fresh config per shard: HevcEncoder/resolve_preset mutate it
         shard_cfg = replace(cfg)
@@ -63,6 +63,25 @@ def encode_gops_sharded(frames, cfg, devices=None):
             ef.dts += base      # coded-picture offset: every prior shard
             #                     coded exactly iper pictures, so the
             #                     global dts clock advances by gi*iper
-        outs.append(efs)
+        return efs
+
+    # shards run CONCURRENTLY on host threads (the CEncTaskManageFpp
+    # analog at GOP grain): each thread's device dispatches land on its
+    # assigned device and overlap the other shards' host work (entropy
+    # coding, map assembly); jax dispatch is thread-safe and the host
+    # CABAC writer releases no shared state. Thread count is capped by
+    # the device count — more threads would only contend on dispatch.
+    outs: list = [None] * len(chunks)
+    nthreads = min(len(devices), len(chunks))
+    if nthreads <= 1:
+        for gi, chunk in enumerate(chunks):
+            outs[gi] = encode_shard(gi, chunk)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            futs = {ex.submit(encode_shard, gi, chunk): gi
+                    for gi, chunk in enumerate(chunks)}
+            for fut, gi in futs.items():
+                outs[gi] = fut.result()
     coded = [ef for efs in outs for ef in efs]
     return b"".join(ef.data for ef in coded), coded
