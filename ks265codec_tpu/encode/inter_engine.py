@@ -441,7 +441,14 @@ def run_engine(enc) -> None:
     # parallel analog of the sequential walk's skip/merge bootstrap:
     # early-CU skips make later CUs' candidates zero-ish and cheap).
     maps = None
-    for _ in range(2):
+    # decision iterations: round 2 re-derives merge candidates from
+    # round 1's decided field (the skip/merge bootstrap analog). The
+    # ladder keeps 2 for medium+; fast tiers accept round-1 decisions
+    # (KS265_DECIDE_ITERS overrides for experiments).
+    import os as _os
+    n_iters = int(_os.environ.get("KS265_DECIDE_ITERS", 0) or
+                  getattr(enc, "decide_iters", 2))
+    for _ in range(n_iters):
         from ..utils.trace import stage as _stage
         with _stage("inter.tier_prep"):
             tiers = [tier_prep(8, me_rec_tier(8), crop_cost(enc.icost8, 8),

@@ -30,14 +30,21 @@ import numpy as np
 # context-free bit model: bits(1)=sig+sign+gt1_0; bits(2)+=gt2_0;
 # bits(l>=3) ~= flags + escape golomb 1.5+2*floor(log2(l-2))
 W_RATE = np.float32(0.09)
-_B1 = np.float32(2.5)
+# _B1 raised 2.5 -> 3.5 (kills level-1 coeffs below f ~ 0.66): the
+# context-free model undercounts a lone significant coefficient's true
+# cost (sig ctx + last-position + CG scaffolding). Stream-stats showed
+# ~53% more nonzero luma coefficients than the reference at matched
+# PSNR; 3.5 measured -1..-4% bits at +-0.03 dB on the RD harness
+# (medium/GOP-8 QP27/32); 4.0+ starts losing PSNR faster than bits.
+_B1 = np.float32(3.5)
 _B2D = np.float32(1.0)          # bits(2) - bits(1)
 _BESC = np.float32(1.5)
 # group decimation: drop a 4x4 group whose only survivors are <= _DEC_N
 # level-1 coefficients each with f below _DEC_F (their individual J wins
-# were marginal; the group flag + sig scaffolding costs more than they buy)
-_DEC_F = np.float32(0.72)
-_DEC_N = 2
+# were marginal; the group flag + sig scaffolding costs more than they
+# buy). 0.9/3 measured -3.6% bits at -0.02 dB vs the old 0.72/2.
+_DEC_F = np.float32(0.9)
+_DEC_N = 3
 
 
 def _rdoq_core(xp, c, f):

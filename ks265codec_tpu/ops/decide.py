@@ -41,7 +41,12 @@ _HDR_BITS = {8: 7.0, 16: 5.0, 32: 4.0}
 # luma mode bits: prev_intra_pred_flag + mpm_idx / 5-bit rem_mode
 _BITS_MPM0, _BITS_MPM12, _BITS_REM = 2.0, 3.0, 6.0
 # chroma: 1-bit DM flag, or flag + 2 bypass bins
-_BITS_DM, _BITS_CHROMA = 1.0, 3.0
+# non-DM chroma costs ~3 coded bins but its SATD gain is usually noise:
+# the reference picks DM ~2x as often as our SATD-only chroma search did
+# (stream-stats comparison). 7.0 biases toward DM and measured -1.7%
+# bits at +0.01 dB on the medium RD harness; the true-RD chroma search
+# of the reference is approximated by this penalty, not replicated.
+_BITS_DM, _BITS_CHROMA = 1.0, 7.0
 
 
 def _rough_tu_cost(res, qp, n: int, log2: int, D_scale: float):
