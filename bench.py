@@ -198,6 +198,13 @@ def main():
         extra["decode_720p_fps"] = round(our_dec, 3)
         extra["decode_vs_baseline"] = round(
             our_dec / ref_dec, 4) if ref_dec else 0.0
+        our_deci = bench_ours_decode(inter_bs, INTER_FRAMES)
+        bsfi = WORK / "ours_inter.265"
+        bsfi.write_bytes(inter_bs)
+        ref_deci = bench_reference_decode(bsfi, INTER_FRAMES)
+        extra["decode_inter_720p_fps"] = round(our_deci, 3)
+        extra["decode_inter_vs_baseline"] = round(
+            our_deci / ref_deci, 4) if ref_deci else 0.0
     except Exception as ex:             # extras must never sink the bench
         extra["error"] = "%s: %s" % (type(ex).__name__, ex)
     vs = ours_fps / ref_fps if ref_fps > 0 else 0.0

@@ -243,7 +243,7 @@ class HevcDecoder:
                               parse_only=True)
             try:
                 sd.decode()
-                self._fast_pending = (sps, pps, hdr)
+                self._fast_pending = (sps, pps, hdr, ref_lists)
                 self._seg_state = (hdr, ref_lists, bytes(sd.cabac.ctx),
                                    sd.qp_cur, self.cur_slice_idx)
                 self.cur_slice_idx += 1
@@ -424,9 +424,20 @@ class HevcDecoder:
         if getattr(self, "_wf_coder", None) is None:
             from ..ops.wavefront import WavefrontIntraCoder
             self._wf_coder = WavefrontIntraCoder()
-        return (self._wf_coder.available
-                and hdr.slice_type == I_SLICE
-                and sps.max_transform_hierarchy_depth_intra == 0
+        if not self._wf_coder.available:
+            return False
+        if hdr.slice_type != I_SLICE:
+            # P/B coverage: single-tile pictures; PU/TU shapes outside
+            # the batched MC's reach abort per-slice during parse. The
+            # dense chroma residual reads ONE qp per 4x4-chroma tile, so
+            # quantization groups must be >= 16 luma px (true for every
+            # stream this encoder emits: QG == CTB).
+            if pps.tiles_enabled:
+                return False
+            if pps.cu_qp_delta_enabled and \
+                    sps.log2_ctb - pps.diff_cu_qp_delta_depth < 4:
+                return False
+        return (sps.max_transform_hierarchy_depth_intra == 0
                 and sps.log2_ctb == 6 and sps.log2_min_cb == 3
                 and sps.log2_max_tb == 5
                 and sps.bit_depth_luma == 8
@@ -449,7 +460,11 @@ class HevcDecoder:
             return
         self._fast_pending = None
         fs = self.cur
-        sps, pps, hdr = pend
+        sps, pps, hdr, ref_lists = pend
+        if hdr.slice_type != I_SLICE:
+            self._materialize_fast_inter(fs, sps, pps, hdr, ref_lists,
+                                         final)
+            return
         import numpy as np
         # cells never parsed (multi-slice pictures, CTB padding) default to
         # 8x8/DC placeholders: they compute throwaway pixels that later
@@ -545,6 +560,85 @@ class HevcDecoder:
         # jnp.asarray aliases host memory zero-copy on the CPU backend and
         # the computation reads it asynchronously. Each picture gets fresh
         # planes with its FrameState, so no reset is needed.
+
+    def _decode_devctx(self):
+        """Device placement policy for decode dispatches (see the policy
+        comment in _materialize_fast): host pixels are the product, so
+        recon defaults to the CPU backend unless KS265_DECODE_DEVICE
+        opts into the accelerator."""
+        import contextlib
+        import os as _os
+
+        import jax as _jax
+        pol = _os.environ.get("KS265_DECODE_DEVICE", "auto")
+        try:
+            plat = _jax.default_backend()
+        except Exception:
+            plat = "cpu"
+        if pol == "cpu" or (pol == "auto" and plat != "cpu"):
+            try:
+                return _jax.default_device(_jax.devices("cpu")[0])
+            except Exception:
+                pass
+        return contextlib.nullcontext()
+
+    def _materialize_fast_inter(self, fs, sps, pps, hdr, ref_lists,
+                                final: bool) -> None:
+        """P/B twin of _materialize_fast: full-frame MC from the parsed
+        motion field + dense residual + masked intra wavefront (+ filters
+        when the whole picture was fast-parsed) in one device dispatch."""
+        import numpy as np
+
+        from .interfast import recon_inter_picture
+        sao_params = None
+        sao_on = bool(hdr.sao_luma or hdr.sao_chroma)
+        deblock_ok = final and bool(
+            hdr.loop_filter_across_slices
+            if hasattr(hdr, "loop_filter_across_slices") else True)
+        if sao_on and deblock_ok:
+            ncty = sps.pic_height_in_ctbs
+            nctx = sps.pic_width_in_ctbs
+            type_ = np.zeros((3, ncty, nctx), np.int8)
+            offs_ = np.zeros((3, ncty, nctx, 4), np.int8)
+            bpos_ = np.zeros((3, ncty, nctx), np.int8)
+            eocl_ = np.zeros((3, ncty, nctx), np.int8)
+            for ry in range(ncty):
+                for rx in range(nctx):
+                    p = fs.sao[ry][rx]
+                    for c in range(3):
+                        type_[c, ry, rx] = p.type_idx[c]
+                        offs_[c, ry, rx] = p.offsets[c]
+                        bpos_[c, ry, rx] = p.band_pos[c]
+                        eocl_[c, ry, rx] = p.eo_class[c]
+            sao_params = (type_, offs_, bpos_, eocl_)
+        if getattr(self, "_wf_coder", None) is None:
+            from ..ops.wavefront import WavefrontIntraCoder
+            self._wf_coder = WavefrontIntraCoder()
+        if deblock_ok:
+            planes = recon_inter_picture(
+                self._wf_coder, fs, sps, pps, hdr, ref_lists, sao_params,
+                self._decode_devctx())
+            fs.attach_device_planes(planes)
+            fs._fast_filtered = True
+            if self.threads == 1:
+                fs.ensure_planes()     # ST strategy: no pipeline overlap
+        else:
+            # partial picture (another slice joins) or cross-slice
+            # filtering constraints: reconstruct without in-loop filters
+            # and land the pixels in the host planes for the scalar
+            # continuation
+            import copy
+            hdr_nf = copy.copy(hdr)
+            hdr_nf.sao_luma = 0
+            hdr_nf.sao_chroma = 0
+            hdr_nf.deblocking_filter_disabled = 1
+            planes = recon_inter_picture(
+                self._wf_coder, fs, sps, pps, hdr_nf, ref_lists, None,
+                self._decode_devctx())
+            ry, rcb, rcr = (np.asarray(p) for p in planes)
+            fs.y[:] = ry
+            fs.cb[:] = rcb
+            fs.cr[:] = rcr
 
     def _finish_current_picture(self) -> None:
         if self.cur is None:

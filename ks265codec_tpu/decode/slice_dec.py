@@ -1185,6 +1185,8 @@ class SliceDecoder:
             else:
                 fs.mv[l, y4:y4 + h4, x4:x4 + w4, :] = 0
         fs.mi_parsed[sl] = True
+        if self.parse_only:
+            return    # MC runs on device from the stored motion field
         motion_compensate(fs, self.hdr, self.ref_lists, xp, yp, nw, nh, mi)
 
     def _parse_inter_cu(self, x0, y0, log2, part, depth):
@@ -1194,6 +1196,11 @@ class SliceDecoder:
         fs = self.fs
         size = 1 << log2
         pus = self._pu_geometry(x0, y0, size, part)
+        if self.parse_only and any(pw_ < 8 or ph_ < 8
+                                   for (_, _, pw_, ph_) in pus):
+            # batched MC carries motion per 8x8 cell; sub-8 PUs (2NxN on
+            # an 8-CU, AMP quarters) need the scalar walk
+            raise FastPathAbort("sub-8 PU")
         first_pu_merge = False
         for pidx, (xp, yp, nw, nh) in enumerate(pus):
             merge = dec.decode_bin(CTX_OFFSET["merge_flag"])

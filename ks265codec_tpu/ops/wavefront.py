@@ -424,21 +424,31 @@ def _recon_class(carry, fields, coef_tiles, n: int, strong: bool,
     return (bY, rY, kY, bCb, rCb, kCb, bCr, rCr, kCr), tuple(outs)
 
 
-def _recon_intra_frame_core(coef_y, coef_cb, coef_cr, segs, strong: bool):
+def _recon_intra_frame_core(coef_y, coef_cb, coef_cr, segs, strong: bool,
+                            init_planes=None):
     """Batched wavefront intra reconstruction from parsed coefficient
-    planes (int16). Returns (rec_y, rec_cb, rec_cr) uint8 padded planes."""
+    planes (int16). Returns (rec_y, rec_cb, rec_cr) uint8 padded planes.
+
+    init_planes: optional (y, cb, cr) int planes holding already-
+    reconstructed content (inter cells of a P/B picture); the wavefront
+    then covers only the cells named by `segs`, seeding its border carry
+    from the existing pixels (legal reference material, constrained-intra
+    off) and writing its results over them."""
     ph, pw = coef_y.shape
     h8, w8 = ph >> 3, pw >> 3
     N = h8 * w8
     cty = _tile(coef_y.astype(jnp.int32), 8)
     ctcb = _tile(coef_cb.astype(jnp.int32), 4)
     ctcr = _tile(coef_cr.astype(jnp.int32), 4)
-    carry = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
-             jnp.zeros((N,), jnp.int32),
-             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
-             jnp.zeros((N,), jnp.int32),
-             jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
-             jnp.zeros((N,), jnp.int32))
+    if init_planes is not None:
+        carry = borders_from_planes(*init_planes)
+    else:
+        carry = (jnp.zeros((N, 8), jnp.int32), jnp.zeros((N, 8), jnp.int32),
+                 jnp.zeros((N,), jnp.int32),
+                 jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+                 jnp.zeros((N,), jnp.int32),
+                 jnp.zeros((N, 4), jnp.int32), jnp.zeros((N, 4), jnp.int32),
+                 jnp.zeros((N,), jnp.int32))
 
     def body(carry, level_fields):
         outs = []
@@ -454,7 +464,10 @@ def _recon_intra_frame_core(coef_y, coef_cb, coef_cr, segs, strong: bool):
         ys_segs.append(ys)
     planes = []
     for ci, t in ((0, 8), (1, 4), (2, 4)):
-        tiles = jnp.zeros((N, t, t), jnp.uint8)
+        if init_planes is not None:
+            tiles = _tile(init_planes[ci].astype(jnp.uint8), t)
+        else:
+            tiles = jnp.zeros((N, t, t), jnp.uint8)
         for seg, ys in zip(segs, ys_segs):
             for k, n in enumerate((8, 16, 32)):
                 sched = seg[k]
@@ -501,6 +514,99 @@ recon_filter_frame_jit = partial(
     jax.jit, static_argnames=("strong", "deblock", "sao", "sao_chroma",
                               "boff", "toff", "cbo", "cro", "width",
                               "height", "cs"))(_recon_filter_frame_core)
+
+
+def _dense_residual(coef, qp4, size_pix, classes):
+    """Per-TU-size inverse transform of a whole coefficient plane,
+    computed DENSELY per class and selected by the per-pixel size map:
+    every aligned tile of each class is IDCT'd (compute is free on TPU;
+    gather-shaped per-block work is not), and each pixel takes the class
+    its TU actually has. Coefficient planes are zero outside coded TUs,
+    so wrong-class tiles contribute nothing where it matters.
+    classes: (n, tx_log2, sel_log2) per class — n/tx_log2 are THIS
+    plane's tile size, sel_log2 the LUMA CU log2 the size map carries
+    (chroma tiles are half the luma TU).
+    qp4: per-4-sample QP grid of this plane (chroma-mapped already)."""
+    H, W = coef.shape
+    c32 = coef.astype(jnp.int32)
+    resid = jnp.zeros((H, W), jnp.int32)
+    for (n, tx_log2, sel_log2) in classes:
+        tiles = _tile(c32, n)
+        step = max(n // 4, 1)
+        qp_t = qp4[::step, ::step].reshape(-1)
+        r = _dequant_itx(tiles, qp_t, n, tx_log2)
+        rp = _untile(r, H // n, W // n)
+        resid = jnp.where(size_pix == sel_log2, rp, resid)
+    return resid
+
+
+def _recon_inter_filter_core(refs_y, refs_cb, refs_cr,
+                             slot0, mv0, slot1, mv1, wts0, wts1,
+                             coef_y, coef_cb, coef_cr,
+                             log2m8, qp4, qp4_cb, qp4_cr, inter_pix,
+                             segs, bs_v, bs_h, sao_params,
+                             has_l1: bool, strong: bool, deblock: bool,
+                             sao: bool, sao_chroma: bool,
+                             boff: int, toff: int, cbo: int, cro: int,
+                             width: int, height: int, cs: int):
+    """Decoder fast path for P/B pictures, whole picture in ONE dispatch:
+    full-frame MC from the parsed per-8x8-cell motion field -> dense
+    per-class residual add -> masked wavefront for the picture's intra
+    CUs (seeded from the inter reconstruction) -> deblock -> SAO apply
+    with the parsed params. The per-CU host MC/recon walk this replaces
+    was the decode throughput bottleneck for inter streams."""
+    from .deblock import deblock_planes
+    from .mc import _mc_core
+    from .saoapply import sao_apply_core
+    ph, pw = coef_y.shape
+    h8, w8 = ph >> 3, pw >> 3
+    py, pcb, pcr = _mc_core(refs_y, refs_cb, refs_cr, slot0, mv0,
+                            slot1, mv1, wts0, wts1, has_l1, h8, w8,
+                            width, height)
+    size_pix = jnp.repeat(jnp.repeat(log2m8.astype(jnp.int32), 8, 0),
+                          8, 1)
+    size_pix_c = size_pix[::2, ::2]
+    ry = _dense_residual(coef_y, qp4, size_pix,
+                         ((8, 3, 3), (16, 4, 4), (32, 5, 5)))
+    rcb = _dense_residual(coef_cb, qp4_cb, size_pix_c,
+                          ((4, 2, 3), (8, 3, 4), (16, 4, 5)))
+    rcr = _dense_residual(coef_cr, qp4_cr, size_pix_c,
+                          ((4, 2, 3), (8, 3, 4), (16, 4, 5)))
+    # residual applies to INTER cells only (intra cells reconstruct in
+    # the wavefront below, which reads the same coefficient planes)
+    y = jnp.clip(py.astype(jnp.int32) + jnp.where(inter_pix, ry, 0),
+                 0, 255).astype(jnp.uint8)
+    cb = jnp.clip(pcb.astype(jnp.int32)
+                  + jnp.where(inter_pix[::2, ::2], rcb, 0),
+                  0, 255).astype(jnp.uint8)
+    cr = jnp.clip(pcr.astype(jnp.int32)
+                  + jnp.where(inter_pix[::2, ::2], rcr, 0),
+                  0, 255).astype(jnp.uint8)
+    if segs is not None:
+        y, cb, cr = _recon_intra_frame_core(coef_y, coef_cb, coef_cr,
+                                            segs, strong,
+                                            init_planes=(y, cb, cr))
+    if deblock:
+        dy, dcb, dcr = deblock_planes(
+            y.astype(jnp.int32), cb.astype(jnp.int32),
+            cr.astype(jnp.int32), bs_v, bs_h, qp4, boff, toff, cbo, cro,
+            width, height)
+        y = dy.astype(jnp.uint8)
+        cb = dcb.astype(jnp.uint8)
+        cr = dcr.astype(jnp.uint8)
+    if sao:
+        type_, offs_, bpos_, eocl_ = sao_params
+        y, cb, cr = sao_apply_core(y, cb, cr, type_, offs_, bpos_,
+                                   eocl_, True, sao_chroma,
+                                   width, height, cs)
+    return y, cb, cr
+
+
+recon_inter_filter_jit = partial(
+    jax.jit, static_argnames=("has_l1", "strong", "deblock", "sao",
+                              "sao_chroma", "boff", "toff", "cbo", "cro",
+                              "width", "height", "cs"))(
+    _recon_inter_filter_core)
 
 
 def _assemble(tiles, recs, xs, ys, valid, n8: int, t: int, w8: int):
