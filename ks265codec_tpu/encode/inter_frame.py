@@ -326,6 +326,23 @@ class PFrameEncoder(IntraFrameEncoder):
         # QP mismatch on cutree B frames)
         return self.qp, self.qp_cb, self.qp_cr
 
+    def _bitcounter(self):
+        """Per-frame Precise (CABAC-state) bit counter for the sequential
+        walk's motion-syntax arbitration — the CBitCounterPrecise tier
+        (SURVEY.md 2.3). Decisions happen in coding order here, so
+        adapting its states with each chosen CU's syntax tracks the real
+        writer's context evolution; residual bins stay on the Rough
+        closed-form model (counted by _rough_inter_cost)."""
+        pbc = getattr(self, "_pbc", None)
+        if pbc is None:
+            from .bitcounter import PreciseBitCounter
+            pbc = PreciseBitCounter(self.hdr.slice_type,
+                                    int(self.hdr.slice_qp),
+                                    int(getattr(self.hdr,
+                                                "cabac_init_flag", 0)))
+            self._pbc = pbc
+        return pbc
+
     def _code_ctu_p(self, x0, y0):
         """Quadtree walk: whole-CTB skip probe first, then 32/16 CUs."""
         self._set_ctu_qp(x0, y0)
@@ -475,12 +492,13 @@ class PFrameEncoder(IntraFrameEncoder):
                 seen.add(key)
                 p = self._pu_pred(xp, yp, nw, nh, c)
                 sad = int(np.abs(src[yp:yp + nh, xp:xp + nw] - p).sum())
-                cost = sad + self.lam_satd * (2.0 + i)
+                cost = sad + self.lam_satd \
+                    * self._bitcounter().merge_idx_bits(
+                        i, int(self.hdr.max_num_merge_cand))
                 if cost < best_cost:
                     best_i, best_cost, best_c = i, cost, c
             used = [l for l in range(2) if mi.ref_idx[l] >= 0]
             mvds, mvp_flags = {}, {}
-            me_bits = 3.0
             for l in used:
                 amvp = self.md.amvp_candidates(x0, y0, size, xp, yp, nw,
                                                nh, pidx, l, mi.ref_idx[l])
@@ -490,8 +508,11 @@ class PFrameEncoder(IntraFrameEncoder):
                           <= abs(d1[0]) + abs(d1[1])) else 1
                 mvp_flags[l] = f
                 mvds[l] = d0 if f == 0 else d1
-                me_bits += (2.0 + 2.0 * np.log2(1.0 + abs(mvds[l][0]))
-                            + 2.0 * np.log2(1.0 + abs(mvds[l][1])))
+            nrf = [int(self.hdr.num_ref_idx[l]) if self.hdr.num_ref_idx
+                   else 1 for l in range(2)]
+            me_bits = self._bitcounter().amvp_bits(
+                used, mi.ref_idx, mvds, mvp_flags, nrf,
+                self.hdr.slice_type == 0)
             p = self._pu_pred(xp, yp, nw, nh, mi)
             me_cost = int(np.abs(src[yp:yp + nh, xp:xp + nw] - p).sum())                 + self.lam_satd * me_bits
             if best_c is not None and best_cost <= me_cost:
@@ -603,7 +624,8 @@ class PFrameEncoder(IntraFrameEncoder):
                               size, c)
             sad = int(np.abs(src - fs.y[y0:y0 + size,
                                         x0:x0 + size]).sum()) \
-                + self.lam_satd * (2.0 + i)
+                + self.lam_satd * self._bitcounter().merge_idx_bits(
+                    i, int(self.hdr.max_num_merge_cand))
             if sad < merge_sad:
                 best_merge, merge_sad = i, sad
         merge_cost = float("inf")
@@ -611,12 +633,12 @@ class PFrameEncoder(IntraFrameEncoder):
             motion_compensate(fs, self.hdr, self.ref_lists, x0, y0, size,
                               size, cands[best_merge])
             D, bits = self._rough_inter_cost(x0, y0, log2)
-            merge_cost = D + self.lam * (bits + 2.0 + best_merge)
+            merge_cost = D + self.lam * (
+                bits + self._bitcounter().merge_idx_bits(
+                    best_merge, int(self.hdr.max_num_merge_cand)))
         # ME/AMVP candidate: true mvd against the derived predictors
         used = [l for l in range(2) if mi.ref_idx[l] >= 0]
         mvds, mvp_flags = {}, {}
-        me_bits = 3.0 + 2.0 * sum(mi.ref_idx[l] for l in range(2)
-                                  if mi.ref_idx[l] >= 0)
         for l in used:
             amvp = self.md.amvp_candidates(x0, y0, size, x0, y0, size, size,
                                            0, l, mi.ref_idx[l])
@@ -626,8 +648,11 @@ class PFrameEncoder(IntraFrameEncoder):
                       <= abs(d1[0]) + abs(d1[1])) else 1
             mvp_flags[l] = f
             mvds[l] = d0 if f == 0 else d1
-            me_bits += (2.0 + 2.0 * np.log2(1.0 + abs(mvds[l][0]))
-                        + 2.0 * np.log2(1.0 + abs(mvds[l][1])))
+        nrf = [int(self.hdr.num_ref_idx[l]) if self.hdr.num_ref_idx
+               else 1 for l in range(2)]
+        me_bits = self._bitcounter().amvp_bits(
+            used, mi.ref_idx, mvds, mvp_flags, nrf,
+            self.hdr.slice_type == 0, depth)
         me_cost = float("inf")
         me_same_as_merge = (best_merge >= 0 and used and all(
             cands[best_merge].ref_idx[l] == mi.ref_idx[l]
@@ -664,6 +689,17 @@ class PFrameEncoder(IntraFrameEncoder):
                         all(c.mv[l] == mi.mv[l] for l in used):
                     merge_idx = i
                     break
+        # adapt the Precise counter's states with the CHOSEN syntax so
+        # later CUs are costed against evolved contexts (coding order)
+        if merge_idx >= 0:
+            self._bitcounter().merge_idx_bits(
+                merge_idx, int(self.hdr.max_num_merge_cand), update=True)
+        elif used:
+            nrf = [int(self.hdr.num_ref_idx[l]) if self.hdr.num_ref_idx
+                   else 1 for l in range(2)]
+            self._bitcounter().amvp_bits(
+                used, mi.ref_idx, mvds, mvp_flags, nrf,
+                self.hdr.slice_type == 0, depth, update=True)
         syn = self.syn
         # --- inter: predict via MC, residual decision
         self._store_motion(x0, y0, size, mi)
