@@ -119,3 +119,29 @@ def test_decode_fast_path_abort_matches_scalar():
         assert np.array_equal(a.y, b.y)
         assert np.array_equal(a.u, b.u)
         assert np.array_equal(a.v, b.v)
+
+
+def test_precise_bit_counter_sane():
+    """Precise tier: entropy-bits tables derived from the normative LPS
+    ranges must be positive and ordered (MPS cheaper than LPS beyond the
+    equiprobable state), syntax costs monotone in merge idx / |mvd|, and
+    states must ADAPT (repeating a choice gets cheaper)."""
+    from ks265codec_tpu.encode.bitcounter import (FRAC_ONE, _BITS_LPS,
+                                                  _BITS_MPS,
+                                                  PreciseBitCounter)
+    assert all(b > 0 for b in _BITS_MPS) and all(b > 0 for b in _BITS_LPS)
+    assert all(m <= l for m, l in zip(_BITS_MPS[1:], _BITS_LPS[1:]))
+    pbc = PreciseBitCounter(1, 30)    # P slice
+    b0 = pbc.merge_idx_bits(0, 5)
+    b3 = pbc.merge_idx_bits(3, 5)
+    assert 0.1 < b0 < 4.0 and b3 > b0
+    small = pbc.amvp_bits([0], {0: 0}, {0: (1, 0)}, {0: 0}, [2, 1], False)
+    big = pbc.amvp_bits([0], {0: 0}, {0: (120, -77)}, {0: 0}, [2, 1],
+                        False)
+    assert big > small > 1.0
+    # adaptation: choosing merge repeatedly drives merge_flag toward MPS
+    before = pbc.merge_idx_bits(0, 5)
+    for _ in range(30):
+        pbc.merge_idx_bits(0, 5, update=True)
+    after = pbc.merge_idx_bits(0, 5)
+    assert after < before
