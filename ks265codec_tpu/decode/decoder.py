@@ -156,6 +156,16 @@ class HevcDecoder:
         elif t in (NalType.AUD, NalType.FD, NalType.EOS, NalType.EOB):
             pass
         elif is_vcl(t):
+            # RASL pictures associated with a CRA that OPENED the stream
+            # (NoRaslOutputFlag = 1) reference pictures from before the
+            # access point and must be discarded (spec 8.1); the flag
+            # clears at the first non-RASL picture after that CRA
+            if is_rasl(t):
+                if getattr(self, "_discard_rasl", False):
+                    return
+            elif getattr(self, "_discard_rasl", False) \
+                    and t != NalType.CRA_NUT:
+                self._discard_rasl = False
             self._decode_slice_nal(nal)
 
     def _decode_slice_nal(self, nal) -> None:
@@ -314,6 +324,8 @@ class HevcDecoder:
             prev_msb = prev - prev_lsb
             lsb = hdr.pic_order_cnt_lsb
             no_rasl_out = is_irap(hdr.nal_type) and self.first_pic
+            if no_rasl_out and hdr.nal_type == NalType.CRA_NUT:
+                self._discard_rasl = True   # stream opens at this CRA
             if no_rasl_out:
                 msb = 0
                 poc = lsb
@@ -332,8 +344,6 @@ class HevcDecoder:
 
     # ----------------------------------------------------------- pictures
     def _start_picture(self, hdr: SliceHeader, sps: SPS) -> None:
-        if hdr.is_idr or (is_irap(hdr.nal_type) and len(self.dpb) == 0):
-            pass
         if hdr.is_idr:
             # IDR: all prior pics unused for reference
             for rp in self.dpb:

@@ -488,6 +488,45 @@ class HevcEncoder:
                 self.gop_base += use_n
                 continue
             if till_idr < gop_n and len(self.queue) >= till_idr:
+                # open GOP: the frames before an intra-refresh boundary
+                # code AFTER the CRA as RASL leading pictures referencing
+                # BOTH the previous anchor and the CRA (fillRpsForCra
+                # analog) — the compression point closed GOPs forfeit.
+                # Needs the boundary frame queued and an iper boundary
+                # (not a scenecut-forced refresh, which stays closed).
+                boundary = (len(self.queue) > till_idr
+                            and iper > 0
+                            and self.queue[till_idr][0] % iper == 0)
+                if (cfg.open_gop and iper > 1 and till_idr >= 1
+                        and gop_n > 1 and not flushing
+                        and len(self.queue) <= till_idr
+                        and till_idr <= self.sps.num_reorder_pics[-1]):
+                    break   # hold the leads until the CRA frame arrives
+                if (cfg.open_gop and iper > 1 and till_idr >= 1
+                        and boundary and self.queue[till_idr][0] != 0
+                        and gop_n > 1
+                        and till_idr <= self.sps.num_reorder_pics[-1]):
+                    # (lead count is bounded by the declared reorder
+                    # depth — the decoder's bumping budget)
+                    from .gop import PicPlan
+                    leads = self.queue[:till_idr]
+                    di_c, f_c = self.queue[till_idr]
+                    self.queue = self.queue[till_idr + 1:]
+                    base0 = self.gop_base
+                    n = till_idr
+                    out.append(self._encode_picture(
+                        f_c, di_c, None, is_idr=True, cra=True,
+                        lead_count=n))
+                    for k, (di, f) in enumerate(leads):
+                        plan = PicPlan(
+                            k + 1, "B", 1, 2,
+                            [-(k + 1), n - k], [1, 1],
+                            [-(k + 1)], [n - k])
+                        out.append(self._encode_picture(f, di, plan,
+                                                        rasl=True))
+                    # the GOP clock resumes at the CRA's display position
+                    self.gop_base = base0 + n + 1
+                    continue
                 for _ in range(till_idr):
                     di, f = self.queue.pop(0)
                     out.append(self._encode_picture(
@@ -657,19 +696,25 @@ class HevcEncoder:
 
     def _encode_picture(self, frame: YUVFrame, display_idx: int,
                         plan, is_idr: bool = False,
-                        cra: bool = False) -> EncodedFrame:
+                        cra: bool = False, rasl: bool = False,
+                        lead_count: int = 0) -> EncodedFrame:
         cfg = self.cfg
         from .config import RC_FIXQP
         if is_idr and cra:
-            # open-GOP intra refresh: CRA keeps the POC timeline (no
-            # leading pictures are emitted, so no RASL handling needed);
-            # the DPB is still cleared — trailing pictures must not
-            # reference across the CRA (spec 8.1 NoRaslOutputFlag rules)
-            poc = self.gop_base + 1
-            self.gop_base += 1
-            for rp in self.dpb:
-                self.frame_pool.release(rp.fs)
-            self.dpb.clear()
+            # open-GOP intra refresh: CRA keeps the POC timeline. With
+            # lead_count > 0 the drain codes RASL leading pictures AFTER
+            # this CRA (coding order) that display BEFORE it and
+            # reference ACROSS it — open GOP's actual compression point
+            # (fillRpsForCra analog) — so the DPB must survive until the
+            # leads have coded; the leads' own RPS bookkeeping then
+            # retires the pre-CRA references. Without leads (legacy
+            # close-at-boundary shape) the DPB clears here as before.
+            poc = self.gop_base + 1 + lead_count
+            if lead_count == 0:
+                self.gop_base += 1
+                for rp in self.dpb:
+                    self.frame_pool.release(rp.fs)
+                self.dpb.clear()
             slice_type = I_SLICE
             tid = 0
             ftype = "I"
@@ -705,6 +750,7 @@ class HevcEncoder:
         hdr = SliceHeader(
             nal_type=(NalType.CRA_NUT if (is_idr and cra)
                       else NalType.IDR_W_RADL if is_idr
+                      else NalType.RASL_R if rasl
                       else NalType.TRAIL_R),
             temporal_id=tid,
             first_slice_in_pic=1,
@@ -720,10 +766,20 @@ class HevcEncoder:
         hdr.beta_offset_div2 = self.pps.beta_offset_div2
         hdr.tc_offset_div2 = self.pps.tc_offset_div2
         if is_idr and cra:
-            # CRA is IRAP but not IDR: its header carries POC + an EMPTY
-            # short-term RPS (no pictures survive the refresh)
-            hdr.st_rps = ShortTermRPS(delta_pocs=[], used=[],
-                                      num_negative=0, num_positive=0)
+            # CRA is IRAP but not IDR: its header carries POC + a
+            # short-term RPS. With RASL leads pending the RPS must NAME
+            # the pre-CRA anchor (used_by_curr = 0) or the normative DPB
+            # update evicts it before the leads reference it — the
+            # reference encoder's CRA does exactly this (observed
+            # rps=[-6]/used=[0] in its open-GOP streams). Without leads
+            # the RPS is empty (nothing survives the refresh).
+            if lead_count > 0:
+                hdr.st_rps = ShortTermRPS(
+                    delta_pocs=[-(lead_count + 1)], used=[0],
+                    num_negative=1, num_positive=0)
+            else:
+                hdr.st_rps = ShortTermRPS(delta_pocs=[], used=[],
+                                          num_negative=0, num_positive=0)
             hdr.st_rps_idx = -1
         sao_on = bool(self.sps.sao_enabled)
         if sao_on:
@@ -997,6 +1053,11 @@ class HevcEncoder:
         # future needs of the GOP pattern) plus the new picture
         keep = set()
         if not is_idr:
+            keep = {poc + d for d in hdr.st_rps.delta_pocs}
+        elif cra and lead_count > 0:
+            # CRA with pending RASL leads: the CRA's own RPS names the
+            # pre-CRA anchor (used_by_curr 0) precisely so it survives
+            # for the leads — normative trimming follows that RPS
             keep = {poc + d for d in hdr.st_rps.delta_pocs}
         dead = [rp for rp in self.dpb
                 if not (rp.poc in keep
