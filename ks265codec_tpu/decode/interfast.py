@@ -41,9 +41,13 @@ def _ref_stacks(uniq):
             cbs.append(dev[1].astype(jnp.int32))
             crs.append(dev[2].astype(jnp.int32))
         else:
-            ys.append(jnp.asarray(np.ascontiguousarray(fs.y, np.int32)))
-            cbs.append(jnp.asarray(np.ascontiguousarray(fs.cb, np.int32)))
-            crs.append(jnp.asarray(np.ascontiguousarray(fs.cr, np.int32)))
+            # COPY host planes: jnp.asarray aliases numpy zero-copy on
+            # the CPU backend, and a reference frame can leave the DPB
+            # and be RECYCLED (FrameState.reset refills these buffers)
+            # while this picture's async dispatch still reads them
+            ys.append(jnp.asarray(np.array(fs.y, np.int32)))
+            cbs.append(jnp.asarray(np.array(fs.cb, np.int32)))
+            crs.append(jnp.asarray(np.array(fs.cr, np.int32)))
     return (jnp.stack(ys), jnp.stack(cbs), jnp.stack(crs))
 
 
