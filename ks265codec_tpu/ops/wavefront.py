@@ -41,8 +41,14 @@ def _coeff_cap(M: int) -> int:
     """Static nonzero-value capacity for the sparse coefficient packing:
     frame-size-proportional (the round-2 fixed cap was a 4K cliff).
     Overflowing frames refetch the device-resident dense planes instead
-    of recomputing (graceful, no cliff)."""
-    return max(4096, M // 4)
+    of recomputing (graceful, no cliff).
+
+    M//8 (12.5% nonzero) covers typical content with margin (3-8%
+    measured at QP 22-37); the packed row's size is STATIC caps, not
+    content, and the D2H link (~6-13 MB/s) binds the batch wait — at
+    M//4 the row was ~1.55 MB/frame and the transfer was no longer
+    hidden under the coding scan."""
+    return max(4096, M // 8)
 
 
 def _round_up(v, m):
@@ -732,7 +738,7 @@ def pack_coeffs_sparse(flatc, cap: int):
     v8 = jnp.clip(vals, -128, 127).astype(jnp.int8)
     esc = jnp.abs(vals) > 127
     nesc = esc.sum().astype(jnp.int32)
-    ecap = max(cap // 4, 256)
+    ecap = max(cap // 16, 256)    # escapes are |v|>127: rare (<1%)
     eidx = jnp.nonzero(esc, size=ecap, fill_value=-1)[0].astype(jnp.int32)
     evals = jnp.where(eidx >= 0, vals[jnp.clip(eidx, 0)], 0) \
         .astype(jnp.int16)
@@ -754,7 +760,7 @@ def unpack_coeffs_sparse(take, M: int, cap: int, dense_fetch=None):
     consecutive fields from the fetched row. Returns flat int16 (M,).
     dense_fetch: zero-arg fallback returning the dense coefficients when
     the static cap overflowed (still must consume the row fields)."""
-    ecap = max(cap // 4, 256)
+    ecap = max(cap // 16, 256)
     bitmap = take(np.uint8, (M // 8,))
     cnt = int(take(np.int32, (1,))[0])
     nesc = int(take(np.int32, (1,))[0])
